@@ -1,13 +1,38 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (plus the training-data pipeline ops)
+  * is registered here as a named query over /root/testdata/sf* with a
+  * DuckDB-oracle ANSI SQL twin. Column aliases match exactly between the
+  * Spark plan and the oracle (the driver's compare sorts columns by name
+  * before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val modules: Seq[(Map[String, Tables.Q], Map[String, String])] = Seq(
+    (RelSources.queries, RelSources.oracles),
+    (RelProjCast.queries, RelProjCast.oracles),
+    (RelJoins.queries, RelJoins.oracles),
+    (RelAggs.queries, RelAggs.oracles),
+    (RelWindowSort.queries, RelWindowSort.oracles),
+    (RelSetGen.queries, RelSetGen.oracles))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Mirrors the reference's top-3-categories-by-revenue QA query
+    * (08_validacionsql.sql:55-62) — the minimum end-to-end slice. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelAggs.aggTopk(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    modules.map(_._2).reduce(_ ++ _)
 }

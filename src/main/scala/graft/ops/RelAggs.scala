@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Aggregation operators (SURVEY.md §2.4) re-expressed over the driver's
+  * synthetic tables. Each mirrors a reference construct (citations in
+  * each entry) and each is a partial-aggregate-friendly declarative plan:
+  * Catalyst plans HashAggregate(partial) -> shuffle on group keys ->
+  * HashAggregate(final), which is exactly the map-side-combine shape that
+  * scales to 100 TB (shuffle volume = |groups| per partition, not |rows|).
+  */
+object RelAggs {
+
+  /** agg-topk — reference `08_validacionsql.sql:55-62` (top-3 categories by
+    * revenue). GroupBy+sum+orderBy+limit: Spark plans TakeOrderedAndProject
+    * (true top-k, no global sort materialization). */
+  val aggTopk: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        outNum(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount")))))
+          .as("revenue"))
+      .orderBy(desc("revenue"), col("l_returnflag"), col("l_linestatus"))
+      .limit(3)
+
+  val aggTopkSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY revenue DESC, l_returnflag, l_linestatus
+      |LIMIT 3""".stripMargin
+
+  /** agg-sum-total — reference `08_validacionsql.sql:44-45` (grand total
+    * revenue, single scalar). Partial sums per partition then one merge. */
+  val aggSumTotal: Q = (s, d) =>
+    lineitem(s, d).agg(
+      outNum(sum(dec2(col("l_extendedprice")))).as("total_revenue"),
+      count(lit(1)).as("n_rows"))
+
+  val aggSumTotalSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+      |       count(*) AS n_rows
+      |FROM lineitem""".stripMargin
+
+  /** agg-minmax — reference `08_validacionsql.sql:48-52` (purchase date
+    * span). Timestamp cast to DateType for engine-neutral output. */
+  val aggMinmax: Q = (s, d) =>
+    orders(s, d).agg(
+      min(col("o_orderdate").cast(DateType)).as("min_date"),
+      max(col("o_orderdate").cast(DateType)).as("max_date"))
+
+  val aggMinmaxSql: String =
+    """SELECT CAST(min(o_orderdate) AS DATE) AS min_date,
+      |       CAST(max(o_orderdate) AS DATE) AS max_date
+      |FROM orders""".stripMargin
+
+  /** agg-distinct — reference `07_etl_silver_to_gold.sql:107-111`
+    * (SELECT DISTINCT dim attributes). Distinct = hash aggregate on all
+    * columns; shuffle keyed on the full row. */
+  val aggDistinct: Q = (s, d) =>
+    orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  val aggDistinctSql: String =
+    """SELECT DISTINCT o_orderstatus, o_orderpriority
+      |FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  /** agg-dedup-groupby — reference `sp_load_silver_geolocation.sql:30-43`
+    * (GROUP BY cleansed expressions, empty aggregate list = distinct-by-
+    * expression). Cleansing exprs inline so Catalyst folds them into the
+    * scan projection. */
+  val aggDedupGroupby: Q = (s, d) =>
+    customer(s, d)
+      .select(
+        upper(trim(col("c_mktsegment"))).as("segment"),
+        col("c_nationkey").as("nationkey"))
+      .distinct()
+      .orderBy("segment", "nationkey")
+
+  val aggDedupGroupbySql: String =
+    """SELECT DISTINCT upper(trim(c_mktsegment)) AS segment, c_nationkey AS nationkey
+      |FROM customer
+      |ORDER BY segment, nationkey""".stripMargin
+
+  /** agg-sum-by-key — reference design note `04_create_silver_tables.sql:25`
+    * (per-order payment totals; documented but never implemented there).
+    * The canonical shuffle-on-key aggregation. */
+  val aggSumByKey: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_orderkey").as("orderkey"))
+      .agg(
+        outNum(sum(dec2(col("l_extendedprice")) + dec2(col("l_tax")))).as("order_value"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("orderkey")
+
+  val aggSumByKeySql: String =
+    """SELECT l_orderkey AS orderkey,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS order_value,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY orderkey""".stripMargin
+
+  /** agg-count-volumetry — reference `08_validacionsql.sql:16-24`
+    * (silver vs gold row counts with explicit Diff). Two scalar aggs
+    * cross-joined: both sides are 1-row so the "join" is free. */
+  val aggCountVolumetry: Q = (s, d) => {
+    val o = orders(s, d).agg(count(lit(1)).as("orders_cnt"))
+    val l = lineitem(s, d).agg(countDistinct(col("l_orderkey")).as("lineitem_orders_cnt"))
+    o.crossJoin(l)
+      .withColumn("diff", col("orders_cnt") - col("lineitem_orders_cnt"))
+  }
+
+  val aggCountVolumetrySql: String =
+    """SELECT (SELECT count(*) FROM orders) AS orders_cnt,
+      |       (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS lineitem_orders_cnt,
+      |       (SELECT count(*) FROM orders) - (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS diff""".stripMargin
+
+  /** agg-rowcount-audit — reference `@@ROWCOUNT` capture per load
+    * (`sp_load_silver_customers.sql:45,51`): per-table row counts as one
+    * result set (the audit trail's queryable surface). */
+  val aggRowcountAudit: Q = (s, d) => {
+    def cnt(name: String) =
+      t(s, d, name).agg(lit(name).as("table_name"), count(lit(1)).as("rows_loaded"))
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .map(cnt).reduce(_.unionAll(_))
+      .orderBy("table_name")
+  }
+
+  val aggRowcountAuditSql: String =
+    """SELECT * FROM (
+      |  SELECT 'region' AS table_name, count(*) AS rows_loaded FROM region
+      |  UNION ALL SELECT 'nation', count(*) FROM nation
+      |  UNION ALL SELECT 'customer', count(*) FROM customer
+      |  UNION ALL SELECT 'supplier', count(*) FROM supplier
+      |  UNION ALL SELECT 'part', count(*) FROM part
+      |  UNION ALL SELECT 'orders', count(*) FROM orders
+      |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+      |) ORDER BY table_name""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "agg-topk" -> aggTopk,
+    "agg-sum-total" -> aggSumTotal,
+    "agg-minmax" -> aggMinmax,
+    "agg-distinct" -> aggDistinct,
+    "agg-dedup-groupby" -> aggDedupGroupby,
+    "agg-sum-by-key" -> aggSumByKey,
+    "agg-count-volumetry" -> aggCountVolumetry,
+    "agg-rowcount-audit" -> aggRowcountAudit)
+
+  val oracles: Map[String, String] = Map(
+    "agg-topk" -> aggTopkSql,
+    "agg-sum-total" -> aggSumTotalSql,
+    "agg-minmax" -> aggMinmaxSql,
+    "agg-distinct" -> aggDistinctSql,
+    "agg-dedup-groupby" -> aggDedupGroupbySql,
+    "agg-sum-by-key" -> aggSumByKeySql,
+    "agg-count-volumetry" -> aggCountVolumetrySql,
+    "agg-rowcount-audit" -> aggRowcountAuditSql)
+}

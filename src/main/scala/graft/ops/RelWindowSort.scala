@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Window / sort / limit operators (SURVEY.md §2.5-2.6). The dedup window
+  * partitions by the entity key, so at scale it is one shuffle on that key
+  * and per-partition sorting — no global sort. Global sorts appear only
+  * where the reference semantics require them (ordered reports).
+  */
+object RelWindowSort {
+
+  /** win-dedup-latest — reference `sp_load_silver_order_reviews.sql:22-67`
+    * (keep-latest dedup: ROW_NUMBER PARTITION BY id ORDER BY ts DESC,
+    * keep rn=1). Deterministic tiebreak on event_id DESC added (SURVEY §7
+    * hard part 5): T-SQL ties are nondeterministic; ours are pinned.
+    * events.ts is ns in parquet but µs in Spark — the oracle truncates to
+    * µs so both engines order identically. */
+  val winDedupLatest: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_id").as("latest_event_id"),
+        col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_sec"))
+      .orderBy("user_id")
+  }
+
+  val winDedupLatestSql: String =
+    """SELECT user_id, event_id AS latest_event_id, event_type,
+      |       value,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_sec
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** win-running-total — reference has only ROW_NUMBER, but a running
+    * frame-spec window is part of a complete engine surface: cumulative
+    * account value per user ordered by event time (rowsBetween frame).
+    * Monotone per-partition scan, same single shuffle as the dedup. */
+  val winRunningTotal: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), dec2(col("value")).as("v"))
+      .withColumn("running_value", outNum(sum(col("v")).over(w)))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val winRunningTotalSql: String =
+    """SELECT user_id, event_id,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+      |         PARTITION BY user_id
+      |         ORDER BY date_trunc('microseconds', ts), event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** win-lag-lead — inter-event gap per user (LAG), part of the complete
+    * window surface. Output in whole seconds (engine-neutral). */
+  val winLagLead: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .select(
+        col("user_id"), col("event_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))).cast(LongType).as("gap_seconds"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val winLagLeadSql: String =
+    """SELECT user_id, event_id,
+      |       CAST(epoch(date_trunc('second', ts)) - epoch(date_trunc('second',
+      |         lag(ts, 1) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id))) AS BIGINT) AS gap_seconds
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** sort-desc — reference `03_load_csv_to_bronze.sql:121-125` (ordered
+    * load-summary report with a filter). Global sort = range-partitioned
+    * exchange; acceptable because report outputs are small post-filter. */
+  val sortDesc: Q = (s, d) =>
+    events(s, d)
+      .filter(col("value") > 190.0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(desc("event_id"))
+
+  val sortDescSql: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events
+      |WHERE value > 190.0
+      |ORDER BY event_id DESC""".stripMargin
+
+  /** limit-topk — reference `08_validacionsql.sql:55-62` (TOP 3 ... ORDER
+    * BY DESC). Spark plans TakeOrderedAndProject: per-partition top-k then
+    * a k-row merge on the driver — no global sort even at 100 TB. */
+  val limitTopk: Q = (s, d) =>
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice").as("total_price"))
+      .orderBy(desc("total_price"), col("o_orderkey"))
+      .limit(5)
+
+  val limitTopkSql: String =
+    """SELECT o_orderkey, o_totalprice AS total_price
+      |FROM orders
+      |ORDER BY total_price DESC, o_orderkey
+      |LIMIT 5""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "win-dedup-latest" -> winDedupLatest,
+    "win-running-total" -> winRunningTotal,
+    "win-lag-lead" -> winLagLead,
+    "sort-desc" -> sortDesc,
+    "limit-topk" -> limitTopk)
+
+  val oracles: Map[String, String] = Map(
+    "win-dedup-latest" -> winDedupLatestSql,
+    "win-running-total" -> winRunningTotalSql,
+    "win-lag-lead" -> winLagLeadSql,
+    "sort-desc" -> sortDescSql,
+    "limit-topk" -> limitTopkSql)
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Readers + shared helpers for the driver's synthetic testdata tables
+  * (see /root/repo/TESTDATA.md). All queries in graft.ops read through
+  * here so schema expectations live in one place.
+  *
+  * Determinism conventions (load-bearing for the DuckDB-oracle compare):
+  *  - Aggregated numerics are cast to explicit DecimalType BEFORE the
+  *    aggregation (decimal addition is exact and order-independent;
+  *    double sums are not associative across partitions).
+  *  - No TimestampType column ever reaches a query output: events.ts is
+  *    nanosecond-precision parquet, which Spark truncates to micros but
+  *    DuckDB keeps at nanos — outputs use DateType or formatted strings.
+  *  - Every query ends in a total ORDER BY (unique tiebreak included),
+  *    mirrored in the oracle SQL.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+    * outright (PARQUET_TYPE_ILLEGAL). Read it as a long (legacy conf) and
+    * convert to a microsecond TimestampType — the truncation every oracle
+    * compensates for with date_trunc('microseconds', ts). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Money-style exact decimal: double -> DECIMAL(18,2). Double→decimal
+    * rounding is deterministic across engines (no double is exactly .xx5
+    * in binary, so half-way rounding-mode differences cannot bite). */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Rate-style exact decimal (discount/tax): double -> DECIMAL(18,4). */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Final-output cast for aggregated decimals: back to double. The
+    * aggregation itself runs in decimal (exact, order-independent); the
+    * one terminal decimal→double conversion is correctly rounded in both
+    * Spark (BigDecimal.doubleValue) and DuckDB, so the bits match — and
+    * the output schema stays decimal-free, which keeps the oracle compare
+    * away from engine-specific decimal width/scale conventions. */
+  def outNum(c: Column): Column = c.cast(DoubleType)
+
+  type Q = (SparkSession, String) => DataFrame
+}
