@@ -19,7 +19,12 @@ object SparkEntry {
     (RelJoins.queries, RelJoins.oracles),
     (RelAggs.queries, RelAggs.oracles),
     (RelWindowSort.queries, RelWindowSort.oracles),
-    (RelSetGen.queries, RelSetGen.oracles))
+    (RelSetGen.queries, RelSetGen.oracles),
+    (TextDedup.queries, TextDedup.oracles),
+    (Ann.queries, Ann.oracles),
+    (TextAnalysis.queries, TextAnalysis.oracles),
+    (Multimodal.queries, Multimodal.oracles),
+    (StreamingOps.queries, StreamingOps.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's top-3-categories-by-revenue QA query

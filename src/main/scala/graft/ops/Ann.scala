@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Two tiers, mirroring how a 100 TB pipeline would run it:
+  *  - ann-topk-bruteforce: exact top-k for a small query set against the
+  *    full corpus — the correctness baseline. Work = |Q| × |corpus|,
+  *    distributed as a broadcast of the query vectors against the
+  *    partitioned corpus (never corpus × corpus).
+  *  - ann-ivf: the scale path. Corpus vectors are assigned to their
+  *    nearest centroid (inverted-file partitioning); each query probes
+  *    only its own centroid's bucket. Candidate work drops by the
+  *    cluster fan-out; the bucket assignment is one broadcast join.
+  *
+  * All similarity math is double, left-fold summed, rounded to 9 dp —
+  * bit-aligned with DuckDB's list_inner_product (see TextDedup).
+  */
+object Ann {
+
+  private val NumQueries = 10  // vec_id < 10 are the query vectors
+  private val TopK = 5
+  private val NumCentroids = 8 // vec_id < 8 double as IVF centroids
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    TextDedup.normedVecs(s, d)
+
+  private val cosSqlTemplate =
+    """round(list_inner_product(%s::DOUBLE[], %s::DOUBLE[]) /
+      |             (sqrt(list_inner_product(%s::DOUBLE[], %s::DOUBLE[])) *
+      |              sqrt(list_inner_product(%s::DOUBLE[], %s::DOUBLE[]))), 9)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    cosSqlTemplate.format(a, b, a, a, b, b)
+
+  /** ann-topk-bruteforce — exact cosine top-k per query vector. Query
+    * set broadcast; per-partition candidate scoring; global top-k via
+    * rank over (query, score). */
+  val annTopkBruteforce: Q = (s, d) => {
+    val all = vecs(s, d)
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("qn"))
+    val scored = broadcast(q).crossJoin(all)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        TextDedup.cosineFromNorms("qv", "v", "qn", "nv").as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  val annTopkBruteforceSql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** ann-ivf — inverted-file ANN: assign every vector to its nearest of
+    * 8 centroids (broadcast centroid table), then each query searches
+    * only its own bucket. Returns top-3 in-bucket neighbors per query. */
+  val annIvf: Q = (s, d) => {
+    val all = vecs(s, d)
+    val cent = all.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nv").as("cn"))
+    val scoredCent = all.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("centroid_id"),
+        TextDedup.cosineFromNorms("v", "cv", "nv", "cn").as("ccos"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("ccos"), col("centroid_id"))
+    val assign = scoredCent
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+    val av = all.join(assign, Seq("vec_id"))
+    val q = av.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("qn"),
+        col("centroid_id"))
+    val scored = broadcast(q).join(av, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("centroid_id"),
+        col("vec_id").as("neighbor_id"),
+        TextDedup.cosineFromNorms("qv", "v", "qn", "nv").as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select("query_id", "centroid_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfSql: String =
+    s"""WITH cscore AS (
+       |  SELECT e.vec_id, c.vec_id AS centroid_id,
+       |         ${cosSql("e.embedding", "c.embedding")} AS ccos
+       |  FROM embeddings e JOIN embeddings c ON c.vec_id < $NumCentroids),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+       |    FROM cscore) WHERE rn = 1),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, qa.centroid_id, e.vec_id AS neighbor_id,
+       |         ${cosSql("q.embedding", "e.embedding")} AS cosine
+       |  FROM embeddings q
+       |  JOIN assign qa ON qa.vec_id = q.vec_id
+       |  JOIN assign ea ON ea.centroid_id = qa.centroid_id
+       |  JOIN embeddings e ON e.vec_id = ea.vec_id AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |ranked AS (
+       |  SELECT query_id, centroid_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, centroid_id, rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "ann-topk-bruteforce" -> annTopkBruteforce,
+    "ann-ivf" -> annIvf)
+
+  val oracles: Map[String, String] = Map(
+    "ann-topk-bruteforce" -> annTopkBruteforceSql,
+    "ann-ivf" -> annIvfSql)
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Multimodal-column plumbing: image/audio/video handled as opaque
+  * binary columns with typed metadata. The actual codec step is STUBBED
+  * (no image/audio libraries in this container) with a deterministic
+  * fake derived from the content hash — but the Spark-side plumbing is
+  * real: binary payload column, typed Dataset, partition-wise batch
+  * iteration (mapPartitions with a per-partition digest instance — the
+  * Scala analogue of a Pandas-UDF batch loop), and a generator-style
+  * frame explode. At scale this is exactly the shape a decode/resize
+  * pass has: narrow, no shuffle, per-partition library initialization.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata record (the stub "decoder" output). */
+  case class MediaMeta(doc_id: Long, n_bytes: Long, content_hash: String,
+                       width: Int, height: Int, channels: Int)
+
+  /** mm-decode-stub — binary payload → typed metadata via
+    * mapPartitions. STUB: width/height are derived deterministically
+    * from the md5 of the payload where a real decoder would parse the
+    * container header; everything around it (binary column, encoders,
+    * per-partition batching) is the production shape. */
+  val mmDecodeStub: Q = (s, d) => {
+    import s.implicits._
+    val payloads = documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    val decoded = payloads.mapPartitions { iter =>
+      // one digest instance per partition — the "library init once per
+      // batch" pattern a real decoder needs
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      iter.map { case (id, bytes) =>
+        digest.reset()
+        val hash = digest.digest(bytes).map("%02x".format(_)).mkString
+        val d1 = Character.digit(hash.charAt(0), 16)
+        val d2 = Character.digit(hash.charAt(1), 16)
+        MediaMeta(id, bytes.length.toLong, hash,
+          320 + (d1 % 8) * 80, 240 + (d2 % 8) * 60, 3)
+      }
+    }
+    decoded.toDF().orderBy("doc_id")
+  }
+
+  val mmDecodeStubSql: String =
+    """SELECT doc_id,
+      |       CAST(length(text) AS BIGINT) AS n_bytes,
+      |       md5(text) AS content_hash,
+      |       CAST(320 + ((strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) % 8) * 80 AS INT) AS width,
+      |       CAST(240 + ((strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) % 8) * 60 AS INT) AS height,
+      |       CAST(3 AS INT) AS channels
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** mm-frame-sample — video-style frame sampling: the payload is
+    * chunked into fixed-size "frames" and every 4th frame is kept and
+    * fingerprinted (a real pipeline decodes + embeds the sampled frame;
+    * the chunk/sample/fingerprint dataflow is identical). Generator
+    * shape: posexplode of a computed array, narrow, no shuffle. */
+  val mmFrameSample: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, CAST(floor((length(text) - 1) / 32.0) AS INT)), i -> substring(text, i * 32 + 1, 32))"))
+          .as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % 4 === 0)
+      .select(col("doc_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+        md5(col("frame")).as("frame_hash"),
+        length(col("frame")).cast(LongType).as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+
+  val mmFrameSampleSql: String =
+    """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+      |       md5(substring(text, i * 32 + 1, 32)) AS frame_hash,
+      |       CAST(length(substring(text, i * 32 + 1, 32)) AS BIGINT) AS frame_len
+      |FROM documents,
+      |     LATERAL (SELECT unnest(generate_series(0, CAST(floor((length(text) - 1) / 32.0) AS INT))) AS i) t
+      |WHERE i % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "mm-decode-stub" -> mmDecodeStub,
+    "mm-frame-sample" -> mmFrameSample)
+
+  val oracles: Map[String, String] = Map(
+    "mm-decode-stub" -> mmDecodeStubSql,
+    "mm-frame-sample" -> mmFrameSampleSql)
+}

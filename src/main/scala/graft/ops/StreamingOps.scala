@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Structured Streaming surface (additive — the reference is pure batch,
+  * SURVEY §2.10). The events table is replayed through a real streaming
+  * source with Trigger.AvailableNow (process-everything-then-stop), a
+  * memory sink, and — for the windowed op — event-time tumbling windows
+  * with a watermark. The same topology pointed at a live directory/Kafka
+  * is the production deployment; AvailableNow makes it deterministic and
+  * batch-equivalent, which is what the oracle checks.
+  */
+object StreamingOps {
+
+  private def streamEvents(s: SparkSession, d: String, withTs: Boolean): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource wants a directory to monitor: stage the single
+    // parquet file into one (a live deployment would point this at the
+    // landing directory / object-store prefix directly).
+    val srcDir = new java.io.File(s"/tmp/graft-ops/stream-src-${d.replaceAll("[^A-Za-z0-9]", "_")}")
+    srcDir.mkdirs()
+    val staged = new java.io.File(srcDir, "events.parquet")
+    if (!staged.exists())
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"), staged.toPath)
+    val base = new StructType()
+      .add("event_id", LongType).add("user_id", LongType)
+      .add("event_type", StringType).add("value", DoubleType)
+    val schema = if (withTs) base.add("ts", LongType) else base
+    val df = s.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+    if (withTs) df.withColumn("event_ts", expr("timestamp_micros(ts div 1000)")) else df
+  }
+
+  private def runToTable(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val ckpt = s"/tmp/graft-ops/ckpt-$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** stream-agg-counts — streaming groupBy over the event stream,
+    * AvailableNow replay: per-type counts and exact decimal totals. */
+  val streamAggCounts: Q = (s, d) => {
+    val agg = streamEvents(s, d, withTs = false)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        outNum(sum(dec2(col("value")))).as("total_value"))
+    runToTable(s, agg, "stream_agg_counts").orderBy("event_type")
+  }
+
+  val streamAggCountsSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** stream-window-hourly — event-time tumbling 1-hour windows with a
+    * watermark (the late-data contract a live pipeline needs; under
+    * AvailableNow replay in complete mode every window is emitted, so
+    * the result equals the batch date_trunc aggregation). */
+  val streamWindowHourly: Q = (s, d) => {
+    val agg = streamEvents(s, d, withTs = true)
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+    runToTable(s, agg, "stream_window_hourly").orderBy("window_start", "event_type")
+  }
+
+  val streamWindowHourlySql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type, count(*) AS n_events
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "stream-agg-counts" -> streamAggCounts,
+    "stream-window-hourly" -> streamWindowHourly)
+
+  val oracles: Map[String, String] = Map(
+    "stream-agg-counts" -> streamAggCountsSql,
+    "stream-window-hourly" -> streamWindowHourlySql)
+}

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Text-analysis operators for training-data curation: language ID
+  * (marker n-gram scoring), quality scoring (length/stopword/diversity
+  * ratios), token counting (whitespace + BPE-ish regex + chars/4
+  * heuristic), and document fingerprinting (min-hash over rolling word
+  * 5-grams). All are narrow per-document projections (no shuffle except
+  * the langid argmax window keyed by doc) — they stream through the
+  * corpus at scan speed, which is what a 100 TB curation pass needs.
+  */
+object TextAnalysis {
+
+  /** Marker words per language, scored by exact-word hit count. The
+    * real-world version swaps in character-n-gram frequency profiles;
+    * the plumbing (score → argmax with deterministic tie-break) is
+    * identical. */
+  private val Markers = Seq(
+    "en" -> "the", "es" -> "data", "de" -> "join", "fr" -> "filter", "zh" -> "spark")
+
+  /** text-langid — predicted language = argmax over per-language marker
+    * scores, ties broken alphabetically. */
+  val textLangid: Q = (s, d) => {
+    val withScores = Markers.foldLeft(
+      documents(s, d).select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))) {
+      case (df, (langCode, marker)) =>
+        df.withColumn(s"s_$langCode",
+          expr(s"size(filter(w, x -> x = '$marker'))").cast(LongType))
+    }
+    val stackArgs = Markers.map { case (lc, _) => s"'$lc', s_$lc" }.mkString(", ")
+    val unp = withScores.selectExpr(
+      "doc_id", "lang", s"stack(${Markers.size}, $stackArgs) AS (cand, score)")
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("cand"))
+    unp.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("cand").as("predicted_lang"),
+        col("score").as("marker_hits"),
+        when(col("cand") === col("lang"), 1).otherwise(0).cast(IntegerType).as("is_match"))
+      .orderBy("doc_id")
+  }
+
+  val textLangidSql: String = {
+    val scoreCols = Markers.map { case (lc, m) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$m')) AS BIGINT) AS s_$lc"
+    }.mkString(",\n         ")
+    val caseExpr = Markers.map { case (lc, _) => s"WHEN '$lc' THEN s_$lc" }.mkString(" ")
+    val candList = Markers.map { case (lc, _) => s"'$lc'" }.mkString(", ")
+    s"""WITH scores AS (
+       |  SELECT doc_id, lang,
+       |         $scoreCols
+       |  FROM documents),
+       |unp AS (
+       |  SELECT doc_id, lang, cand, CASE cand $caseExpr END AS score
+       |  FROM scores, (SELECT unnest([$candList]) AS cand) c),
+       |ranked AS (
+       |  SELECT doc_id, lang, cand, score,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+       |  FROM unp)
+       |SELECT doc_id, lang, cand AS predicted_lang, score AS marker_hits,
+       |       CAST(CASE WHEN cand = lang THEN 1 ELSE 0 END AS INT) AS is_match
+       |FROM ranked WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** text-quality — per-document quality metrics: char/word counts,
+    * average word length, stopword ratio, vocabulary-diversity ratio.
+    * Integer-exact numerators/denominators into one rounded double
+    * division each (engine bit-parity, see Tables). */
+  val textQuality: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(col("w")).cast(LongType).as("n_words"),
+        round(length(regexp_replace(col("text"), " ", "")) * lit(1.0) / size(col("w")), 9).as("avg_word_len"),
+        round(expr("size(filter(w, x -> x = 'the' OR x = 'a'))") * lit(1.0) / size(col("w")), 9).as("stopword_ratio"),
+        round(expr("size(array_distinct(w))") * lit(1.0) / size(col("w")), 9).as("distinct_ratio"))
+      .orderBy("doc_id")
+
+  val textQualitySql: String =
+    """SELECT doc_id,
+      |       CAST(length(text) AS BIGINT) AS n_chars,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |       round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 9) AS avg_word_len,
+      |       round(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) * 1.0
+      |             / len(string_split(text, ' ')), 9) AS stopword_ratio,
+      |       round(len(list_distinct(string_split(text, ' '))) * 1.0
+      |             / len(string_split(text, ' ')), 9) AS distinct_ratio
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** text-tokencount — whitespace tokens, BPE-ish regex tokens
+    * (letter runs / digit runs / single punctuation), and the chars/4
+    * transformer-token heuristic. */
+  val textTokencount: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast(LongType).as("n_regex_tokens"),
+      ceil(length(col("text")) / lit(4.0)).cast(LongType).as("est_bpe_tokens"))
+      .orderBy("doc_id")
+
+  val textTokencountSql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_regex_tokens,
+      |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** text-fingerprint — rolling-window document fingerprint: md5 over
+    * each word 5-gram, keep the minimum (content-defined sampling à la
+    * winnowing) plus a seeded second hash for collision resistance. */
+  val textFingerprint: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")).as("g"))
+      .groupBy("doc_id")
+      .agg(
+        min(md5(col("g"))).as("fingerprint"),
+        min(md5(concat(lit("seed2|"), col("g")))).as("fingerprint2"),
+        count(lit(1)).as("n_grams"))
+      .orderBy("doc_id")
+
+  val textFingerprintSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |grams AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+      |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) t)
+      |SELECT doc_id, min(md5(g)) AS fingerprint,
+      |       min(md5('seed2|' || g)) AS fingerprint2,
+      |       count(*) AS n_grams
+      |FROM grams GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "text-langid" -> textLangid,
+    "text-quality" -> textQuality,
+    "text-tokencount" -> textTokencount,
+    "text-fingerprint" -> textFingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "text-langid" -> textLangidSql,
+    "text-quality" -> textQualitySql,
+    "text-tokencount" -> textTokencountSql,
+    "text-fingerprint" -> textFingerprintSql)
+}
