@@ -27,8 +27,17 @@ object Ann {
   private val TopK = 5
   private val NumCentroids = 8 // vec_id < 8 double as IVF centroids
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
-    TextDedup.normedVecs(s, d)
+  /** Vectors as double arrays; cosine is computed by the native codegen
+    * CosineSimilarity expression (graft.functions), registered per
+    * session — norms are fused into its single pass. */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+  }
+
+  private def cos(a: String, b: String) =
+    round(expr(s"cosine_similarity($a, $b)"), 9)
 
   private val cosSqlTemplate =
     """round(list_inner_product(%s::DOUBLE[], %s::DOUBLE[]) /
@@ -44,11 +53,11 @@ object Ann {
   val annTopkBruteforce: Q = (s, d) => {
     val all = vecs(s, d)
     val q = all.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("qn"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = broadcast(q).crossJoin(all)
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        TextDedup.cosineFromNorms("qv", "v", "qn", "nv").as("cosine"))
+        cos("qv", "v").as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -77,10 +86,10 @@ object Ann {
   val annIvf: Q = (s, d) => {
     val all = vecs(s, d)
     val cent = all.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nv").as("cn"))
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
     val scoredCent = all.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("centroid_id"),
-        TextDedup.cosineFromNorms("v", "cv", "nv", "cn").as("ccos"))
+        cos("v", "cv").as("ccos"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(desc("ccos"), col("centroid_id"))
     val assign = scoredCent
@@ -89,13 +98,12 @@ object Ann {
       .select(col("vec_id"), col("centroid_id"))
     val av = all.join(assign, Seq("vec_id"))
     val q = av.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("qn"),
-        col("centroid_id"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("centroid_id"))
     val scored = broadcast(q).join(av, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("centroid_id"),
         col("vec_id").as("neighbor_id"),
-        TextDedup.cosineFromNorms("qv", "v", "qn", "nv").as("cosine"))
+        cos("qv", "v").as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))

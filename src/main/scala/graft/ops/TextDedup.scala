@@ -62,44 +62,57 @@ object TextDedup {
       |ORDER BY doc_id""".stripMargin
 
   /** dedup-minhash-lsh — near-dup candidate pairs via MinHash + LSH:
-    * 12 md5-derived min-hashes per doc, banded 3-per-band into 4 bucket
-    * keys; docs sharing any bucket become a candidate pair. The
-    * pairwise work is confined to bucket-mates (LSH's whole point —
-    * at 100 TB the bucket join shuffles band keys, never the corpus²). */
+    * 12 min-hashes per doc banded 3-per-band into 4 bucket keys; docs
+    * sharing any bucket become a candidate pair. The pairwise work is
+    * confined to bucket-mates (LSH's whole point — at 100 TB the bucket
+    * join shuffles band keys, never the corpus²).
+    *
+    * Hash family: each shingle is hashed ONCE (md5 ∥ md5('#'+s) = 64 hex
+    * chars) and the 12 per-seed hash functions are disjoint 5-char
+    * slices of that digest — the classic slice-one-strong-hash trick.
+    * vs. 12 independent md5(j|s) calls this cuts digest work 6× and the
+    * signature build is a single groupBy with 12 min() columns: ONE
+    * shuffle of |docs|×12 short strings, no seed-explosion, no second
+    * aggregation. */
   val dedupMinhashLsh: Q = (s, d) => {
-    val mh = shingles(s, d)
-      .select(col("doc_id"), col("sh"), explode(expr(s"sequence(1, $Seeds)")).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(min(md5(concat(col("j").cast(StringType), lit("|"), col("sh")))).as("m"))
-    val sig = mh
-      .groupBy(col("doc_id"),
-        floor((col("j") - 1) / lit(BandSize)).cast(IntegerType).as("band"))
-      .agg(md5(concat_ws(",",
-        max(when((col("j") - 1) % BandSize === 0, col("m"))),
-        max(when((col("j") - 1) % BandSize === 1, col("m"))),
-        max(when((col("j") - 1) % BandSize === 2, col("m"))))).as("bk"))
-    val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
-    val b = sig.select(col("doc_id").as("doc_b"), col("band"), col("bk"))
+    val hashed = shingles(s, d).select(col("doc_id"),
+      concat(md5(col("sh")), md5(concat(lit("#"), col("sh")))).as("h"))
+    val minCols = (1 to Seeds).map(j =>
+      min(substring(col("h"), (j - 1) * 5 + 1, 5)).as(s"m$j"))
+    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bands = (0 until Seeds / BandSize).map { b =>
+      sig.select(col("doc_id"), lit(b).cast(IntegerType).as("band"),
+        md5(concat_ws(",",
+          col(s"m${BandSize * b + 1}"), col(s"m${BandSize * b + 2}"), col(s"m${BandSize * b + 3}"))).as("bk"))
+    }.reduce(_.unionAll(_))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bk"))
     a.join(b, Seq("band", "bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
       .orderBy("doc_a", "doc_b")
   }
 
-  val dedupMinhashLshSql: String =
+  val dedupMinhashLshSql: String = {
+    val minCols = (1 to Seeds)
+      .map(j => s"min(substring(h, ${(j - 1) * 5 + 1}, 5)) AS m$j").mkString(",\n         ")
+    val bandSelects = (0 until Seeds / BandSize).map { b =>
+      s"SELECT doc_id, $b AS band, md5(m${BandSize * b + 1} || ',' || m${BandSize * b + 2} || ',' || m${BandSize * b + 3}) AS bk FROM sig"
+    }.mkString("\n  UNION ALL ")
     s"""WITH $shinglesSql,
-       |mh AS (
-       |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || sh)) AS m
-       |  FROM shingles, (SELECT unnest(generate_series(1, $Seeds)) AS j) seeds
-       |  GROUP BY doc_id, j),
+       |hashed AS (
+       |  SELECT doc_id, md5(sh) || md5('#' || sh) AS h FROM shingles),
        |sig AS (
-       |  SELECT doc_id, CAST(floor((j - 1) / $BandSize.0) AS INT) AS band,
-       |         md5(string_agg(m, ',' ORDER BY j)) AS bk
-       |  FROM mh GROUP BY doc_id, CAST(floor((j - 1) / $BandSize.0) AS INT)),
+       |  SELECT doc_id,
+       |         $minCols
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sig a JOIN sig b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** dedup-simhash — 64-bit SimHash fingerprint per document: per-bit
     * majority vote over md5(word) bit vectors, weighted by word count.
@@ -148,7 +161,12 @@ object TextDedup {
     * |common| / (|a| + |b| - |common|) ≥ 0.8. Integer-exact inputs into
     * one double division keep both engines bit-identical. */
   val dedupNgramJaccard: Q = (s, d) => {
-    val sh = shingles(s, d).distinct()
+    // join/group on a 16-hex digest of the shingle, not the raw string —
+    // fixed-width keys shuffle and compare cheaper (collision odds at
+    // 64 bits are negligible vs corpus size)
+    val sh = shingles(s, d)
+      .select(col("doc_id"), substring(md5(col("sh")), 1, 16).as("sh"))
+      .distinct()
     val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxDf).select("sh")
     val fs = sh.join(keep, Seq("sh"))
@@ -168,7 +186,7 @@ object TextDedup {
 
   val dedupNgramJaccardSql: String =
     s"""WITH $shinglesSql,
-       |dsh AS (SELECT DISTINCT doc_id, sh FROM shingles),
+       |dsh AS (SELECT DISTINCT doc_id, substring(md5(sh), 1, 16) AS sh FROM shingles),
        |keep AS (SELECT sh FROM dsh GROUP BY sh HAVING count(*) <= $MaxDf),
        |fs AS (SELECT dsh.doc_id, dsh.sh FROM dsh JOIN keep USING (sh)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
@@ -236,19 +254,26 @@ object TextDedup {
     val bc = s.sparkContext.broadcast(corpus)
     val cand = e.mapPartitions { iter =>
       val all = bc.value
-      val local = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      // bounded top-N per partition (N=4k margin over the final k so the
+      // unrounded-vs-rounded boundary can't evict a true top-k pair);
+      // min-heap on the raw score — no per-pair allocation or rounding.
+      val bound = 4 * k
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](
+        Ordering.by[(Double, Long, Long), Double](_._1).reverse)
       iter.foreach { case (idA, va) =>
         val na = math.sqrt(dotLoop(va, va))
         var i = 0
         while (i < all.length) {
-          val (idB, vb, nb) = all(i)
-          if (idB > idA)
-            local += ((idA, idB, round9(dotLoop(va, vb) / (na * nb))))
+          val t = all(i)
+          if (t._1 > idA) {
+            val c = dotLoop(va, t._2) / (na * t._3)
+            if (heap.size < bound) heap.enqueue((c, idA, t._1))
+            else if (c > heap.head._1) { heap.dequeue(); heap.enqueue((c, idA, t._1)) }
+          }
           i += 1
         }
       }
-      // keep-local-top-k: ranked exactly like the final ORDER BY
-      local.sortBy { case (a, b, c) => (-c, a, b) }.take(k).iterator
+      heap.iterator.map { case (c, a, b) => (a, b, round9(c)) }
     }
     cand.toDF("vec_a", "vec_b", "cosine")
       .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))
