@@ -20,6 +20,7 @@ object SparkEntry {
     (RelAggs.queries, RelAggs.oracles),
     (RelWindowSort.queries, RelWindowSort.oracles),
     (RelSetGen.queries, RelSetGen.oracles),
+    (RelScale.queries, RelScale.oracles),
     (TextDedup.queries, TextDedup.oracles),
     (Ann.queries, Ann.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Scale-path operators: additional source/sink formats and the physical
+  * techniques a 100 TB deployment leans on — partition pruning, bucketed
+  * (shuffle-free) joins, and skew salting. Each is graded like every
+  * other operator: the oracle checks the *logical* result; the physical
+  * win (pruned files, absent exchanges) is verified via ExplainAudit.
+  */
+object RelScale {
+
+  private def tmp(name: String) = s"/tmp/graft-ops/$name"
+
+  /** src-json-lines — JSON-lines source with explicit schema (never
+    * inferred, same bronze discipline as CSV): write→read round trip
+    * must restore the table. */
+  val srcJsonLines: Q = (s, d) => {
+    val out = tmp("src-json-lines")
+    documents(s, d).write.mode(SaveMode.Overwrite).json(out)
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType).add("lang", StringType)
+      .add("source", StringType).add("n_chars", LongType)
+    s.read.schema(schema).json(out)
+      .select("doc_id", "text", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val srcJsonLinesSql: String =
+    """SELECT doc_id, text, lang, n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** src-orc-roundtrip — ORC source/sink (the second columnar format a
+    * complete engine ships): round trip restores nation exactly. */
+  val srcOrcRoundtrip: Q = (s, d) => {
+    val out = tmp("src-orc-roundtrip")
+    nation(s, d).write.mode(SaveMode.Overwrite).orc(out)
+    s.read.orc(out).orderBy("n_nationkey")
+  }
+
+  val srcOrcRoundtripSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
+  /** sink-partitioned-prune — hive-style partitioned parquet layout +
+    * partition-pruned read: the filter on the partition column must
+    * eliminate whole directories (PartitionFilters in the plan), which
+    * at 100 TB is the difference between scanning one status and all of
+    * them. */
+  val sinkPartitionedPrune: Q = (s, d) => {
+    val out = tmp("sink-partitioned-prune")
+    // repartition on the partition column first: without it every write
+    // task emits a file into every partition dir (tasks × partitions
+    // small files — the classic partitioned-write mistake at scale)
+    orders(s, d).repartition(col("o_orderstatus"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out)
+      .filter(col("o_orderstatus") === "F")
+      .agg(count(lit(1)).as("n_orders"),
+        outNum(sum(dec2(col("o_totalprice")))).as("total_price"))
+  }
+
+  val sinkPartitionedPruneSql: String =
+    """SELECT count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE o_orderstatus = 'F'""".stripMargin
+
+  /** sink-bucketed-join — bucketed tables co-partitioned on the join
+    * key: both sides pre-hashed into 8 buckets with in-bucket sort, so
+    * the join needs NO shuffle exchange (the dominant cost of repeated
+    * fact-to-fact joins at scale — bucket once, join forever). */
+  val sinkBucketedJoin: Q = (s, d) => {
+    s.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    def bucketize(df: DataFrame, key: String, table: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      // a fresh session's catalog doesn't know the table, so DROP alone
+      // leaves the old warehouse dir behind → LOCATION_ALREADY_EXISTS
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, table))
+      df.write.bucketBy(8, key).sortBy(key)
+        .mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+    }
+    bucketize(orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+      "o_orderkey", "graft_bucketed_orders")
+    bucketize(lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+      "l_orderkey", "graft_bucketed_lineitem")
+    val o = s.table("graft_bucketed_orders")
+    val l = s.table("graft_bucketed_lineitem")
+    // force sort-merge (hint) so the plan shows the point of bucketing:
+    // both sides arrive pre-partitioned and pre-sorted on the key — no
+    // Exchange, no Sort before the join. (At testdata scale Catalyst
+    // would otherwise auto-broadcast the small side.)
+    l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"), "inner")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        outNum(sum(dec2(col("l_extendedprice")))).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  val sinkBucketedJoinSql: String =
+    """SELECT o_orderstatus, count(*) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** agg-salted-skew — skew-safe two-phase aggregation: pre-aggregate on
+    * (key, salt) so one hot key spreads over 8 reducers, then merge the
+    * partials. Decimal partial sums are exact and order-independent, so
+    * the result is identical to the direct groupBy — which is exactly
+    * what the oracle checks. */
+  val aggSaltedSkew: Q = (s, d) => {
+    val salted = events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy("user_id", "salt")
+      .agg(sum(dec2(col("value"))).as("partial_value"),
+        count(lit(1)).as("partial_n"))
+    salted.groupBy("user_id")
+      .agg(outNum(sum(col("partial_value"))).as("total_value"),
+        sum(col("partial_n")).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val aggSaltedSkewSql: String =
+    """SELECT user_id,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       count(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** expr-json-extract — semi-structured column access: pull a typed
+    * field out of the events.props JSON string (the one semi-structured
+    * column in the testdata). */
+  val exprJsonExtract: Q = (s, d) =>
+    events(s, d).select(
+      col("event_id"),
+      expr("try_cast(get_json_object(props, '$.k') AS INT)").as("prop_k"))
+      .orderBy("event_id")
+
+  val exprJsonExtractSql: String =
+    """SELECT event_id,
+      |       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "src-json-lines" -> srcJsonLines,
+    "src-orc-roundtrip" -> srcOrcRoundtrip,
+    "sink-partitioned-prune" -> sinkPartitionedPrune,
+    "sink-bucketed-join" -> sinkBucketedJoin,
+    "agg-salted-skew" -> aggSaltedSkew,
+    "expr-json-extract" -> exprJsonExtract)
+
+  val oracles: Map[String, String] = Map(
+    "src-json-lines" -> srcJsonLinesSql,
+    "src-orc-roundtrip" -> srcOrcRoundtripSql,
+    "sink-partitioned-prune" -> sinkPartitionedPruneSql,
+    "sink-bucketed-join" -> sinkBucketedJoinSql,
+    "agg-salted-skew" -> aggSaltedSkewSql,
+    "expr-json-extract" -> exprJsonExtractSql)
+}
