@@ -13,7 +13,7 @@ import graft.ops._
   */
 object SparkEntry {
 
-  private val modules: Seq[(Map[String, Tables.Q], Map[String, String])] = Seq(
+  private[graft] val modules: Seq[(Map[String, Tables.Q], Map[String, String])] = Seq(
     (RelSources.queries, RelSources.oracles),
     (RelProjCast.queries, RelProjCast.oracles),
     (RelJoins.queries, RelJoins.oracles),
@@ -21,6 +21,7 @@ object SparkEntry {
     (RelWindowSort.queries, RelWindowSort.oracles),
     (RelSetGen.queries, RelSetGen.oracles),
     (RelScale.queries, RelScale.oracles),
+    (RelExtra.queries, RelExtra.oracles),
     (TextDedup.queries, TextDedup.oracles),
     (Ann.queries, Ann.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),

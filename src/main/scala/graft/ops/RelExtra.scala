@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Surface-completeness operators beyond the reference's own inventory:
+  * full ranking-window family, rollup with grouping ids, set operations,
+  * non-equi range join, as-of join (composed from built-ins — SURVEY's
+  * preferred tier for operators Spark lacks as single nodes), pivot, and
+  * the Scala UDF registration path.
+  */
+object RelExtra {
+
+  /** win-rank-ntile — rank / dense_rank / ntile: the rest of the ranking
+    * window family (the reference only uses ROW_NUMBER). Same physical
+    * shape: one shuffle on the partition key. */
+  val winRankNtile: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      rank().over(w).cast(LongType).as("price_rank"),
+      dense_rank().over(w).cast(LongType).as("price_dense_rank"),
+      ntile(4).over(w).cast(IntegerType).as("price_quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  val winRankNtileSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(rank() OVER w AS BIGINT) AS price_rank,
+      |       CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+      |       CAST(ntile(4) OVER w AS INT) AS price_quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** agg-rollup — hierarchical subtotals with grouping ids: partial/final
+    * hash aggregates exactly like a flat groupBy, expanded per grouping
+    * set. Group keys coalesced to 'ALL' for engine-neutral NULL handling
+    * in the sort. */
+  val aggRollup: Q = (s, d) =>
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast(IntegerType).as("gid"),
+        count(lit(1)).as("n_items"),
+        outNum(sum(dec2(col("l_extendedprice")))).as("revenue"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("n_items"), col("revenue"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  val aggRollupSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+      |       count(*) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY gid, returnflag, linestatus""".stripMargin
+
+  /** set-intersect-except — INTERSECT / EXCEPT (distinct set semantics):
+    * nations that have customers and suppliers vs. customers only. */
+  val setIntersectExcept: Q = (s, d) => {
+    val custNations = customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val suppNations = supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    val both = custNations.intersect(suppNations)
+      .withColumn("membership", lit("BOTH"))
+    val custOnly = custNations.except(suppNations)
+      .withColumn("membership", lit("CUSTOMER_ONLY"))
+    both.unionAll(custOnly).orderBy("membership", "nationkey")
+  }
+
+  val setIntersectExceptSql: String =
+    """SELECT * FROM (
+      |  SELECT nationkey, 'BOTH' AS membership FROM (
+      |    SELECT c_nationkey AS nationkey FROM customer
+      |    INTERSECT SELECT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT nationkey, 'CUSTOMER_ONLY' FROM (
+      |    SELECT c_nationkey AS nationkey FROM customer
+      |    EXCEPT SELECT s_nationkey FROM supplier)
+      |) ORDER BY membership, nationkey""".stripMargin
+
+  /** join-range — non-equi band join: quantity bands × lineitem.
+    * Physical: BroadcastNestedLoopJoin with the tiny band table
+    * broadcast — the correct plan when the predicate is an interval,
+    * and at scale the band side stays O(bands). */
+  val joinRange: Q = (s, d) => {
+    val bands = s.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("Q1_LOW", 0.0, 13.0),
+      org.apache.spark.sql.Row("Q2_MID", 13.0, 26.0),
+      org.apache.spark.sql.Row("Q3_HIGH", 26.0, 39.0),
+      org.apache.spark.sql.Row("Q4_TOP", 39.0, 1e9)),
+      StructType(Seq(
+        StructField("band", StringType), StructField("lo", DoubleType),
+        StructField("hi", DoubleType))))
+    lineitem(s, d)
+      .join(broadcast(bands), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_items"),
+        outNum(sum(dec2(col("l_extendedprice")))).as("revenue"))
+      .orderBy("band")
+  }
+
+  val joinRangeSql: String =
+    """SELECT band, count(*) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN (VALUES ('Q1_LOW', 0.0, 13.0), ('Q2_MID', 13.0, 26.0),
+      |             ('Q3_HIGH', 26.0, 39.0), ('Q4_TOP', 39.0, 1e9)) b(band, lo, hi)
+      |  ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+
+  /** join-asof — as-of join composed from built-ins (SURVEY tier (a)):
+    * for every purchase event, the most recent click by the same user at
+    * or before the purchase. Union the two streams, one window per user
+    * ordered by event time, last_value(click_id) IGNORE NULLS — a single
+    * shuffle on the user key instead of a per-row backward probe; this
+    * is the scalable formulation of point-in-time lookups (feature
+    * stores, slowly-changing joins). */
+  val joinAsof: Q = (s, d) => {
+    val ev = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") === "click", col("event_id")).as("click_id"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("asof_click_id"))
+      .orderBy("purchase_id")
+  }
+
+  val joinAsofSql: String =
+    """SELECT event_id AS purchase_id, user_id, asof_click_id
+      |FROM (
+      |  SELECT user_id, event_id, event_type,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+      |         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER (
+      |           PARTITION BY user_id
+      |           ORDER BY date_trunc('microseconds', ts),
+      |                    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+      |  FROM events WHERE event_type IN ('click', 'purchase'))
+      |WHERE is_p = 1
+      |ORDER BY purchase_id""".stripMargin
+
+  /** agg-pivot — pivot with an explicit value list (explicit = one pass,
+    * no extra distinct-values job, and a stable output schema — both
+    * required at scale and for the oracle). */
+  val aggPivot: Q = (s, d) =>
+    events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val aggPivotSql: String =
+    """SELECT user_id,
+      |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** udf-scala-reverse — the Scala UDF registration path. UDFs are a
+    * documented LAST resort (they break codegen and oracle portability);
+    * this one exists to exercise the API surface with a function whose
+    * semantics both engines share exactly. */
+  val udfScalaReverse: Q = (s, d) => {
+    s.udf.register("graft_reverse", (x: String) => if (x == null) null else x.reverse)
+    customer(s, d).select(
+      col("c_custkey"),
+      expr("graft_reverse(c_name)").as("name_reversed"))
+      .orderBy("c_custkey")
+  }
+
+  val udfScalaReverseSql: String =
+    """SELECT c_custkey, reverse(c_name) AS name_reversed
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "win-rank-ntile" -> winRankNtile,
+    "agg-rollup" -> aggRollup,
+    "set-intersect-except" -> setIntersectExcept,
+    "join-range" -> joinRange,
+    "join-asof" -> joinAsof,
+    "agg-pivot" -> aggPivot,
+    "udf-scala-reverse" -> udfScalaReverse)
+
+  val oracles: Map[String, String] = Map(
+    "win-rank-ntile" -> winRankNtileSql,
+    "agg-rollup" -> aggRollupSql,
+    "set-intersect-except" -> setIntersectExceptSql,
+    "join-range" -> joinRangeSql,
+    "join-asof" -> joinAsofSql,
+    "agg-pivot" -> aggPivotSql,
+    "udf-scala-reverse" -> udfScalaReverseSql)
+}

@@ -35,13 +35,14 @@ object StreamingOps {
     if (withTs) df.withColumn("event_ts", expr("timestamp_micros(ts div 1000)")) else df
   }
 
-  private def runToTable(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
+  private def runToTable(s: SparkSession, agg: DataFrame, name: String,
+                         mode: String = "complete"): DataFrame = {
     s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
     val ckpt = s"/tmp/graft-ops/ckpt-$name"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     val q = agg.writeStream
       .format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -88,11 +89,50 @@ object StreamingOps {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** stream-stateful-count — arbitrary stateful processing via
+    * mapGroupsWithState (the KeyValueGroupedDataset custom-state API the
+    * reference's batch world has no analogue for): per-user running
+    * state of (event count, value cents). Cents are exact longs so the
+    * state merge is order-independent; AvailableNow replay makes the
+    * final state equal the batch aggregate, which is what the oracle
+    * checks. */
+  val streamStatefulCount: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val typed = streamEvents(s, d, withTs = false)
+      .select(col("user_id"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .as[(Long, Long)]
+    val counted = typed
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var c = c0
+          rows.foreach { r => n += 1; c += r._2 }
+          state.update((n, c))
+          (user, n, c / 100.0)
+      }
+      .toDF("user_id", "n_events", "total_value")
+    runToTable(s, counted, "stream_stateful_count", mode = "update")
+      .orderBy("user_id")
+  }
+
+  val streamStatefulCountSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "stream-agg-counts" -> streamAggCounts,
-    "stream-window-hourly" -> streamWindowHourly)
+    "stream-window-hourly" -> streamWindowHourly,
+    "stream-stateful-count" -> streamStatefulCount)
 
   val oracles: Map[String, String] = Map(
     "stream-agg-counts" -> streamAggCountsSql,
-    "stream-window-hourly" -> streamWindowHourlySql)
+    "stream-window-hourly" -> streamWindowHourlySql,
+    "stream-stateful-count" -> streamStatefulCountSql)
 }
