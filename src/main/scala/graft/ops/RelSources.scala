@@ -148,6 +148,61 @@ object RelSources {
       |  SELECT 'customer', 'SUCCESS', (SELECT count(*) FROM customer)
       |) ORDER BY status""".stripMargin
 
+  /** sink-delete-insert — reference gold refresh: DELETE + identity
+    * reseed + INSERT (`07_etl_silver_to_gold.sql:196-235`, reseed
+    * `:198`). With parquet overwrite + deterministic row_number SKs the
+    * reseed is implicit: reloading regenerates the identical dense
+    * 1..N keys — demonstrated by writing the fact twice and grading the
+    * second load's output. */
+  val sinkDeleteInsert: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val out = tmp("sink-delete-insert")
+    def buildFact(): Unit =
+      orders(s, d).select(
+        row_number().over(Window.orderBy(col("o_orderkey"))).cast(LongType).as("order_sk"),
+        col("o_orderkey"), col("o_orderstatus"))
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    buildFact()  // initial load
+    buildFact()  // reload: DELETE + reseed + INSERT ≡ overwrite, SKs identical
+    s.read.parquet(out).orderBy("order_sk")
+  }
+
+  val sinkDeleteInsertSql: String =
+    """SELECT row_number() OVER (ORDER BY o_orderkey) AS order_sk,
+      |       o_orderkey, o_orderstatus
+      |FROM orders
+      |ORDER BY order_sk""".stripMargin
+
+  /** guard-already-loaded — reference `07_etl_silver_to_gold.sql:18-22`
+    * (skip the calendar rebuild if the table is already populated beyond
+    * the sentinel). Both paths must produce the same graded output; the
+    * build runs at most once per filesystem lifetime. */
+  val guardAlreadyLoaded: Q = (s, d) => {
+    val out = tmp("guard-dim-date")
+    val loaded =
+      try !s.read.parquet(out).filter(col("date_key") =!= 19000101).isEmpty
+      catch { case _: Throwable => false }
+    if (!loaded) {
+      val series = s.range(1).select(
+        explode(expr("sequence(to_date('2016-01-01'), to_date('2022-12-31'), interval 1 day)")).as("dv"))
+      val sentinel = s.range(1).select(to_date(lit("1900-01-01")).as("dv"))
+      sentinel.unionAll(series)
+        .select((year(col("dv")) * 10000 + month(col("dv")) * 100 + dayofmonth(col("dv")))
+          .cast(IntegerType).as("date_key"))
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    }
+    s.read.parquet(out).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("date_key")).as("min_key"),
+      max(col("date_key")).as("max_key"))
+  }
+
+  val guardAlreadyLoadedSql: String =
+    """SELECT count(*) + 1 AS n_rows,
+      |       19000101 AS min_key,
+      |       CAST(max(strftime(gs, '%Y%m%d')) AS INT) AS max_key
+      |FROM generate_series(DATE '2016-01-01', DATE '2022-12-31', INTERVAL 1 DAY) t(gs)""".stripMargin
+
   /** ddl-catalog — reference `01_create_database_and_schemas.sql`
     * (idempotent DB + 5 schemas). Spark catalog namespaces created
     * IF NOT EXISTS; graded output = the resulting catalog listing. */
@@ -174,6 +229,8 @@ object RelSources {
     "src-csv-pipe" -> srcCsvPipe,
     "src-preclean-newlines" -> srcPrecleanNewlines,
     "sink-truncate-insert" -> sinkTruncateInsert,
+    "sink-delete-insert" -> sinkDeleteInsert,
+    "guard-already-loaded" -> guardAlreadyLoaded,
     "sink-audit-append" -> sinkAuditAppend,
     "ddl-catalog" -> ddlCatalog)
 
@@ -182,6 +239,8 @@ object RelSources {
     "src-csv-pipe" -> srcCsvPipeSql,
     "src-preclean-newlines" -> srcPrecleanNewlinesSql,
     "sink-truncate-insert" -> sinkTruncateInsertSql,
+    "sink-delete-insert" -> sinkDeleteInsertSql,
+    "guard-already-loaded" -> guardAlreadyLoadedSql,
     "sink-audit-append" -> sinkAuditAppendSql,
     "ddl-catalog" -> ddlCatalogSql)
 }

@@ -126,13 +126,44 @@ object StreamingOps {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** stream-dedup-ids — streaming exact dedup (dropDuplicates state over
+    * the id column). The events file is staged TWICE into the source dir
+    * so the stream genuinely carries duplicates; the dedup state must
+    * collapse them back to the batch per-type counts. */
+  val streamDedupIds: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = new java.io.File(
+      s"/tmp/graft-ops/stream-src-dup-${d.replaceAll("[^A-Za-z0-9]", "_")}")
+    srcDir.mkdirs()
+    Seq("events_a.parquet", "events_b.parquet").foreach { n =>
+      val staged = new java.io.File(srcDir, n)
+      if (!staged.exists())
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"), staged.toPath)
+    }
+    val schema = new StructType()
+      .add("event_id", LongType).add("event_type", StringType)
+    val deduped = s.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(s, deduped, "stream_dedup_ids").orderBy("event_type")
+  }
+
+  val streamDedupIdsSql: String =
+    """SELECT event_type, count(*) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "stream-agg-counts" -> streamAggCounts,
     "stream-window-hourly" -> streamWindowHourly,
-    "stream-stateful-count" -> streamStatefulCount)
+    "stream-stateful-count" -> streamStatefulCount,
+    "stream-dedup-ids" -> streamDedupIds)
 
   val oracles: Map[String, String] = Map(
     "stream-agg-counts" -> streamAggCountsSql,
     "stream-window-hourly" -> streamWindowHourlySql,
-    "stream-stateful-count" -> streamStatefulCountSql)
+    "stream-stateful-count" -> streamStatefulCountSql,
+    "stream-dedup-ids" -> streamDedupIdsSql)
 }
