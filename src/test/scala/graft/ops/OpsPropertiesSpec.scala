@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.olist.SparkTestBase
+
+/** Structural properties of the operator outputs over the sf0.001
+  * testdata (the oracle harness checks values; these check invariants
+  * that must hold at any scale). */
+class OpsPropertiesSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("dedup-exact: keeper is minimal and self-consistent") {
+    val df = run("dedup-exact").cache()
+    assert(df.filter(col("keeper_doc_id") > col("doc_id")).count() == 0)
+    assert(df.filter(col("is_duplicate") === 0 && col("keeper_doc_id") =!= col("doc_id")).count() == 0)
+  }
+
+  test("dedup-simhash: 64-bit binary fingerprints") {
+    val df = run("dedup-simhash").cache()
+    assert(df.filter(length(col("simhash")) =!= 64).count() == 0)
+    assert(df.filter(col("simhash").rlike("[^01]")).count() == 0)
+  }
+
+  test("dedup-minhash-lsh: ordered pairs, no self-pairs") {
+    val df = run("dedup-minhash-lsh").cache()
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(df.count() > 0) // the corpus has planted near-dups
+  }
+
+  test("dedup-ngram-jaccard: similarity within (threshold, 1]") {
+    val df = run("dedup-ngram-jaccard").cache()
+    assert(df.filter(col("jaccard") < 0.8 || col("jaccard") > 1.0).count() == 0)
+    assert(df.count() > 0)
+  }
+
+  test("ann-topk-bruteforce: exactly k ranked neighbors per query, cosine in [-1,1]") {
+    val df = run("ann-topk-bruteforce").cache()
+    val perQuery = df.groupBy("query_id").count().collect()
+    assert(perQuery.length == 10 && perQuery.forall(_.getLong(1) == 5))
+    assert(df.filter(col("cosine") < -1.000001 || col("cosine") > 1.000001).count() == 0)
+    // ranks are dense 1..5 and cosine is non-increasing within a query
+    val bad = df.selectExpr("query_id", "rank", "cosine",
+      "lag(cosine) OVER (PARTITION BY query_id ORDER BY rank) AS prev")
+      .filter(col("prev").isNotNull && col("cosine") > col("prev"))
+    assert(bad.count() == 0)
+  }
+
+  test("agg-salted-skew equals the direct groupBy") {
+    val salted = run("agg-salted-skew")
+    val direct = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(Tables.outNum(sum(Tables.dec2(col("value")))).as("total_value"),
+        count(lit(1)).as("n_events"))
+    assert(salted.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(salted).count() == 0)
+  }
+
+  test("win-dedup-latest: exactly one row per user") {
+    val df = run("win-dedup-latest")
+    assert(df.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("gen-calendar-attrs: weekend flag consistent with weekday") {
+    val df = run("gen-calendar-attrs")
+    assert(df.filter(
+      (col("weekday_num").isin(1, 7) && col("is_weekend") =!= 1) ||
+        (!col("weekday_num").isin(1, 7) && col("is_weekend") =!= 0)).count() == 0)
+  }
+
+  test("sk-identity: dense unique 1..N keys") {
+    val df = run("sk-identity").cache()
+    val n = df.count()
+    assert(df.select("product_sk").distinct().count() == n)
+    val mm = df.agg(min("product_sk"), max("product_sk")).head
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == n)
+  }
+}
