@@ -79,7 +79,9 @@ object TextDedup {
       concat(md5(col("sh")), md5(concat(lit("#"), col("sh")))).as("h"))
     val minCols = (1 to Seeds).map(j =>
       min(substring(col("h"), (j - 1) * 5 + 1, 5)).as(s"m$j"))
-    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    // persist: the signature feeds 4 band projections and a self-join —
+    // without it the whole shingle+digest pipeline re-executes 8×
+    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).persist()
     val bands = (0 until Seeds / BandSize).map { b =>
       sig.select(col("doc_id"), lit(b).cast(IntegerType).as("band"),
         md5(concat_ws(",",
@@ -164,12 +166,15 @@ object TextDedup {
     // join/group on a 16-hex digest of the shingle, not the raw string —
     // fixed-width keys shuffle and compare cheaper (collision odds at
     // 64 bits are negligible vs corpus size)
+    // persist: the distinct shingle set feeds the df-cap aggregate, both
+    // sides of the inverted-index self-join, and the size table — five
+    // re-executions of the split/explode/digest pipeline without it
     val sh = shingles(s, d)
       .select(col("doc_id"), substring(md5(col("sh")), 1, 16).as("sh"))
-      .distinct()
+      .distinct().persist()
     val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxDf).select("sh")
-    val fs = sh.join(keep, Seq("sh"))
+    val fs = sh.join(keep, Seq("sh")).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = fs.as("a")
       .join(fs.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
