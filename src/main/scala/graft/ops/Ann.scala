@@ -92,10 +92,14 @@ object Ann {
         cos("v", "cv").as("ccos"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(desc("ccos"), col("centroid_id"))
+    // persist: the assignment feeds both the query side and the bucket
+    // side of the probe join — without it the centroid-scoring pass
+    // (|corpus| × |centroids| cosine evals) runs twice
     val assign = scoredCent
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"))
+      .persist()
     val av = all.join(assign, Seq("vec_id"))
     val q = av.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("centroid_id"))

@@ -192,7 +192,28 @@ object RelExtra {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** agg-typed-aggregator — custom typed Aggregator (graft.functions.
+    * CentsSum) registered as a SQL aggregate: exact money totals per
+    * event type through the user-defined-aggregate API surface. */
+  val aggTypedAggregator: Q = (s, d) => {
+    graft.functions.CentsSum.register(s)
+    events(s, d)
+      .groupBy("event_type")
+      .agg(expr("cents_sum(value)").as("total_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val aggTypedAggregatorSql: String =
+    """SELECT event_type,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       count(*) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg-typed-aggregator" -> aggTypedAggregator,
     "win-rank-ntile" -> winRankNtile,
     "agg-rollup" -> aggRollup,
     "set-intersect-except" -> setIntersectExcept,
@@ -202,6 +223,7 @@ object RelExtra {
     "udf-scala-reverse" -> udfScalaReverse)
 
   val oracles: Map[String, String] = Map(
+    "agg-typed-aggregator" -> aggTypedAggregatorSql,
     "win-rank-ntile" -> winRankNtileSql,
     "agg-rollup" -> aggRollupSql,
     "set-intersect-except" -> setIntersectExceptSql,
