@@ -159,9 +159,12 @@ object Gold {
       table -> rows
     }
     val dimDatePath = s"$warehouse/gold/dim_date"
-    val dimDateLoaded =
+    // cheap filesystem probe first: asking Spark to read a missing path
+    // just to catch the exception logs a noisy stack on every cold run
+    val dimDateLoaded = new java.io.File(dimDatePath).exists() && {
       try spark.read.parquet(dimDatePath).filter(col("date_key") =!= 19000101).limit(1).count() > 0
       catch { case _: Throwable => false }
+    }
     val dateResult =
       if (dimDateLoaded) Seq("dim_date" -> -1L)  // guard: skip rebuild (07:18-22)
       else Seq(write("dim_date", dimDate(spark)))
