@@ -144,13 +144,61 @@ object TextAnalysis {
       |FROM grams GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** text-hash-split — deterministic dataset splitting: assign each
+    * document to train/val/test by a digest of its id, never by random()
+    * (hash splits are reproducible across runs, engines, partitionings,
+    * and dataset growth — the only split discipline that survives a
+    * 100 TB corpus rebuild). ~80/10/10 via the first md5 nibble. */
+  val textHashSplit: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("bucket",
+        expr("instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1"))
+      .select(col("doc_id"),
+        when(col("bucket") < 13, "train")
+          .when(col("bucket") < 14, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  val textHashSplitSql: String =
+    """SELECT doc_id,
+      |       CASE WHEN strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13 THEN 'train'
+      |            WHEN strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 14 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** text-normalize — corpus normalization pass: lowercase, diacritic
+    * fold (explicit translate map — identical in both engines, unlike
+    * locale-dependent collations), whitespace squeeze. Narrow,
+    * scan-speed. */
+  val textNormalize: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      regexp_replace(
+        translate(lower(col("text")),
+          "áàâãäéèêëíìîïóòôõöúùûüçñ", "aaaaaeeeeiiiiooooouuuucn"),
+        " +", " ").as("text_norm"))
+      .orderBy("doc_id")
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |       regexp_replace(
+      |         translate(lower(text), 'áàâãäéèêëíìîïóòôõöúùûüçñ', 'aaaaaeeeeiiiiooooouuuucn'),
+      |         ' +', ' ', 'g') AS text_norm
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text-hash-split" -> textHashSplit,
+    "text-normalize" -> textNormalize,
     "text-langid" -> textLangid,
     "text-quality" -> textQuality,
     "text-tokencount" -> textTokencount,
     "text-fingerprint" -> textFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text-hash-split" -> textHashSplitSql,
+    "text-normalize" -> textNormalizeSql,
     "text-langid" -> textLangidSql,
     "text-quality" -> textQualitySql,
     "text-tokencount" -> textTokencountSql,
