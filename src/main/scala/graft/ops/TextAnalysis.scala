@@ -148,45 +148,64 @@ object TextAnalysis {
     * document to train/val/test by a digest of its id, never by random()
     * (hash splits are reproducible across runs, engines, partitionings,
     * and dataset growth — the only split discipline that survives a
-    * 100 TB corpus rebuild). ~80/10/10 via the first md5 nibble. */
+    * 100 TB corpus rebuild). Two md5 nibbles give a 0-255 bucket:
+    * <205 train / <230 val / else test ≈ 80.1 / 9.8 / 10.2. Rows with a
+    * NULL id are rejected up front — a null digest would otherwise dump
+    * them all into one split. */
   val textHashSplit: Q = (s, d) =>
     documents(s, d)
-      .withColumn("bucket",
-        expr("instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1"))
+      .filter(col("doc_id").isNotNull)
+      .withColumn("bucket", expr(
+        "(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1)"))
       .select(col("doc_id"),
-        when(col("bucket") < 13, "train")
-          .when(col("bucket") < 14, "val")
+        when(col("bucket") < 205, "train")
+          .when(col("bucket") < 230, "val")
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
   val textHashSplitSql: String =
     """SELECT doc_id,
-      |       CASE WHEN strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13 THEN 'train'
-      |            WHEN strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 14 THEN 'val'
+      |       CASE WHEN bucket < 205 THEN 'train'
+      |            WHEN bucket < 230 THEN 'val'
       |            ELSE 'test' END AS split
-      |FROM documents
+      |FROM (
+      |  SELECT doc_id,
+      |         (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+      |         (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      |  FROM documents WHERE doc_id IS NOT NULL)
       |ORDER BY doc_id""".stripMargin
+
+  /** The diacritic fold map shared with the medallion engine's CI_AI
+    * collation emulation (graft.olist.Functions.accentFoldLower) — one
+    * canonical map, mirrored verbatim in the oracle SQL. */
+  private val FoldFrom = "áàâãäéèêëíìîïóòôõöúùûüçñý"
+  private val FoldTo = "aaaaaeeeeiiiiooooouuuucny"
 
   /** text-normalize — corpus normalization pass: lowercase, diacritic
     * fold (explicit translate map — identical in both engines, unlike
-    * locale-dependent collations), whitespace squeeze. Narrow,
-    * scan-speed. */
-  val textNormalize: Q = (s, d) =>
+    * locale-dependent collations), whitespace squeeze (any \s runs →
+    * one space) and trim. The testdata corpus is already clean, so a
+    * deterministic dirty prefix (uppercase, accents, mixed whitespace)
+    * is injected identically on both sides — the normalization logic is
+    * actually exercised, not vacuously correct. */
+  val textNormalize: Q = (s, d) => {
+    val dirty = concat(lit("  ÁGUA\tJÁ  çÃo \n "), col("text"), lit("   "))
     documents(s, d).select(
       col("doc_id"),
-      regexp_replace(
-        translate(lower(col("text")),
-          "áàâãäéèêëíìîïóòôõöúùûüçñ", "aaaaaeeeeiiiiooooouuuucn"),
-        " +", " ").as("text_norm"))
+      trim(regexp_replace(
+        graft.olist.Functions.accentFoldLower(dirty), "\\s+", " ")).as("text_norm"))
       .orderBy("doc_id")
+  }
 
   val textNormalizeSql: String =
-    """SELECT doc_id,
-      |       regexp_replace(
-      |         translate(lower(text), 'áàâãäéèêëíìîïóòôõöúùûüçñ', 'aaaaaeeeeiiiiooooouuuucn'),
-      |         ' +', ' ', 'g') AS text_norm
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |       trim(regexp_replace(
+       |         translate(lower('  ÁGUA\tJÁ  çÃo \n ' || text || '   '),
+       |                   '$FoldFrom', '$FoldTo'),
+       |         '\\s+', ' ', 'g')) AS text_norm
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "text-hash-split" -> textHashSplit,
