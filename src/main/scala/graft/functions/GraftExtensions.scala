@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions installer for the engine's native functions —
+  * the deployment hook that makes them available in every session of a
+  * cluster without per-session registration:
+  *
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * or programmatically:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  * Injected at the FunctionRegistry level (vs the per-session
+  * createOrReplaceTempFunction used by the register() helpers), so the
+  * function exists before any query is analyzed — including queries
+  * arriving via thrift/connect fronts that never run Scala setup code.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "cosine_similarity takes exactly 2 arguments")
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
+  }
+}
