@@ -142,11 +142,64 @@ object Ann {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  private val NumPlanes = 8
+  private val Dim = 64
+
+  /** Deterministic random-hyperplane weights: digit of md5("p_i") minus
+    * 7.5 — reproducible in any engine that ships md5, so the oracle SQL
+    * embeds the identical literals. */
+  private lazy val planes: Seq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map { i =>
+        val hex = md.digest(s"${p}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        Character.digit(hex.charAt(0), 16) - 7.5
+      }
+    }
+  }
+
+  /** ann-lsh-bucket — sign-LSH bucketing (the other scale path next to
+    * IVF): each vector hashes to an 8-bit bucket via the signs of 8
+    * random-hyperplane projections; near-identical vectors land in the
+    * same bucket with high probability, so candidate generation becomes
+    * a bucket-key self-join instead of corpus². Projections are ordered
+    * folds over literal weight arrays — bit-identical across engines. */
+  val annLshBucket: Q = (s, d) => {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val bits = planes.map { w =>
+      val arr = w.mkString(", ")
+      val dot = expr(
+        s"aggregate(zip_with(v, array($arr), (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")
+      when(dot > 0, "1").otherwise("0")
+    }
+    val wB = Window.partitionBy(col("bucket"))
+    e.withColumn("bucket", concat(bits: _*))
+      .withColumn("n_in_bucket", count(lit(1)).over(wB).cast(LongType))
+      .select("vec_id", "bucket", "n_in_bucket")
+      .orderBy("vec_id")
+  }
+
+  val annLshBucketSql: String = {
+    val bitExprs = planes.map { w =>
+      s"CASE WHEN list_inner_product(embedding::DOUBLE[], [${w.mkString(", ")}]::DOUBLE[]) > 0 THEN '1' ELSE '0' END"
+    }.mkString(",\n                ")
+    s"""SELECT vec_id, bucket,
+       |       CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS n_in_bucket
+       |FROM (
+       |  SELECT vec_id,
+       |         concat($bitExprs) AS bucket
+       |  FROM embeddings)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "ann-topk-bruteforce" -> annTopkBruteforce,
-    "ann-ivf" -> annIvf)
+    "ann-ivf" -> annIvf,
+    "ann-lsh-bucket" -> annLshBucket)
 
   val oracles: Map[String, String] = Map(
     "ann-topk-bruteforce" -> annTopkBruteforceSql,
-    "ann-ivf" -> annIvfSql)
+    "ann-ivf" -> annIvfSql,
+    "ann-lsh-bucket" -> annLshBucketSql)
 }

@@ -84,11 +84,86 @@ object Multimodal {
       |WHERE i % 4 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** mm-resize-stub — resize planning: given decoded (width, height)
+    * (the deterministic decode fake), compute the fit-within-224×224
+    * output dims preserving aspect ratio. A real pipeline hands these to
+    * the codec; the arithmetic (scale factor, floor) is the production
+    * logic and is pure double math identical in both engines. */
+  val mmResizeStub: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      expr("320 + ((instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) % 8) * 80").as("width"),
+      expr("240 + ((instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) % 8) * 60").as("height"))
+      .withColumn("scale", lit(224.0) / greatest(col("width"), col("height")))
+      .select(col("doc_id"),
+        col("width").cast(IntegerType).as("width"),
+        col("height").cast(IntegerType).as("height"),
+        floor(col("width") * col("scale")).cast(IntegerType).as("out_width"),
+        floor(col("height") * col("scale")).cast(IntegerType).as("out_height"))
+      .orderBy("doc_id")
+
+  val mmResizeStubSql: String =
+    """SELECT doc_id,
+      |       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+      |       CAST(floor(width * (224.0 / greatest(width, height))) AS INT) AS out_width,
+      |       CAST(floor(height * (224.0 / greatest(width, height))) AS INT) AS out_height
+      |FROM (
+      |  SELECT doc_id,
+      |         320 + ((strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) % 8) * 80 AS width,
+      |         240 + ((strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) % 8) * 60 AS height
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Extracted feature record (the stub "feature extractor" output). */
+  case class MediaFeatures(doc_id: Long, f_len: Long, f_a: Long, f_e: Long, f_space: Long)
+
+  /** mm-feature-extract — per-payload feature extraction through the
+    * typed batch-iteration path (mapPartitions, one "model" instance per
+    * partition — the Scala analogue of a batched inference UDF). STUB
+    * features are simple byte statistics; the plumbing (binary in, fixed
+    * feature schema out, partition-wise batching) is the real shape. */
+  val mmFeatureExtract: Q = (s, d) => {
+    import s.implicits._
+    val payloads = documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { iter =>
+      // per-partition "model" init (a counter table here; a real
+      // extractor would load weights once per partition)
+      iter.map { case (id, bytes) =>
+        var a = 0L; var e = 0L; var sp = 0L; var i = 0
+        while (i < bytes.length) {
+          bytes(i) match {
+            case 'a' => a += 1
+            case 'e' => e += 1
+            case ' ' => sp += 1
+            case _ =>
+          }
+          i += 1
+        }
+        MediaFeatures(id, bytes.length.toLong, a, e, sp)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  val mmFeatureExtractSql: String =
+    """SELECT doc_id,
+      |       CAST(length(text) AS BIGINT) AS f_len,
+      |       CAST(length(text) - length(replace(text, 'a', '')) AS BIGINT) AS f_a,
+      |       CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS f_e,
+      |       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS f_space
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm-decode-stub" -> mmDecodeStub,
-    "mm-frame-sample" -> mmFrameSample)
+    "mm-frame-sample" -> mmFrameSample,
+    "mm-resize-stub" -> mmResizeStub,
+    "mm-feature-extract" -> mmFeatureExtract)
 
   val oracles: Map[String, String] = Map(
     "mm-decode-stub" -> mmDecodeStubSql,
-    "mm-frame-sample" -> mmFrameSampleSql)
+    "mm-frame-sample" -> mmFrameSampleSql,
+    "mm-resize-stub" -> mmResizeStubSql,
+    "mm-feature-extract" -> mmFeatureExtractSql)
 }
