@@ -212,7 +212,84 @@ object RelExtra {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** agg-sessionize — event sessionization: a new session starts after a
+    * >30-minute gap; session ids are per-user running sums of the
+    * new-session flags. Two stacked windows over ONE shuffle on user_id
+    * (Catalyst reuses the partitioning); the canonical event-pipeline
+    * transform. Gaps are computed on second-floored epochs so both
+    * engines agree despite the ns→µs timestamp truncation. */
+  val aggSessionize: Q = (s, d) => {
+    val wOrder = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wOrder)))
+      .withColumn("new_session",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wRun).cast(LongType))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val aggSessionizeSql: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |       min(event_id) AS min_event_id,
+      |       max(event_id) AS max_event_id
+      |FROM (
+      |  SELECT user_id, event_id,
+      |         CAST(sum(new_session) OVER (
+      |           PARTITION BY user_id
+      |           ORDER BY date_trunc('microseconds', ts), event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |           CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_session
+      |    FROM (
+      |      SELECT user_id, event_id, ts,
+      |             epoch(date_trunc('second', ts)) - epoch(date_trunc('second',
+      |               lag(ts, 1) OVER (PARTITION BY user_id
+      |                 ORDER BY date_trunc('microseconds', ts), event_id))) AS gap_s
+      |      FROM events)))
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** sink-incremental-merge — incremental upsert without a table format:
+    * new snapshot = (previous snapshot anti-join changed keys) ∪ changed
+    * rows, written as the next snapshot (the parquet-level MERGE INTO;
+    * at scale the anti-join + rewrite is confined to affected partitions).
+    * The merged snapshot must equal the full current table — which is
+    * exactly what the oracle checks. */
+  val sinkIncrementalMerge: Q = (s, d) => {
+    import org.apache.spark.sql.SaveMode
+    val base = tmp("incr-base", d)
+    val next = tmp("incr-next", d)
+    val all = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // previous snapshot: stale copy missing the soon-to-change rows'
+    // latest values (simulate by perturbing status on keys % 10 == 0)
+    all.withColumn("o_orderstatus",
+      when(col("o_orderkey") % 10 === 0, lit("STALE")).otherwise(col("o_orderstatus")))
+      .write.mode(SaveMode.Overwrite).parquet(base)
+    // persist: the change set feeds both the anti-join probe and the
+    // union branch — one source scan instead of three
+    val changes = all.filter(col("o_orderkey") % 10 === 0).persist()
+    val merged = s.read.parquet(base)
+      .join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(changes)
+    merged.write.mode(SaveMode.Overwrite).parquet(next)
+    s.read.parquet(next).orderBy("o_orderkey")
+  }
+
+  val sinkIncrementalMergeSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg-sessionize" -> aggSessionize,
+    "sink-incremental-merge" -> sinkIncrementalMerge,
     "agg-typed-aggregator" -> aggTypedAggregator,
     "win-rank-ntile" -> winRankNtile,
     "agg-rollup" -> aggRollup,
@@ -223,6 +300,8 @@ object RelExtra {
     "udf-scala-reverse" -> udfScalaReverse)
 
   val oracles: Map[String, String] = Map(
+    "agg-sessionize" -> aggSessionizeSql,
+    "sink-incremental-merge" -> sinkIncrementalMergeSql,
     "agg-typed-aggregator" -> aggTypedAggregatorSql,
     "win-rank-ntile" -> winRankNtileSql,
     "agg-rollup" -> aggRollupSql,

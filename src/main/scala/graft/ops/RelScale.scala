@@ -13,13 +13,11 @@ import Tables._
   */
 object RelScale {
 
-  private def tmp(name: String) = s"/tmp/graft-ops/$name"
-
   /** src-json-lines — JSON-lines source with explicit schema (never
     * inferred, same bronze discipline as CSV): write→read round trip
     * must restore the table. */
   val srcJsonLines: Q = (s, d) => {
-    val out = tmp("src-json-lines")
+    val out = tmp("src-json-lines", d)
     documents(s, d).write.mode(SaveMode.Overwrite).json(out)
     val schema = new StructType()
       .add("doc_id", LongType).add("text", StringType).add("lang", StringType)
@@ -37,7 +35,7 @@ object RelScale {
   /** src-orc-roundtrip — ORC source/sink (the second columnar format a
     * complete engine ships): round trip restores nation exactly. */
   val srcOrcRoundtrip: Q = (s, d) => {
-    val out = tmp("src-orc-roundtrip")
+    val out = tmp("src-orc-roundtrip", d)
     nation(s, d).write.mode(SaveMode.Overwrite).orc(out)
     s.read.orc(out).orderBy("n_nationkey")
   }
@@ -53,7 +51,7 @@ object RelScale {
     * at 100 TB is the difference between scanning one status and all of
     * them. */
   val sinkPartitionedPrune: Q = (s, d) => {
-    val out = tmp("sink-partitioned-prune")
+    val out = tmp("sink-partitioned-prune", d)
     // repartition on the partition column first: without it every write
     // task emits a file into every partition dir (tasks × partitions
     // small files — the classic partitioned-write mistake at scale)

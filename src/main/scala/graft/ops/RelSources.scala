@@ -15,14 +15,12 @@ import Tables._
   */
 object RelSources {
 
-  private def tmp(name: String) = s"/tmp/graft-ops/$name"
-
   /** src-csv-quoted — reference `03_load_csv_to_bronze.sql:15-55`
     * (BULK INSERT FORMAT='CSV', FIELDQUOTE='"', FIRSTROW=2,
     * CODEPAGE=65001). Bronze rule: explicit all-string schema, never
     * inferSchema (`01:71`); typing happens afterwards via casts. */
   val srcCsvQuoted: Q = (s, d) => {
-    val out = tmp("src-csv-quoted")
+    val out = tmp("src-csv-quoted", d)
     nation(s, d).coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").option("quoteAll", "true").csv(out)
     val bronzeSchema = StructType(Seq(
@@ -48,7 +46,7 @@ object RelSources {
   /** src-csv-pipe — reference `03_load_csv_to_bronze.sql:110-115`
     * (pipe-separated variant for the pre-cleaned reviews file). */
   val srcCsvPipe: Q = (s, d) => {
-    val out = tmp("src-csv-pipe")
+    val out = tmp("src-csv-pipe", d)
     region(s, d).coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").option("sep", "|").csv(out)
     val bronzeSchema = StructType(Seq(
@@ -75,7 +73,7 @@ object RelSources {
     * back with multiLine=true, then scrubbed with regexp_replace — the
     * round trip must restore the original text. */
   val srcPrecleanNewlines: Q = (s, d) => {
-    val out = tmp("src-preclean-newlines")
+    val out = tmp("src-preclean-newlines", d)
     documents(s, d)
       .select(col("doc_id").cast(StringType).as("doc_id"),
         regexp_replace(col("text"), " spark", "\nspark").as("text"))
@@ -100,7 +98,7 @@ object RelSources {
     * refresh (`sp_load_silver_customers.sql:22-43`): parquet overwrite IS
     * truncate+insert. Written then read back so the sink is what's graded. */
   val sinkTruncateInsert: Q = (s, d) => {
-    val out = tmp("sink-truncate-insert")
+    val out = tmp("sink-truncate-insert", d)
     val cleansed = customer(s, d).select(
       col("c_custkey"),
       trim(col("c_name")).as("name"),
@@ -124,7 +122,7 @@ object RelSources {
     * becomes start+end event rows per run_id (SURVEY §7 hard part 4);
     * wall-clock columns stay out of the graded output. */
   val sinkAuditAppend: Q = (s, d) => {
-    val out = tmp("sink-audit-append")
+    val out = tmp("sink-audit-append", d)
     val started = s.range(1).select(
       lit("customer").as("table_name"), lit("STARTED").as("status"),
       lit(null).cast(LongType).as("rows_inserted"),
@@ -156,7 +154,7 @@ object RelSources {
     * second load's output. */
   val sinkDeleteInsert: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val out = tmp("sink-delete-insert")
+    val out = tmp("sink-delete-insert", d)
     def buildFact(): Unit =
       orders(s, d).select(
         row_number().over(Window.orderBy(col("o_orderkey"))).cast(LongType).as("order_sk"),
@@ -178,7 +176,7 @@ object RelSources {
     * the sentinel). Both paths must produce the same graded output; the
     * build runs at most once per filesystem lifetime. */
   val guardAlreadyLoaded: Q = (s, d) => {
-    val out = tmp("guard-dim-date")
+    val out = tmp("guard-dim-date", d)
     val loaded =
       try !s.read.parquet(out).filter(col("date_key") =!= 19000101).isEmpty
       catch { case _: Throwable => false }

@@ -58,4 +58,11 @@ object Tables {
   def outNum(c: Column): Column = c.cast(DoubleType)
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** Scratch dir for sink round trips, namespaced by op name AND the
+    * dataset dir — two interleaved runs at different scale factors must
+    * never share a path (a Bench at sf0.1 overwriting a Verify's sf0.01
+    * staging mid-query corrupts the read-back). */
+  def tmp(name: String, d: String): String =
+    s"/tmp/graft-ops/$name-${d.replaceAll("[^A-Za-z0-9]", "_")}"
 }
