@@ -146,7 +146,34 @@ object RelAggs {
       |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
       |) ORDER BY table_name""".stripMargin
 
+  /** agg-percentile — exact continuous percentiles (order-value p50/p90/
+    * p99, the standard QA latency/value metric shape). Spark's exact
+    * percentile and DuckDB's quantile_cont use the same linear
+    * interpolation; rounded to 6 dp to absorb last-ulp differences. At
+    * true 100 TB scale the swap-in is approx_percentile (t-digest) —
+    * kept exact here because the oracle must match bit-stably. */
+  val aggPercentile: Q = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  val aggPercentileSql: String =
+    """SELECT o_orderstatus,
+      |       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      |       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+      |       round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+      |       count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg-percentile" -> aggPercentile,
     "agg-topk" -> aggTopk,
     "agg-sum-total" -> aggSumTotal,
     "agg-minmax" -> aggMinmax,
@@ -157,6 +184,7 @@ object RelAggs {
     "agg-rowcount-audit" -> aggRowcountAudit)
 
   val oracles: Map[String, String] = Map(
+    "agg-percentile" -> aggPercentileSql,
     "agg-topk" -> aggTopkSql,
     "agg-sum-total" -> aggSumTotalSql,
     "agg-minmax" -> aggMinmaxSql,
