@@ -172,7 +172,32 @@ object RelAggs {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** agg-stats — statistical aggregates (stddev, correlation) per group.
+    * Co-moment merges are float and merge-order-sensitive at the
+    * ~1e-13 level, so outputs are rounded to 6 dp — verified stable
+    * across 2- and 32-thread runs and against DuckDB. */
+  val aggStats: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(avg(col("l_discount")), 6).as("avg_discount"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+
+  val aggStatsSql: String =
+    """SELECT l_returnflag,
+      |       round(stddev_samp(l_quantity), 6) AS qty_stddev,
+      |       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+      |       round(avg(l_discount), 6) AS avg_discount,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg-stats" -> aggStats,
     "agg-percentile" -> aggPercentile,
     "agg-topk" -> aggTopk,
     "agg-sum-total" -> aggSumTotal,
@@ -184,6 +209,7 @@ object RelAggs {
     "agg-rowcount-audit" -> aggRowcountAudit)
 
   val oracles: Map[String, String] = Map(
+    "agg-stats" -> aggStatsSql,
     "agg-percentile" -> aggPercentileSql,
     "agg-topk" -> aggTopkSql,
     "agg-sum-total" -> aggSumTotalSql,

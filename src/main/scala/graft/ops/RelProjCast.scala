@@ -193,7 +193,33 @@ object RelProjCast {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** expr-array-funcs — collection-function surface over a computed
+    * array (split words): size, membership, sorted extremes, distinct
+    * count. All narrow, codegen'd. */
+  val exprArrayFuncs: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast(LongType).as("n_words"),
+        array_contains(col("w"), "spark").as("has_spark"),
+        expr("array_sort(w)[0]").as("first_sorted"),
+        expr("element_at(array_sort(w), -1)").as("last_sorted"),
+        expr("size(array_distinct(w))").cast(LongType).as("n_distinct"))
+      .orderBy("doc_id")
+
+  val exprArrayFuncsSql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+      |       list_sort(string_split(text, ' '))[1] AS first_sorted,
+      |       list_sort(string_split(text, ' '))[-1] AS last_sorted,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "expr-array-funcs" -> exprArrayFuncs,
     "proj-standardize" -> projStandardize,
     "filt-notnull" -> filtNotnull,
     "filt-nonempty" -> filtNonempty,
@@ -207,6 +233,7 @@ object RelProjCast {
     "cast-try-timestamp" -> castTryTimestamp)
 
   val oracles: Map[String, String] = Map(
+    "expr-array-funcs" -> exprArrayFuncsSql,
     "proj-standardize" -> projStandardizeSql,
     "filt-notnull" -> filtNotnullSql,
     "filt-nonempty" -> filtNonemptySql,

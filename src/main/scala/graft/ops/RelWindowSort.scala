@@ -117,7 +117,29 @@ object RelWindowSort {
       |ORDER BY total_price DESC, o_orderkey
       |LIMIT 5""".stripMargin
 
+  /** win-percent-rank — distribution windows (percent_rank, cume_dist):
+    * both are exact rational arithmetic on ranks ((rank-1)/(n-1),
+    * rank/n) so the doubles are bit-identical across engines. */
+  val winPercentRank: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(percent_rank().over(w), 9).as("price_percent_rank"),
+      round(cume_dist().over(w), 9).as("price_cume_dist"))
+      .orderBy("o_orderkey")
+  }
+
+  val winPercentRankSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |       round(percent_rank() OVER w, 9) AS price_percent_rank,
+      |       round(cume_dist() OVER w, 9) AS price_cume_dist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "win-percent-rank" -> winPercentRank,
     "win-dedup-latest" -> winDedupLatest,
     "win-running-total" -> winRunningTotal,
     "win-lag-lead" -> winLagLead,
@@ -125,6 +147,7 @@ object RelWindowSort {
     "limit-topk" -> limitTopk)
 
   val oracles: Map[String, String] = Map(
+    "win-percent-rank" -> winPercentRankSql,
     "win-dedup-latest" -> winDedupLatestSql,
     "win-running-total" -> winRunningTotalSql,
     "win-lag-lead" -> winLagLeadSql,
