@@ -49,7 +49,7 @@ object Multimodal {
 
   val mmDecodeStubSql: String =
     """SELECT doc_id,
-      |       CAST(length(text) AS BIGINT) AS n_bytes,
+      |       CAST(strlen(text) AS BIGINT) AS n_bytes,
       |       md5(text) AS content_hash,
       |       CAST(320 + ((strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) % 8) * 80 AS INT) AS width,
       |       CAST(240 + ((strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) % 8) * 60 AS INT) AS height,
@@ -148,7 +148,7 @@ object Multimodal {
 
   val mmFeatureExtractSql: String =
     """SELECT doc_id,
-      |       CAST(length(text) AS BIGINT) AS f_len,
+      |       CAST(strlen(text) AS BIGINT) AS f_len,
       |       CAST(length(text) - length(replace(text, 'a', '')) AS BIGINT) AS f_a,
       |       CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS f_e,
       |       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS f_space

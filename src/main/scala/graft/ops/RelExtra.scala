@@ -161,7 +161,9 @@ object RelExtra {
       .groupBy("user_id")
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .count()
-      .na.fill(0L)
+      // scope the fill to the pivoted columns — an unscoped na.fill
+      // would also rewrite a NULL group key to 0
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy("user_id")
 
   val aggPivotSql: String =
@@ -177,8 +179,11 @@ object RelExtra {
 
   /** udf-scala-reverse — the Scala UDF registration path. UDFs are a
     * documented LAST resort (they break codegen and oracle portability);
-    * this one exists to exercise the API surface with a function whose
-    * semantics both engines share exactly. */
+    * this one exists to exercise the API surface. Engine parity note:
+    * Scala String.reverse flips UTF-16 code units while DuckDB reverse()
+    * is grapheme-aware — identical for ASCII/BMP text without combining
+    * marks (c_name is ASCII); a production grapheme-safe reverse would
+    * use java.text.BreakIterator. */
   val udfScalaReverse: Q = (s, d) => {
     s.udf.register("graft_reverse", (x: String) => if (x == null) null else x.reverse)
     customer(s, d).select(

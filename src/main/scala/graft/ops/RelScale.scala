@@ -85,12 +85,16 @@ object RelScale {
       df.write.bucketBy(8, key).sortBy(key)
         .mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
     }
+    // table names namespaced by dataset dir — same interleaved-run
+    // invariant as Tables.tmp (a Bench at sf0.1 must never clobber a
+    // Verify's sf0.01 bucketed tables mid-join)
+    val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
     bucketize(orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
-      "o_orderkey", "graft_bucketed_orders")
+      "o_orderkey", s"graft_bucketed_orders_$suffix")
     bucketize(lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
-      "l_orderkey", "graft_bucketed_lineitem")
-    val o = s.table("graft_bucketed_orders")
-    val l = s.table("graft_bucketed_lineitem")
+      "l_orderkey", s"graft_bucketed_lineitem_$suffix")
+    val o = s.table(s"graft_bucketed_orders_$suffix")
+    val l = s.table(s"graft_bucketed_lineitem_$suffix")
     // force sort-merge (hint) so the plan shows the point of bucketing:
     // both sides arrive pre-partitioned and pre-sorted on the key — no
     // Exchange, no Sort before the join. (At testdata scale Catalyst

@@ -32,13 +32,17 @@ object StreamingOps {
       .add("event_type", StringType).add("value", DoubleType)
     val schema = if (withTs) base.add("ts", LongType) else base
     val df = s.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
-    if (withTs) df.withColumn("event_ts", expr("timestamp_micros(ts div 1000)")) else df
+    if (withTs) df.withColumn("event_ts",
+      expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")) else df
   }
 
   private def runToTable(s: SparkSession, agg: DataFrame, name: String,
-                         mode: String = "complete"): DataFrame = {
+                         d: String, mode: String = "complete"): DataFrame = {
     s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    val ckpt = s"/tmp/graft-ops/ckpt-$name"
+    // checkpoint namespaced by dataset dir (Tables.tmp invariant): a
+    // concurrent run at another scale factor must not delete this run's
+    // live offset log / state store
+    val ckpt = Tables.tmp(s"ckpt-$name", d)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     val q = agg.writeStream
       .format("memory").queryName(name)
@@ -57,7 +61,7 @@ object StreamingOps {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         outNum(sum(dec2(col("value")))).as("total_value"))
-    runToTable(s, agg, "stream_agg_counts").orderBy("event_type")
+    runToTable(s, agg, "stream_agg_counts", d).orderBy("event_type")
   }
 
   val streamAggCountsSql: String =
@@ -79,7 +83,7 @@ object StreamingOps {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"))
-    runToTable(s, agg, "stream_window_hourly").orderBy("window_start", "event_type")
+    runToTable(s, agg, "stream_window_hourly", d).orderBy("window_start", "event_type")
   }
 
   val streamWindowHourlySql: String =
@@ -115,7 +119,7 @@ object StreamingOps {
           (user, n, c / 100.0)
       }
       .toDF("user_id", "n_events", "total_value")
-    runToTable(s, counted, "stream_stateful_count", mode = "update")
+    runToTable(s, counted, "stream_stateful_count", d, mode = "update")
       .orderBy("user_id")
   }
 
@@ -146,7 +150,7 @@ object StreamingOps {
       .dropDuplicates("event_id")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"))
-    runToTable(s, deduped, "stream_dedup_ids").orderBy("event_type")
+    runToTable(s, deduped, "stream_dedup_ids", d).orderBy("event_type")
   }
 
   val streamDedupIdsSql: String =

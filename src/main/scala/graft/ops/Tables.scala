@@ -35,8 +35,11 @@ object Tables {
     * compensates for with date_trunc('microseconds', ts). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // floor division, not `div` (truncate-toward-zero): DuckDB's
+    // date_trunc('microseconds') floors, and the two disagree by 1µs on
+    // pre-epoch timestamps with sub-µs nanos
     t(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

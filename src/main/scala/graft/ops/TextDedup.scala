@@ -263,8 +263,16 @@ object TextDedup {
       // unrounded-vs-rounded boundary can't evict a true top-k pair);
       // min-heap on the raw score — no per-pair allocation or rounding.
       val bound = 4 * k
-      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](
-        Ordering.by[(Double, Long, Long), Double](_._1).reverse)
+      // full ordering (score desc, then ids asc) so ties evict
+      // deterministically — with many exactly-tied pairs (duplicate
+      // embeddings are this operator's expected input) a raw-score
+      // comparison would keep arrival-order survivors and make the
+      // final top-k depend on partition layout
+      val keepOrder: Ordering[(Double, Long, Long)] =
+        Ordering.by[(Double, Long, Long), (Double, Long, Long)] {
+          case (c, a, b) => (-c, a, b)
+        }
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](keepOrder)
       iter.foreach { case (idA, va) =>
         val na = math.sqrt(dotLoop(va, va))
         var i = 0
@@ -272,8 +280,9 @@ object TextDedup {
           val t = all(i)
           if (t._1 > idA) {
             val c = dotLoop(va, t._2) / (na * t._3)
-            if (heap.size < bound) heap.enqueue((c, idA, t._1))
-            else if (c > heap.head._1) { heap.dequeue(); heap.enqueue((c, idA, t._1)) }
+            val cand = (c, idA, t._1)
+            if (heap.size < bound) heap.enqueue(cand)
+            else if (keepOrder.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
           }
           i += 1
         }
