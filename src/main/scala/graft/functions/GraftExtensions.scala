@@ -27,5 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "cosine_similarity takes exactly 2 arguments")
         CosineSimilarity(exprs.head, exprs(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("hamming_distance"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "hamming_distance takes exactly 2 arguments")
+        HammingDistance(exprs.head, exprs(1))
+      }))
   }
 }

@@ -121,7 +121,7 @@ object TextDedup {
     * Implemented as 64 conditional-sum aggregates in a single groupBy
     * (no explode — whole-stage-codegen'd, one shuffle on doc_id with
     * map-side combine; at 100 TB the shuffle carries 64 longs per doc). */
-  val dedupSimhash: Q = (s, d) => {
+  private def simhashDf(s: SparkSession, d: String): DataFrame = {
     val wc = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy("doc_id", "word")
@@ -135,10 +135,13 @@ object TextDedup {
     }
     val sums = wc.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val fp = concat((1 to 64).map(j => when(col(s"s$j") > 0, lit("1")).otherwise(lit("0"))): _*)
-    sums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+    sums.select(col("doc_id"), fp.as("simhash"))
   }
 
-  val dedupSimhashSql: String = {
+  val dedupSimhash: Q = (s, d) => simhashDf(s, d).orderBy("doc_id")
+
+  /** Simhash computation as a CTE-embeddable SELECT (no ORDER BY). */
+  private val simhashCoreSql: String = {
     val sums = (1 to 64).map { j =>
       val p = (j - 1) / 4 + 1
       val shift = 3 - ((j - 1) % 4)
@@ -154,8 +157,55 @@ object TextDedup {
        |         $sums
        |  FROM wc GROUP BY doc_id)
        |SELECT doc_id, concat($cases) AS simhash
-       |FROM sums ORDER BY doc_id""".stripMargin
+       |FROM sums""".stripMargin
   }
+
+  val dedupSimhashSql: String = simhashCoreSql + "\nORDER BY doc_id"
+
+  /** dedup-simhash-pairs — verified SimHash near-dups via Hamming-LSH:
+    * the 64-bit fingerprint splits into 4 chunks of 16; by pigeonhole,
+    * any pair within Hamming distance 3 shares at least one unchanged
+    * chunk, so candidates come from a chunk-key self-join (never
+    * corpus²) and are verified with the native codegen hamming_distance
+    * expression (graft.functions.HammingDistance). */
+  val dedupSimhashPairs: Q = (s, d) => {
+    graft.functions.HammingDistance.register(s)
+    // persist: the fingerprint table feeds 4 chunk projections and two
+    // verify-join sides
+    val sh = simhashDf(s, d).persist()
+    val chunks = (0 until 4).map { c =>
+      sh.select(col("doc_id"), lit(c).cast(IntegerType).as("chunk_idx"),
+        substring(col("simhash"), c * 16 + 1, 16).as("chunk"))
+    }.reduce(_.unionAll(_))
+    val a = chunks.select(col("doc_id").as("doc_a"), col("chunk_idx"), col("chunk"))
+    val b = chunks.select(col("doc_id").as("doc_b"), col("chunk_idx"), col("chunk"))
+    val cand = a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b")), Seq("doc_b"))
+      .withColumn("hamming", expr("hamming_distance(fp_a, fp_b)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSimhashPairsSql: String =
+    s"""WITH sh AS ($simhashCoreSql),
+       |chunks AS (
+       |  SELECT doc_id, c AS chunk_idx, substring(simhash, c * 16 + 1, 16) AS chunk
+       |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c) t),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(mismatches(sa.simhash, sb.simhash) AS INT) AS hamming
+       |FROM cand
+       |JOIN sh sa ON sa.doc_id = doc_a
+       |JOIN sh sb ON sb.doc_id = doc_b
+       |WHERE mismatches(sa.simhash, sb.simhash) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** dedup-ngram-jaccard — verified near-dup pairs: distinct word
     * 3-gram sets, document-frequency cap (stop-shingle removal, the
@@ -307,6 +357,7 @@ object TextDedup {
     "dedup-exact" -> dedupExact,
     "dedup-minhash-lsh" -> dedupMinhashLsh,
     "dedup-simhash" -> dedupSimhash,
+    "dedup-simhash-pairs" -> dedupSimhashPairs,
     "dedup-ngram-jaccard" -> dedupNgramJaccard,
     "dedup-embedding-cosine" -> dedupEmbeddingCosine)
 
@@ -314,6 +365,7 @@ object TextDedup {
     "dedup-exact" -> dedupExactSql,
     "dedup-minhash-lsh" -> dedupMinhashLshSql,
     "dedup-simhash" -> dedupSimhashSql,
+    "dedup-simhash-pairs" -> dedupSimhashPairsSql,
     "dedup-ngram-jaccard" -> dedupNgramJaccardSql,
     "dedup-embedding-cosine" -> dedupEmbeddingCosineSql)
 }
