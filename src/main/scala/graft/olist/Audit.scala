@@ -80,7 +80,13 @@ class Audit(spark: SparkSession, warehouse: String) {
     * (`03_load_csv_to_bronze.sql:121-125`). */
   def runSummary(): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("run_id")).orderBy(col("logged_at").desc, col("status"))
+    // terminal states (SUCCESS/FAILED) outrank STARTED at the same
+    // millisecond — a raw status sort would report an in-flight state as
+    // latest when the start and finish events share a timestamp
+    // (SUCCESS and FAILED are mutually exclusive per run, so ranking
+    // terminal-vs-start is a total tiebreak)
+    val terminalFirst = when(col("status") === "STARTED", 0).otherwise(1).desc
+    val w = Window.partitionBy(col("run_id")).orderBy(col("logged_at").desc, terminalFirst)
     spark.read.schema(schema).parquet(path)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")

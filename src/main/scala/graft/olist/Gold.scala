@@ -11,12 +11,12 @@ import Functions._
   *
   * Surrogate keys: the reference's IDENTITY(1,1) + reseed
   * (`06_create_gold_tables.sql:55` etc., `07:198,291`) becomes a
-  * deterministic dense row_number over the natural key — reproducible
-  * across reruns, which IDENTITY insert order is not (SURVEY §7 hard
-  * part 1). The global row_number is a single-partition window: correct
-  * for dimension-sized tables; for the fact SKs at true 100 TB scale the
-  * swap-in is zipWithIndex-per-partition + offset (noted, not needed at
-  * Olist cardinalities where the largest table is ~113k rows).
+  * deterministic dense key in natural-key order — reproducible across
+  * reruns, which IDENTITY insert order is not (SURVEY §7 hard part 1).
+  * Assignment is partition-offset (graft.functions.SurrogateKeys: range
+  * partition + local sort + zipWithIndex) for dims and facts alike — no
+  * single-partition global window anywhere in the gold build, so the
+  * same code survives fact tables that outgrow one task.
   *
   * Join strategy: product/seller dims are broadcast (33k/3.1k rows);
   * orders⨝dim_customer and items⨝fact_orders are key-partitioned shuffle
@@ -24,9 +24,10 @@ import Functions._
   */
 object Gold {
 
+  // INT SK for reference parity (INT IDENTITY); appended as the last
+  // column, matching the previous withColumn position.
   private def sk(name: String, orderCols: Seq[String]): (DataFrame => DataFrame) =
-    df => df.withColumn(name,
-      row_number().over(Window.orderBy(orderCols.map(col): _*)).cast(IntegerType))
+    df => graft.functions.SurrogateKeys.withSk(df, name, orderCols, IntegerType)
 
   // ── dim_date (07:11-86) ──────────────────────────────────────────────────
 
@@ -166,7 +167,11 @@ object Gold {
       catch { case _: Throwable => false }
     }
     val dateResult =
-      if (dimDateLoaded) Seq("dim_date" -> -1L)  // guard: skip rebuild (07:18-22)
+      if (dimDateLoaded)
+        // guard: skip rebuild (07:18-22) but report the real existing row
+        // count (cheap: parquet footer metadata, no data scan) — a -1
+        // sentinel in a row-count map misleads the audit consumers
+        Seq("dim_date" -> spark.read.parquet(dimDatePath).count())
       else Seq(write("dim_date", dimDate(spark)))
 
     val results = dateResult ++ Seq(

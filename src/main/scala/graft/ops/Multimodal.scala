@@ -65,6 +65,12 @@ object Multimodal {
   val mmFrameSample: Q = (s, d) =>
     documents(s, d)
       .select(col("doc_id"), col("text"))
+      // zero-length payload has no frames. Load-bearing guard, mirrored
+      // in the oracle: for empty text Spark's sequence(0, -1) defaults to
+      // step -1 and yields [0, -1] (a phantom frame row) while DuckDB's
+      // generate_series(0, -1) yields nothing — the engines diverge
+      // exactly on empty documents without this filter.
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, CAST(floor((length(text) - 1) / 32.0) AS INT)), i -> substring(text, i * 32 + 1, 32))"))
@@ -81,7 +87,7 @@ object Multimodal {
       |       CAST(length(substring(text, i * 32 + 1, 32)) AS BIGINT) AS frame_len
       |FROM documents,
       |     LATERAL (SELECT unnest(generate_series(0, CAST(floor((length(text) - 1) / 32.0) AS INT))) AS i) t
-      |WHERE i % 4 = 0
+      |WHERE length(text) > 0 AND i % 4 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
   /** mm-resize-stub — resize planning: given decoded (width, height)

@@ -15,15 +15,19 @@ import Tables._
 object RelJoins {
 
   /** Deterministic surrogate-key dimension: reference IDENTITY(1,1)
-    * (`06_create_gold_tables.sql:55` etc.) re-expressed as row_number over
-    * the natural key (SURVEY §7 hard part 1 — never
-    * monotonically_increasing_id, which is partition-dependent).
-    * NOTE single-direction scalability: a global row_number is a 1-partition
-    * window; fine for dims (≤millions of rows), never used on facts. */
+    * (`06_create_gold_tables.sql:55` etc.) re-expressed as dense keys in
+    * natural-key order (SURVEY §7 hard part 1 — never
+    * monotonically_increasing_id, which is partition-dependent). The
+    * customer dim grows with the fact data, so assignment is the
+    * partition-offset pattern (SurrogateKeys.withSk: range partition +
+    * local sort + zipWithIndex), not a single-partition global window. */
   private def dimCustomer(s: SparkSession, d: String): DataFrame =
-    customer(s, d).select(
-      row_number().over(Window.orderBy(col("c_custkey"))).cast(LongType).as("customer_sk"),
-      col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+    graft.functions.SurrogateKeys.withSk(
+      customer(s, d).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment")),
+      "customer_sk", Seq("c_custkey"))
+      .select(col("customer_sk"),
+        col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
 
   /** join-left-translate — reference `sp_load_silver_products.sql:48-50`
     * (products ⟕ category_translation on a *trimmed expression* key).
@@ -63,10 +67,12 @@ object RelJoins {
 
   /** join-sk-customer — reference `07_etl_silver_to_gold.sql:234-235`
     * (fact_orders resolves customer_sk from the natural key; INNER join
-    * drops orphans by construction = FK enforcement). Dim broadcast. */
+    * drops orphans by construction = FK enforcement). The customer dim is
+    * order-cardinality — it is NOT broadcast (a broadcast that works at
+    * sf0.1 OOMs the driver at 100×); both sides shuffle on the key. */
   val joinSkCustomer: Q = (s, d) => {
     val o = orders(s, d)
-    o.join(broadcast(dimCustomer(s, d)), o("o_custkey") === col("c_custkey"), "inner")
+    o.join(dimCustomer(s, d), o("o_custkey") === col("c_custkey"), "inner")
       .select(
         col("o_orderkey"), col("customer_sk"),
         col("o_orderdate").cast(DateType).as("order_date"),
@@ -114,12 +120,15 @@ object RelJoins {
 
   /** join-sk-reviews — reference `07_etl_silver_to_gold.sql:316-317`
     * (fact_reviews ⨝ fact_orders on the natural key to inherit the SK).
-    * events ⨝ a row_number'd user dim built from events itself. */
+    * events ⨝ a user dim built from events itself. The user dim scales
+    * with the event stream, so SKs come from the partition-offset
+    * assigner and the join shuffles on the key (no broadcast). */
   val joinSkReviews: Q = (s, d) => {
     val ev = events(s, d)
-    val dimUser = ev.select(col("user_id")).distinct()
-      .select(row_number().over(Window.orderBy(col("user_id"))).cast(LongType).as("user_sk"), col("user_id"))
-    ev.join(broadcast(dimUser), Seq("user_id"), "inner")
+    val dimUser = graft.functions.SurrogateKeys.withSk(
+      ev.select(col("user_id")).distinct(), "user_sk", Seq("user_id"))
+      .select(col("user_sk"), col("user_id"))
+    ev.join(dimUser, Seq("user_id"), "inner")
       .groupBy(col("user_sk"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         outNum(sum(dec2(col("value")))).as("total_value"))

@@ -97,13 +97,19 @@ object RelSetGen {
 
   /** sk-identity — reference IDENTITY(1,1) surrogate keys
     * (`06_create_gold_tables.sql:55,70,86,100,128,147`; reseed `07:198`).
-    * Deterministic row_number over the natural key; dense 1..N by
-    * construction, reproducible across reruns (= reseed semantics). */
+    * Dense 1..N in natural-key order, reproducible across reruns
+    * (= reseed semantics). Assignment is the partition-offset pattern
+    * (SurrogateKeys.withSk — range partition + local sort + zipWithIndex),
+    * not a single-partition global window: the part table scales with the
+    * warehouse, and the oracle stays the plain row_number window SQL. */
   val skIdentity: Q = (s, d) =>
-    part(s, d).select(
-      row_number().over(Window.orderBy(col("p_partkey"))).cast(LongType).as("product_sk"),
-      col("p_partkey"), col("p_brand"), col("p_type"),
-      col("p_retailprice").as("retail_price"))
+    graft.functions.SurrogateKeys.withSk(
+      part(s, d).select(
+        col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_retailprice").as("retail_price")),
+      "product_sk", Seq("p_partkey"))
+      .select(col("product_sk"), col("p_partkey"), col("p_brand"), col("p_type"),
+        col("retail_price"))
       .orderBy("product_sk")
 
   val skIdentitySql: String =

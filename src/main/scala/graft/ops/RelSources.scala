@@ -153,12 +153,14 @@ object RelSources {
     * 1..N keys — demonstrated by writing the fact twice and grading the
     * second load's output. */
   val sinkDeleteInsert: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val out = tmp("sink-delete-insert", d)
+    // fact-cardinality SK: partition-offset assignment, never a global
+    // single-partition window (orders grows with the warehouse)
     def buildFact(): Unit =
-      orders(s, d).select(
-        row_number().over(Window.orderBy(col("o_orderkey"))).cast(LongType).as("order_sk"),
-        col("o_orderkey"), col("o_orderstatus"))
+      graft.functions.SurrogateKeys.withSk(
+        orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+        "order_sk", Seq("o_orderkey"))
+        .select(col("order_sk"), col("o_orderkey"), col("o_orderstatus"))
         .write.mode(SaveMode.Overwrite).parquet(out)
     buildFact()  // initial load
     buildFact()  // reload: DELETE + reseed + INSERT ≡ overwrite, SKs identical

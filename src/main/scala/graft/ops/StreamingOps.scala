@@ -24,9 +24,13 @@ object StreamingOps {
     val srcDir = new java.io.File(s"/tmp/graft-ops/stream-src-${d.replaceAll("[^A-Za-z0-9]", "_")}")
     srcDir.mkdirs()
     val staged = new java.io.File(srcDir, "events.parquet")
-    if (!staged.exists())
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"), staged.toPath)
+    // always overwrite: an exists() guard would silently keep serving a
+    // stale copy if the dataset at the same path were regenerated, and
+    // the copy is cheap relative to the query (checkpoints are wiped per
+    // run, so replay always starts from the staged file as it is now)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"), staged.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val base = new StructType()
       .add("event_id", LongType).add("user_id", LongType)
       .add("event_type", StringType).add("value", DoubleType)
@@ -139,10 +143,11 @@ object StreamingOps {
     val srcDir = new java.io.File(
       s"/tmp/graft-ops/stream-src-dup-${d.replaceAll("[^A-Za-z0-9]", "_")}")
     srcDir.mkdirs()
+    // always overwrite (same staleness guard as streamEvents)
     Seq("events_a.parquet", "events_b.parquet").foreach { n =>
       val staged = new java.io.File(srcDir, n)
-      if (!staged.exists())
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"), staged.toPath)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"), staged.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     val schema = new StructType()
       .add("event_id", LongType).add("event_type", StringType)

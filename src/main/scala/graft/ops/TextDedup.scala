@@ -288,56 +288,80 @@ object TextDedup {
       .withColumn("nv", sqrt(dotFold("v", "v")))
 
   /** dedup-embedding-cosine — embedding near-dup: top-20 most similar
-    * vector pairs by cosine. Physical strategy: broadcast the (small)
-    * corpus, then mapPartitions with a primitive-array kernel — each
-    * partition scores its vectors against all higher-id vectors and
-    * keeps a local top-k, so only |partitions|×k candidate rows reach
-    * the final global top-k. A DataFrame crossJoin materializes every
-    * pair with both 64-double arrays copied (~2 GB at bench scale,
-    * interpreted lambdas on top) — measured 30-45s vs ~1s for this
-    * kernel. For corpora too big to broadcast, the scale path is
-    * block-partitioned pairwise (grid join) or the LSH/IVF candidate
-    * generation in `ann-ivf`. */
+    * vector pairs by cosine, computed EXACTLY with a block-partitioned
+    * grid join — no driver-side collect, no broadcast of the corpus:
+    *
+    *  - each vector lands in block b = vec_id % B; the B(B+1)/2
+    *    unordered block pairs (i ≤ j) are the grid cells, and every
+    *    vector pair belongs to exactly one cell — so per-cell scoring
+    *    covers all pairs exactly once, with no corpus² shuffle (each
+    *    vector is replicated to its B cells: shuffle volume B×|corpus|);
+    *  - a cell's task buffers only its two blocks (≤ 2·|corpus|/B
+    *    vectors) and runs the primitive-array dot-product kernel with a
+    *    bounded top-k heap, so task memory shrinks as B grows — at
+    *    100 TB you raise B (cells ≈ a few × cluster cores) and no
+    *    single task ever holds the corpus, unlike the broadcast/collect
+    *    variant this replaced (driver OOM at scale);
+    *  - only |cells|×k candidate rows reach the global top-k.
+    *
+    * The heap evicts on the ROUNDED score (round9) with id tiebreaks —
+    * exactly the final ORDER BY — so per-cell top-k composes to the
+    * global top-k with no margin needed. For an approximate variant at
+    * extreme scale, LSH/IVF candidate generation (`ann-lsh-bucket` /
+    * `ann-ivf`) replaces the grid; the grid is the exact path. */
   val dedupEmbeddingCosine: Q = (s, d) => {
     import s.implicits._
     val k = 20
+    val B = 8 // grid blocks → 36 cells; raise with cluster size
     val e = embeddings(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .as[(Long, Array[Double])]
-    val corpus = e.collect().sortBy(_._1)
-      .map { case (id, v) => (id, v, math.sqrt(dotLoop(v, v))) }
-    val bc = s.sparkContext.broadcast(corpus)
-    val cand = e.mapPartitions { iter =>
-      val all = bc.value
-      // bounded top-N per partition (N=4k margin over the final k so the
-      // unrounded-vs-rounded boundary can't evict a true top-k pair);
-      // min-heap on the raw score — no per-pair allocation or rounding.
-      val bound = 4 * k
-      // full ordering (score desc, then ids asc) so ties evict
-      // deterministically — with many exactly-tied pairs (duplicate
-      // embeddings are this operator's expected input) a raw-score
-      // comparison would keep arrival-order survivors and make the
-      // final top-k depend on partition layout
-      val keepOrder: Ordering[(Double, Long, Long)] =
-        Ordering.by[(Double, Long, Long), (Double, Long, Long)] {
-          case (c, a, b) => (-c, a, b)
-        }
+    val placed = e.flatMap { case (id, v) =>
+      val nrm = math.sqrt(dotLoop(v, v))
+      val b = (id % B).toInt
+      (0 until B).map { o =>
+        val (i, j) = if (o < b) (o, b) else (b, o)
+        (i * B + j, id, v, nrm)
+      }
+    }
+    // full ordering (rounded score desc, then ids asc) mirrors the final
+    // ORDER BY, so ties — duplicate embeddings are this operator's
+    // expected input — evict deterministically and per-cell top-k is a
+    // congruent sub-order of the global top-k
+    val keepOrder: Ordering[(Double, Long, Long)] =
+      Ordering.by[(Double, Long, Long), (Double, Long, Long)] {
+        case (c, a, b) => (-c, a, b)
+      }
+    val cand = placed.groupByKey(_._1).flatMapGroups { (cell, iter) =>
+      val i = cell / B; val j = cell % B
+      val rows = iter.toArray
+      // split the cell's members into its two blocks (diagonal: one)
+      val left = if (i == j) rows else rows.filter(r => (r._2 % B).toInt == i)
+      val right = if (i == j) rows else rows.filter(r => (r._2 % B).toInt == j)
       val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](keepOrder)
-      iter.foreach { case (idA, va) =>
-        val na = math.sqrt(dotLoop(va, va))
-        var i = 0
-        while (i < all.length) {
-          val t = all(i)
-          if (t._1 > idA) {
-            val c = dotLoop(va, t._2) / (na * t._3)
-            val cand = (c, idA, t._1)
-            if (heap.size < bound) heap.enqueue(cand)
-            else if (keepOrder.lt(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
-          }
-          i += 1
+      def offer(x: (Int, Long, Array[Double], Double), y: (Int, Long, Array[Double], Double)): Unit = {
+        val (a, b) = if (x._2 < y._2) (x, y) else (y, x)
+        val c = round9(dotLoop(a._3, b._3) / (a._4 * b._4))
+        val candPair = (c, a._2, b._2)
+        if (heap.size < k) heap.enqueue(candPair)
+        else if (keepOrder.lt(candPair, heap.head)) { heap.dequeue(); heap.enqueue(candPair) }
+      }
+      if (i == j) {
+        var p = 0
+        while (p < rows.length) {
+          var q = p + 1
+          while (q < rows.length) { offer(rows(p), rows(q)); q += 1 }
+          p += 1
+        }
+      } else {
+        var p = 0
+        while (p < left.length) {
+          var q = 0
+          while (q < right.length) { offer(left(p), right(q)); q += 1 }
+          p += 1
         }
       }
-      heap.iterator.map { case (c, a, b) => (a, b, round9(c)) }
+      heap.iterator.map { case (c, a, b) => (a, b, c) }
     }
     cand.toDF("vec_a", "vec_b", "cosine")
       .orderBy(desc("cosine"), col("vec_a"), col("vec_b"))

@@ -84,7 +84,9 @@ class PipelineSpec extends SparkTestBase {
     Fixtures.writeAll(csvDir)
     val again = Orchestrator.runAll(spark, csvDir, wh)
     assert(again.goldRows("fact_orders") == first.goldRows("fact_orders"))
-    assert(again.goldRows("dim_date") == -1L) // already-loaded guard skipped rebuild
+    // already-loaded guard skipped the rebuild but still reports the real
+    // existing row count (2557 days + sentinel), not a -1 sentinel
+    assert(again.goldRows("dim_date") == 2558L)
     assert(again.qa.totalRevenue.compareTo(first.qa.totalRevenue) == 0)
     val fo = Gold.table(spark, wh, "fact_orders")
     assert(fo.select("order_sk").collect().map(_.getInt(0)).sorted.sameElements(1 to 4))

@@ -53,6 +53,46 @@ class SilverSpec extends SparkTestBase {
     assert(once.distinct().count() == once.count())
   }
 
+  test("accentFoldLower: CI_AI collation parity over the full Portuguese diacritic set") {
+    // The reference groups city names under SQL_Latin1_General_CP1_CI_AI
+    // (`sp_load_silver_geolocation.sql:32,42`) — case- AND
+    // accent-insensitive. Parity oracle: Unicode NFD decomposition with
+    // combining marks stripped, lowercased (java.text.Normalizer) — an
+    // independent implementation of the same fold classes for the
+    // Latin-1 range the collation covers.
+    def ciAiRef(s: String): String =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}", "").toLowerCase
+    val fixture = Seq(
+      // every mapped diacritic, lowercase and uppercase, incl. the
+      // ü/ñ/ý edge chars (Latin-1 letters rare-but-legal in pt-BR text)
+      "áàâãä", "ÁÀÂÃÄ", "éèêë", "ÉÈÊË", "íìîï", "ÍÌÎÏ",
+      "óòôõö", "ÓÒÔÕÖ", "úùûü", "ÚÙÛÜ", "ç", "Ç", "ñ", "Ñ", "ý", "Ý",
+      // real city-name variants the Olist geolocation table carries
+      "São Paulo", "SAO PAULO", "sao paulo", "sÃo paulo",
+      "Brasília", "BRASILIA", "brasilia",
+      "Paraná", "parana", "PARANÁ",
+      "Goiânia", "goiania", "Maceió", "maceio",
+      "Vitória", "vitoria", "São Luís", "sao luis",
+      "Cuiabá", "cuiaba", "Florianópolis", "florianopolis",
+      "Belém", "belem", "Itaúna", "itauna",
+      "mogi-guaçu", "MOGI-GUAÇU", "Canindé de São Francisco")
+    import spark.implicits._
+    val folded = fixture.toDF("city")
+      .select(col("city"), Functions.accentFoldLower(col("city")).as("folded"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // per-string parity with the independent fold
+    fixture.foreach { s =>
+      assert(folded(s) == ciAiRef(s), s"fold('$s'): got '${folded(s)}', want '${ciAiRef(s)}'")
+    }
+    // grouping parity: two variants land in the same group exactly when
+    // the reference's CI_AI GROUP BY would merge them
+    fixture.combinations(2).foreach { case Seq(a, b) =>
+      assert((folded(a) == folded(b)) == (ciAiRef(a) == ciAiRef(b)),
+        s"group parity broken for '$a' vs '$b'")
+    }
+  }
+
   test("orders: lower(status), try-timestamp NULL on garbage, computed cols") {
     val out = Silver.orders(bronzeDf("olist_orders")).cache()
     assert(out.count() == 4)
