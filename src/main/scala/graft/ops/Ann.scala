@@ -193,13 +193,46 @@ object Ann {
        |ORDER BY vec_id""".stripMargin
   }
 
+  private val RangeTau = 0.3 // similarity floor for range search
+
+  /** ann-range-search — threshold similarity search (the retrieval dual
+    * of top-k): ALL corpus vectors within cosine ≥ τ of each query, no
+    * rank cutoff — the shape used for near-duplicate harvesting and
+    * retrieval-augmented filtering where recall matters more than k.
+    * Same broadcast-query × partitioned-corpus plan as the brute-force
+    * top-k (|Q|×|corpus|, never corpus²); the τ filter runs inside the
+    * codegen'd cosine pass, so no candidate materialization. τ is
+    * applied to the 9-dp-rounded score on both engines, keeping the
+    * boundary bit-stable. */
+  val annRangeSearch: Q = (s, d) => {
+    val all = vecs(s, d)
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    broadcast(q).crossJoin(all)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cos("qv", "v").as("cosine"))
+      .filter(col("cosine") >= RangeTau)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val annRangeSearchSql: String =
+    s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |       ${cosSql("q.embedding", "c.embedding")} AS cosine
+       |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |WHERE q.vec_id < $NumQueries
+       |  AND ${cosSql("q.embedding", "c.embedding")} >= $RangeTau
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann-topk-bruteforce" -> annTopkBruteforce,
     "ann-ivf" -> annIvf,
-    "ann-lsh-bucket" -> annLshBucket)
+    "ann-lsh-bucket" -> annLshBucket,
+    "ann-range-search" -> annRangeSearch)
 
   val oracles: Map[String, String] = Map(
     "ann-topk-bruteforce" -> annTopkBruteforceSql,
     "ann-ivf" -> annIvfSql,
-    "ann-lsh-bucket" -> annLshBucketSql)
+    "ann-lsh-bucket" -> annLshBucketSql,
+    "ann-range-search" -> annRangeSearchSql)
 }

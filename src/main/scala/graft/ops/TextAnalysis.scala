@@ -207,13 +207,111 @@ object TextAnalysis {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** text-repetition — Gopher/MassiveText-style repetition signals, the
+    * standard quality gate against degenerate (looping) documents:
+    * top-word fraction, top-bigram fraction, duplicate-trigram fraction.
+    * All three are single int/int→double divisions of exact counts, so
+    * both engines produce identical bits. Shape: explode → two-level
+    * groupBy (map-side combined) keyed on doc — shuffle volume is
+    * |docs × distinct grams|, narrow joins back on doc_id. */
+  val textRepetition: Q = (s, d) => {
+    val w = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+    val words = w.select(col("doc_id"), explode(col("w")).as("word"))
+    val nWords = words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+    val topWord = words.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_word"))
+    val bigrams = w.select(col("doc_id"),
+      explode(expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")).as("g"))
+    val topBigram = bigrams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram"))
+    val triDistinct = w.select(col("doc_id"),
+      explode(expr("transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("g"))
+      .groupBy("doc_id").agg(countDistinct(col("g")).as("distinct_tri"))
+    nWords.join(topWord, Seq("doc_id")).join(topBigram, Seq("doc_id"))
+      .join(triDistinct, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        (col("top_word") * lit(1.0) / col("n_words")).as("top_word_frac"),
+        (col("top_bigram") * lit(1.0) / (col("n_words") - 1)).as("top_bigram_frac"),
+        ((col("n_words") - 2 - col("distinct_tri")) * lit(1.0) / (col("n_words") - 2))
+          .as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |words AS (SELECT doc_id, unnest(w) AS word FROM w),
+      |n AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
+      |tw AS (SELECT doc_id, max(c) AS top_word FROM (
+      |         SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word)
+      |       GROUP BY doc_id),
+      |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t),
+      |tb AS (SELECT doc_id, max(c) AS top_bigram FROM (
+      |         SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+      |       GROUP BY doc_id),
+      |tri AS (SELECT doc_id, count(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS distinct_tri
+      |        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+      |        GROUP BY doc_id)
+      |SELECT doc_id, n_words,
+      |       top_word * 1.0 / n_words AS top_word_frac,
+      |       top_bigram * 1.0 / (n_words - 1) AS top_bigram_frac,
+      |       (n_words - 2 - distinct_tri) * 1.0 / (n_words - 2) AS dup_trigram_frac
+      |FROM n JOIN tw USING (doc_id) JOIN tb USING (doc_id) JOIN tri USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** text-contamination — benchmark decontamination: training documents
+    * sharing any 5-word-gram with the held-out eval set (docs with
+    * doc_id % 20 == 0 stand in for it) are flagged with their shared
+    * distinct-gram count. Grams join on 16-hex digests (fixed-width
+    * shuffle keys, same trick as dedup-ngram-jaccard); the eval side is
+    * dim-sized and broadcastable, so at 100 TB this is one narrow scan
+    * of the corpus + a broadcast semi-join — the shape of every
+    * decontamination pass in LLM data pipelines (real deployments use
+    * 8-13-gram windows; 5 here because the synthetic vocabulary is
+    * tiny). */
+  val textContamination: Q = (s, d) => {
+    val grams = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 5), i -> concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4]))")).as("g"))
+      .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("g"))
+      .distinct().persist()
+    val evalGrams = grams.filter(col("doc_id") % 20 === 0).select("g").distinct()
+    grams.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  val textContaminationSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |         substring(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 16) AS g
+      |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) t),
+      |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+      |SELECT doc_id, count(*) AS n_shared_grams
+      |FROM grams JOIN ev USING (g)
+      |WHERE doc_id % 20 <> 0
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text-hash-split" -> textHashSplit,
     "text-normalize" -> textNormalize,
     "text-langid" -> textLangid,
     "text-quality" -> textQuality,
     "text-tokencount" -> textTokencount,
-    "text-fingerprint" -> textFingerprint)
+    "text-fingerprint" -> textFingerprint,
+    "text-repetition" -> textRepetition,
+    "text-contamination" -> textContamination)
 
   val oracles: Map[String, String] = Map(
     "text-hash-split" -> textHashSplitSql,
@@ -221,5 +319,7 @@ object TextAnalysis {
     "text-langid" -> textLangidSql,
     "text-quality" -> textQualitySql,
     "text-tokencount" -> textTokencountSql,
-    "text-fingerprint" -> textFingerprintSql)
+    "text-fingerprint" -> textFingerprintSql,
+    "text-repetition" -> textRepetitionSql,
+    "text-contamination" -> textContaminationSql)
 }

@@ -74,19 +74,44 @@ object TextDedup {
     * signature build is a single groupBy with 12 min() columns: ONE
     * shuffle of |docs|×12 short strings, no seed-explosion, no second
     * aggregation. */
-  val dedupMinhashLsh: Q = (s, d) => {
+  /** MinHash LSH band-bucket table (doc_id, band, bk), shared by the
+    * self-join dedup and the incremental (shard-vs-corpus) dedup. The
+    * signature table is persisted — it feeds 4 band projections and the
+    * downstream join(s); without it the whole shingle+digest pipeline
+    * re-executes 8×. */
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
     val hashed = shingles(s, d).select(col("doc_id"),
       concat(md5(col("sh")), md5(concat(lit("#"), col("sh")))).as("h"))
     val minCols = (1 to Seeds).map(j =>
       min(substring(col("h"), (j - 1) * 5 + 1, 5)).as(s"m$j"))
-    // persist: the signature feeds 4 band projections and a self-join —
-    // without it the whole shingle+digest pipeline re-executes 8×
     val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).persist()
-    val bands = (0 until Seeds / BandSize).map { b =>
+    (0 until Seeds / BandSize).map { b =>
       sig.select(col("doc_id"), lit(b).cast(IntegerType).as("band"),
         md5(concat_ws(",",
           col(s"m${BandSize * b + 1}"), col(s"m${BandSize * b + 2}"), col(s"m${BandSize * b + 3}"))).as("bk"))
     }.reduce(_.unionAll(_))
+  }
+
+  /** The same band table as a SQL CTE chain (through `bands`). */
+  private val minhashBandsCte: String = {
+    val minCols = (1 to Seeds)
+      .map(j => s"min(substring(h, ${(j - 1) * 5 + 1}, 5)) AS m$j").mkString(",\n         ")
+    val bandSelects = (0 until Seeds / BandSize).map { b =>
+      s"SELECT doc_id, $b AS band, md5(m${BandSize * b + 1} || ',' || m${BandSize * b + 2} || ',' || m${BandSize * b + 3}) AS bk FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$shinglesSql,
+       |hashed AS (
+       |  SELECT doc_id, md5(sh) || md5('#' || sh) AS h FROM shingles),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $minCols
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
+  val dedupMinhashLsh: Q = (s, d) => {
+    val bands = minhashBands(s, d)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bk"))
     a.join(b, Seq("band", "bk"))
@@ -95,26 +120,53 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val dedupMinhashLshSql: String = {
-    val minCols = (1 to Seeds)
-      .map(j => s"min(substring(h, ${(j - 1) * 5 + 1}, 5)) AS m$j").mkString(",\n         ")
-    val bandSelects = (0 until Seeds / BandSize).map { b =>
-      s"SELECT doc_id, $b AS band, md5(m${BandSize * b + 1} || ',' || m${BandSize * b + 2} || ',' || m${BandSize * b + 3}) AS bk FROM sig"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH $shinglesSql,
-       |hashed AS (
-       |  SELECT doc_id, md5(sh) || md5('#' || sh) AS h FROM shingles),
-       |sig AS (
-       |  SELECT doc_id,
-       |         $minCols
-       |  FROM hashed GROUP BY doc_id),
-       |bands AS (
-       |  $bandSelects),
+  val dedupMinhashLshSql: String =
+    s"""WITH $minhashBandsCte,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** dedup-incremental — the production shape of corpus dedup: a NEW
+    * shard (here docs with doc_id % 5 == 0, standing in for the latest
+    * crawl) is checked against the EXISTING corpus (the rest) for
+    * near-duplicates via the shared MinHash LSH band buckets, without
+    * ever pairing the corpus with itself. Every incoming doc is
+    * reported with an is_known flag and its lowest-id existing match —
+    * keep the 0s, quarantine the 1s. At 100 TB the existing side's band
+    * table is a precomputed artifact updated per ingest; the join is
+    * shard × bucket-mates, never shard × corpus. */
+  val dedupIncremental: Q = (s, d) => {
+    val incoming = col("doc_id") % 5 === 0
+    val bands = minhashBands(s, d)
+    val inc = bands.filter(incoming)
+    val ex = bands.filter(!incoming).select(
+      col("doc_id").as("ex_doc"), col("band"), col("bk"))
+    val matches = inc.join(ex, Seq("band", "bk"))
+      .groupBy("doc_id").agg(min(col("ex_doc")).as("matched_existing"))
+    documents(s, d).filter(incoming).select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("matched_existing").isNotNull, 1).otherwise(0)
+          .cast(IntegerType).as("is_known"),
+        col("matched_existing"))
+      .orderBy("doc_id")
   }
+
+  val dedupIncrementalSql: String =
+    s"""WITH $minhashBandsCte,
+       |matches AS (
+       |  SELECT a.doc_id, min(b.doc_id) AS matched_existing
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bk = b.bk AND b.doc_id % 5 <> 0
+       |  WHERE a.doc_id % 5 = 0
+       |  GROUP BY a.doc_id)
+       |SELECT d.doc_id AS doc_id,
+       |       CAST(CASE WHEN matched_existing IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_known,
+       |       matched_existing
+       |FROM documents d LEFT JOIN matches ON d.doc_id = matches.doc_id
+       |WHERE d.doc_id % 5 = 0
+       |ORDER BY d.doc_id""".stripMargin
 
   /** dedup-simhash — 64-bit SimHash fingerprint per document: per-bit
     * majority vote over md5(word) bit vectors, weighted by word count.
@@ -380,6 +432,7 @@ object TextDedup {
   val queries: Map[String, Q] = Map(
     "dedup-exact" -> dedupExact,
     "dedup-minhash-lsh" -> dedupMinhashLsh,
+    "dedup-incremental" -> dedupIncremental,
     "dedup-simhash" -> dedupSimhash,
     "dedup-simhash-pairs" -> dedupSimhashPairs,
     "dedup-ngram-jaccard" -> dedupNgramJaccard,
@@ -388,6 +441,7 @@ object TextDedup {
   val oracles: Map[String, String] = Map(
     "dedup-exact" -> dedupExactSql,
     "dedup-minhash-lsh" -> dedupMinhashLshSql,
+    "dedup-incremental" -> dedupIncrementalSql,
     "dedup-simhash" -> dedupSimhashSql,
     "dedup-simhash-pairs" -> dedupSimhashPairsSql,
     "dedup-ngram-jaccard" -> dedupNgramJaccardSql,

@@ -76,4 +76,36 @@ class OpsPropertiesSpec extends SparkTestBase {
     val mm = df.agg(min("product_sk"), max("product_sk")).head
     assert(mm.getLong(0) == 1L && mm.getLong(1) == n)
   }
+
+  test("dedup-incremental: covers the whole incoming shard, flags consistent") {
+    val df = run("dedup-incremental").cache()
+    // exactly the incoming shard, one row per doc
+    assert(df.filter(col("doc_id") % 5 =!= 0).count() == 0)
+    assert(df.select("doc_id").distinct().count() == df.count())
+    // flag and match column agree; matches point outside the shard
+    assert(df.filter(col("is_known") === 1 && col("matched_existing").isNull).count() == 0)
+    assert(df.filter(col("is_known") === 0 && col("matched_existing").isNotNull).count() == 0)
+    assert(df.filter(col("matched_existing") % 5 === 0).count() == 0)
+  }
+
+  test("text-repetition: fractions in [0,1], top-word implies words exist") {
+    val df = run("text-repetition").cache()
+    Seq("top_word_frac", "top_bigram_frac", "dup_trigram_frac").foreach { c =>
+      assert(df.filter(col(c) < 0 || col(c) > 1).count() == 0, c)
+    }
+    assert(df.filter(col("n_words") < 3).count() == 0)
+  }
+
+  test("text-contamination: only train docs, positive shared-gram counts") {
+    val df = run("text-contamination").cache()
+    assert(df.filter(col("doc_id") % 20 === 0).count() == 0)
+    assert(df.filter(col("n_shared_grams") <= 0).count() == 0)
+  }
+
+  test("ann-range-search: every hit clears the threshold, no self-pairs") {
+    val df = run("ann-range-search").cache()
+    assert(df.filter(col("cosine") < 0.3).count() == 0)
+    assert(df.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    assert(df.filter(col("query_id") >= 10).count() == 0)
+  }
 }
