@@ -164,15 +164,43 @@ object StreamingOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** stream-join-static — stream-static enrichment join: the live event
+    * stream joins a batch-loaded dimension (customer segment keyed by
+    * user id) inside the streaming query, then aggregates per segment.
+    * This is the canonical enrichment topology (stream joins dim, dim
+    * re-resolved per micro-batch so slowly-changing dims are picked up);
+    * under AvailableNow replay it equals the batch join, which is what
+    * the oracle checks. The dim side is dimension-sized → Catalyst
+    * broadcasts it into each micro-batch. */
+  val streamJoinStatic: Q = (s, d) => {
+    val dim = customer(s, d).select(
+      col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val agg = streamEvents(s, d, withTs = false)
+      .join(dim, Seq("user_id"), "inner")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_events"),
+        outNum(sum(dec2(col("value")))).as("total_value"))
+    runToTable(s, agg, "stream_join_static", d).orderBy("segment")
+  }
+
+  val streamJoinStaticSql: String =
+    """SELECT c_mktsegment AS segment, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY segment""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "stream-agg-counts" -> streamAggCounts,
     "stream-window-hourly" -> streamWindowHourly,
     "stream-stateful-count" -> streamStatefulCount,
-    "stream-dedup-ids" -> streamDedupIds)
+    "stream-dedup-ids" -> streamDedupIds,
+    "stream-join-static" -> streamJoinStatic)
 
   val oracles: Map[String, String] = Map(
     "stream-agg-counts" -> streamAggCountsSql,
     "stream-window-hourly" -> streamWindowHourlySql,
     "stream-stateful-count" -> streamStatefulCountSql,
-    "stream-dedup-ids" -> streamDedupIdsSql)
+    "stream-dedup-ids" -> streamDedupIdsSql,
+    "stream-join-static" -> streamJoinStaticSql)
 }
