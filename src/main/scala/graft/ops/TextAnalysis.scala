@@ -218,23 +218,26 @@ object TextAnalysis {
     val w = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-    val words = w.select(col("doc_id"), explode(col("w")).as("word"))
-    val nWords = words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
-    val topWord = words.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("top_word"))
+    // one explode + one two-level aggregation per gram size: the
+    // (doc, gram) count pass yields the total (sum of counts), the max
+    // count, and the distinct-gram count in the same shuffle — no
+    // separate n_words scan, each explode computed exactly once
+    val words = w.select(col("doc_id"), explode(col("w")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("n_words"), max(col("c")).as("top_word"))
     val bigrams = w.select(col("doc_id"),
       explode(expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")).as("g"))
-    val topBigram = bigrams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("top_bigram"))
-    val triDistinct = w.select(col("doc_id"),
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram"))
+    val trigrams = w.select(col("doc_id"),
       explode(expr("transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("g"))
-      .groupBy("doc_id").agg(countDistinct(col("g")).as("distinct_tri"))
-    nWords.join(topWord, Seq("doc_id")).join(topBigram, Seq("doc_id"))
-      .join(triDistinct, Seq("doc_id"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("n_tri"), count(lit(1)).as("distinct_tri"))
+    words.join(bigrams, Seq("doc_id")).join(trigrams, Seq("doc_id"))
       .select(col("doc_id"), col("n_words"),
         (col("top_word") * lit(1.0) / col("n_words")).as("top_word_frac"),
-        (col("top_bigram") * lit(1.0) / (col("n_words") - 1)).as("top_bigram_frac"),
-        ((col("n_words") - 2 - col("distinct_tri")) * lit(1.0) / (col("n_words") - 2))
+        (col("top_bigram") * lit(1.0) / col("n_bigrams")).as("top_bigram_frac"),
+        ((col("n_tri") - col("distinct_tri")) * lit(1.0) / col("n_tri"))
           .as("dup_trigram_frac"))
       .orderBy("doc_id")
   }
@@ -243,24 +246,27 @@ object TextAnalysis {
     """WITH w AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
-      |words AS (SELECT doc_id, unnest(w) AS word FROM w),
-      |n AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
-      |tw AS (SELECT doc_id, max(c) AS top_word FROM (
-      |         SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word)
-      |       GROUP BY doc_id),
-      |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
-      |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t),
-      |tb AS (SELECT doc_id, max(c) AS top_bigram FROM (
-      |         SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
-      |       GROUP BY doc_id),
-      |tri AS (SELECT doc_id, count(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS distinct_tri
-      |        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
-      |        GROUP BY doc_id)
+      |words AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, CAST(max(c) AS BIGINT) AS top_word FROM (
+      |           SELECT doc_id, g, count(*) AS c
+      |           FROM (SELECT doc_id, unnest(w) AS g FROM w) GROUP BY doc_id, g)
+      |         GROUP BY doc_id),
+      |bigrams AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS top_bigram FROM (
+      |             SELECT doc_id, g, count(*) AS c FROM (
+      |               SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      |               FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t)
+      |             GROUP BY doc_id, g)
+      |           GROUP BY doc_id),
+      |trigrams AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri, count(*) AS distinct_tri FROM (
+      |              SELECT doc_id, g, count(*) AS c FROM (
+      |                SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |                FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t)
+      |              GROUP BY doc_id, g)
+      |            GROUP BY doc_id)
       |SELECT doc_id, n_words,
       |       top_word * 1.0 / n_words AS top_word_frac,
-      |       top_bigram * 1.0 / (n_words - 1) AS top_bigram_frac,
-      |       (n_words - 2 - distinct_tri) * 1.0 / (n_words - 2) AS dup_trigram_frac
-      |FROM n JOIN tw USING (doc_id) JOIN tb USING (doc_id) JOIN tri USING (doc_id)
+      |       top_bigram * 1.0 / n_bigrams AS top_bigram_frac,
+      |       (n_tri - distinct_tri) * 1.0 / n_tri AS dup_trigram_frac
+      |FROM words JOIN bigrams USING (doc_id) JOIN trigrams USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
   /** text-contamination — benchmark decontamination: training documents
