@@ -163,6 +163,46 @@ object RelScale {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** join-salted-skew — skew-safe fact-to-dim join: a synthetic hot key
+    * (a third of all events collapse onto user 0 — the power-law key a
+    * real event stream always has) would put one reducer's partition at
+    * 30% of the fact table in a plain shuffle join. Salting splits it:
+    * the fact side gets salt = event_id % 8 and the dim side is
+    * replicated ×8 (explode over the salt range), so the join key
+    * (k, salt) spreads the hot key over 8 reducers. The oracle is the
+    * plain unsalted join — salting must be result-invariant. At
+    * testdata scale Catalyst may still broadcast the small dim (fine:
+    * salting is then a no-op physically); at 100 TB with a
+    * non-broadcastable dim this exact shape is what keeps the join's
+    * task-time distribution flat. AQE's skewJoin handles the same case
+    * adaptively; the explicit salt is the deterministic, planner-proof
+    * form. */
+  val joinSaltedSkew: Q = (s, d) => {
+    val salt = 8
+    val fact = events(s, d).select(
+      when(col("user_id") % 10 < 3, 0L).otherwise(col("user_id")).as("k"),
+      col("event_id"), col("value"))
+      .withColumn("salt", pmod(col("event_id"), lit(salt)).cast(IntegerType))
+    val dim = customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
+      .withColumn("salt", explode(expr(s"sequence(0, ${salt - 1})")))
+      .withColumn("salt", col("salt").cast(IntegerType))
+    fact.join(dim, Seq("k", "salt"), "inner")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_events"),
+        outNum(sum(dec2(col("value")))).as("total_value"))
+      .orderBy("segment")
+  }
+
+  val joinSaltedSkewSql: String =
+    """SELECT c_mktsegment AS segment, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM (SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS k, value
+      |      FROM events) e
+      |JOIN customer ON k = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY segment""".stripMargin
+
   /** expr-json-extract — semi-structured column access: pull a typed
     * field out of the events.props JSON string (the one semi-structured
     * column in the testdata). */
@@ -184,6 +224,7 @@ object RelScale {
     "sink-partitioned-prune" -> sinkPartitionedPrune,
     "sink-bucketed-join" -> sinkBucketedJoin,
     "agg-salted-skew" -> aggSaltedSkew,
+    "join-salted-skew" -> joinSaltedSkew,
     "expr-json-extract" -> exprJsonExtract)
 
   val oracles: Map[String, String] = Map(
@@ -192,5 +233,6 @@ object RelScale {
     "sink-partitioned-prune" -> sinkPartitionedPruneSql,
     "sink-bucketed-join" -> sinkBucketedJoinSql,
     "agg-salted-skew" -> aggSaltedSkewSql,
+    "join-salted-skew" -> joinSaltedSkewSql,
     "expr-json-extract" -> exprJsonExtractSql)
 }
