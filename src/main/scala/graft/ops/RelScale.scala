@@ -163,6 +163,37 @@ object RelScale {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** sink-compaction — the small-file compaction job every 100 TB lake
+    * runs nightly: a fragmented table (64 tiny files here — the output
+    * of over-parallel writers or streaming micro-batches) is rewritten
+    * into target-sized files (coalesce(2); in production the target is
+    * total_bytes / 128 MB). Small files kill scan throughput (one task
+    * + one footer fetch per file) and NameNode/listing metadata; the
+    * compacted table must be logically identical, which is exactly what
+    * the oracle checks. coalesce (not repartition) avoids a shuffle —
+    * compaction is pure I/O. */
+  val sinkCompaction: Q = (s, d) => {
+    val fragmented = tmp("sink-compaction-small", d)
+    val compacted = tmp("sink-compaction-out", d)
+    events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      .repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(fragmented)
+    s.read.parquet(fragmented).coalesce(2)
+      .write.mode(SaveMode.Overwrite).parquet(compacted)
+    s.read.parquet(compacted)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        outNum(sum(dec2(col("value")))).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val sinkCompactionSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** join-salted-skew — skew-safe fact-to-dim join: a synthetic hot key
     * (a third of all events collapse onto user 0 — the power-law key a
     * real event stream always has) would put one reducer's partition at
@@ -225,6 +256,7 @@ object RelScale {
     "sink-bucketed-join" -> sinkBucketedJoin,
     "agg-salted-skew" -> aggSaltedSkew,
     "join-salted-skew" -> joinSaltedSkew,
+    "sink-compaction" -> sinkCompaction,
     "expr-json-extract" -> exprJsonExtract)
 
   val oracles: Map[String, String] = Map(
@@ -234,5 +266,6 @@ object RelScale {
     "sink-bucketed-join" -> sinkBucketedJoinSql,
     "agg-salted-skew" -> aggSaltedSkewSql,
     "join-salted-skew" -> joinSaltedSkewSql,
+    "sink-compaction" -> sinkCompactionSql,
     "expr-json-extract" -> exprJsonExtractSql)
 }

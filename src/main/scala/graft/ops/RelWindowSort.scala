@@ -138,11 +138,42 @@ object RelWindowSort {
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** win-range-frame — event-time RANGE frame: per-user rolling 7-day
+    * value sum (RANGE BETWEEN 604800s PRECEDING AND CURRENT ROW over
+    * epoch seconds). RANGE frames treat equal ordering values as peers,
+    * so same-second ties contribute symmetrically — deterministic
+    * without a tiebreak inside the frame. The sum runs in DecimalType
+    * (exact, order-independent). Physical shape: one shuffle on
+    * user_id + per-partition sort, same as every entity-keyed window —
+    * the frame bound costs nothing extra at scale. */
+  val winRangeFrame: Q = (s, d) => {
+    val base = events(s, d).select(
+      col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("epoch_s"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s")).rangeBetween(-604800L, 0L)
+    base.select(
+      col("user_id"), col("event_id"), col("epoch_s"),
+      outNum(sum(dec2(col("value"))).over(w)).as("rolling_7d_value"))
+      .orderBy("user_id", "epoch_s", "event_id")
+  }
+
+  val winRangeFrameSql: String =
+    """SELECT user_id, event_id,
+      |       CAST(floor(epoch(date_trunc('microseconds', ts))) AS BIGINT) AS epoch_s,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_7d_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |             ORDER BY CAST(floor(epoch(date_trunc('microseconds', ts))) AS BIGINT)
+      |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, epoch_s, event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "win-percent-rank" -> winPercentRank,
     "win-dedup-latest" -> winDedupLatest,
     "win-running-total" -> winRunningTotal,
     "win-lag-lead" -> winLagLead,
+    "win-range-frame" -> winRangeFrame,
     "sort-desc" -> sortDesc,
     "limit-topk" -> limitTopk)
 
@@ -151,6 +182,7 @@ object RelWindowSort {
     "win-dedup-latest" -> winDedupLatestSql,
     "win-running-total" -> winRunningTotalSql,
     "win-lag-lead" -> winLagLeadSql,
+    "win-range-frame" -> winRangeFrameSql,
     "sort-desc" -> sortDescSql,
     "limit-topk" -> limitTopkSql)
 }
