@@ -34,5 +34,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "hamming_distance takes exactly 2 arguments")
         HammingDistance(exprs.head, exprs(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "dot_product takes exactly 2 arguments")
+        DotProduct(exprs.head, exprs(1))
+      }))
+    // optimizer rule: interpreted aggregate(zip_with(a, b, *), 0d, +)
+    // folds become the codegen dot_product expression (see
+    // DotProductRewrite) — declarative vector math gets the native loop
+    // without query changes
+    e.injectOptimizerRule(_ => DotProductRewrite)
   }
 }
