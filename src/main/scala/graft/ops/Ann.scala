@@ -168,7 +168,12 @@ object Ann {
     val e = embeddings(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val bits = planes.map { w =>
-      val arr = w.mkString(", ")
+      // D-suffixed literals: a bare 2.5 parses as DECIMAL(2,1), making
+      // the array decimal-typed and forcing a per-element cast inside
+      // the lambda — which both costs a conversion per element and
+      // blocks the DotProductRewrite pattern (it only fires on clean
+      // array<double> folds)
+      val arr = w.map(x => s"${x}D").mkString(", ")
       val dot = expr(
         s"aggregate(zip_with(v, array($arr), (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")
       when(dot > 0, "1").otherwise("0")
