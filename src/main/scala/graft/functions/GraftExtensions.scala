@@ -46,5 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DotProductRewrite) — declarative vector math gets the native loop
     // without query changes
     e.injectOptimizerRule(_ => DotProductRewrite)
+    // planner strategy for the custom TopKPerKey logical operator
+    // (bounded-heap top-k per key, graft.plans) — partial + final exec
+    // with a key exchange between them
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

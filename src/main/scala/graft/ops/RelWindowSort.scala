@@ -168,7 +168,35 @@ object RelWindowSort {
       |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, epoch_s, event_id""".stripMargin
 
+  /** win-topk-per-key — top-3 orders by price per order status through
+    * the engine's custom whole-operator plan (graft.plans.TopKPerKey:
+    * custom LogicalPlan + SparkStrategy + bounded-heap SparkPlan,
+    * SURVEY §2 tier (c)). Spark's own form of this query is
+    * window+filter — a full shuffle and per-key sort of every row; the
+    * custom operator keeps k-bounded heaps map-side so only k rows per
+    * key per partition reach the exchange. The oracle is exactly that
+    * window+filter SQL: the custom plan must be result-identical. */
+  val winTopkPerKey: Q = (s, d) => {
+    val o = orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.plans.TopKPerKey.of(o,
+      keys = Seq("o_orderstatus"),
+      order = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+      k = 3)
+      .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val winTopkPerKeySql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderstatus
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "win-topk-per-key" -> winTopkPerKey,
     "win-percent-rank" -> winPercentRank,
     "win-dedup-latest" -> winDedupLatest,
     "win-running-total" -> winRunningTotal,
@@ -178,6 +206,7 @@ object RelWindowSort {
     "limit-topk" -> limitTopk)
 
   val oracles: Map[String, String] = Map(
+    "win-topk-per-key" -> winTopkPerKeySql,
     "win-percent-rank" -> winPercentRankSql,
     "win-dedup-latest" -> winDedupLatestSql,
     "win-running-total" -> winRunningTotalSql,

@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.olist.SparkTestBase
+
+/** The custom TopKPerKey operator (logical node + strategy +
+  * bounded-heap exec) must be result-identical to the window+filter
+  * form it replaces, plan as partial→exchange→final, and handle
+  * degenerate k. */
+class TopKPerKeySpec extends SparkTestBase {
+
+  private def orders = spark.read
+    .parquet("/root/testdata/sf0.001/orders.parquet")
+    .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  private def viaOperator(k: Int) =
+    TopKPerKey.of(orders, Seq("o_orderstatus"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), k)
+      .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
+
+  private def viaWindow(k: Int) = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+      .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  test("equals the row_number window form for several k") {
+    Seq(1, 3, 10).foreach { k =>
+      val a = viaOperator(k).collect().toSeq
+      val b = viaWindow(k).collect().toSeq
+      assert(a == b, s"k=$k: ${a.take(3)} vs ${b.take(3)}")
+    }
+  }
+
+  test("k beyond the group size returns every row of the group") {
+    val statuses = orders.select(countDistinct(col("o_orderkey"))).head.getLong(0)
+    assert(viaOperator(1000000).count() == statuses)
+  }
+
+  test("plans as partial and final exec with a key exchange between") {
+    // exec nodes render without the Exec suffix
+    val plan = viaOperator(3).queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("Exchange hashpartitioning(o_orderstatus"), plan)
+    // partial (true) feeds the exchange; final (false) consumes it
+    val partialIdx = plan.indexOf(", 3, true")
+    val finalIdx = plan.indexOf(", 3, false")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, plan)
+  }
+}
