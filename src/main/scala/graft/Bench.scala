@@ -23,13 +23,16 @@ object Bench {
     }
     // Compact per-query timings (ms-precision, no exponent noise): the
     // full-double form overflowed the driver's stdout tail window in r01
-    // (only 63 of 89 timings were recoverable).
+    // (only 63 of 89 timings were recoverable). Locale.ROOT formatting:
+    // the f interpolator uses the JVM default locale, and a
+    // comma-decimal locale would emit invalid JSON.
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: also persist the full JSON to a file the driver /
     // judge can always read, then stop Spark BEFORE printing so the
     // timing line is guaranteed to be the final stdout line.

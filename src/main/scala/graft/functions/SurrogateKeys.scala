@@ -35,11 +35,15 @@ object SurrogateKeys {
   /** Append `skName` = position (1-based, Long unless `skType` says
     * otherwise) of each row under ORDER BY `keyCols`.
     *
-    * The input is persisted before `zipWithIndex` because the index
-    * assignment is two jobs (partition-size pass + stamping pass) —
-    * without caching, the full upstream plan (joins included at the
-    * fact call sites) would execute twice. At true cluster scale the
-    * same slot is a checkpoint.
+    * The INPUT is persisted (not the sorted output): the range
+    * partitioner's sampling pass and the shuffle map stage both read
+    * it, so caching it means the upstream plan (joins included at the
+    * fact call sites) executes once instead of twice. Downstream, the
+    * two `zipWithIndex` jobs share the same shuffle dependency — Spark
+    * skips the map stage on the second job — so only the post-shuffle
+    * partition sort re-runs. The cache entry is evictable
+    * (MEMORY_AND_DISK, LRU) and lives until session end; at true
+    * cluster scale the same slot is a checkpoint.
     */
   def withSk(df: DataFrame, skName: String, keyCols: Seq[String],
              skType: DataType = LongType): DataFrame = {
@@ -47,10 +51,10 @@ object SurrogateKeys {
     val parts = math.max(1,
       spark.conf.getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
         .getOrElse(spark.sparkContext.defaultParallelism))
-    val ordered = df
+    val input = df.persist()
+    val ordered = input
       .repartitionByRange(parts, keyCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col): _*)
-      .persist()
     val schema = StructType(
       ordered.schema.fields :+ StructField(skName, LongType, nullable = false))
     val stamped = ordered.rdd.zipWithIndex().map { case (row, idx) =>

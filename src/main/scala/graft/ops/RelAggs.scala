@@ -211,8 +211,13 @@ object RelAggs {
       approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
     perType.select(
       col("event_type"), col("n_exact"),
-      (abs(col("n_approx") - col("n_exact")) * lit(1.0) / col("n_exact") <= 0.05)
-        .cast(IntegerType).as("within_tolerance"))
+      // zero guard: a group whose user_id values are all NULL has
+      // n_exact = 0 — the division would yield NULL while the oracle
+      // pins 1 (a zero estimate of zero distinct is trivially in
+      // tolerance)
+      when(col("n_exact") === 0, lit(1))
+        .otherwise((abs(col("n_approx") - col("n_exact")) * lit(1.0) / col("n_exact") <= 0.05)
+          .cast(IntegerType)).as("within_tolerance"))
       .orderBy("event_type")
   }
 

@@ -87,15 +87,20 @@ object RelScale {
     // when the source inputs change (size+mtime fingerprint); a fresh
     // session over current files just re-registers them in the catalog
     // (metadata-only) and goes straight to the join.
-    def fingerprint(name: String) = {
+    // the fingerprint must cover BOTH the inputs (size+mtime) and the
+    // code-side table definition (projection, key, bucket count) — a
+    // source-only fingerprint would silently serve stale bucketed files
+    // after an edit to this query
+    def fingerprint(name: String, defn: String) = {
       val f = new java.io.File(s"$d/$name.parquet")
-      s"$name:${f.length}:${f.lastModified}"
+      s"$name:${f.length}:${f.lastModified}:$defn"
     }
-    def ensureBucketed(df: => DataFrame, key: String, src: String, table: String): Unit = {
+    def ensureBucketed(df: => DataFrame, key: String, src: String, defn: String,
+                       table: String): Unit = {
       val dir = new java.io.File(wh, table)
       val marker = new java.io.File(dir, "_graft_input_fingerprint")
       val current = marker.exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint(src)
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint(src, defn)
       if (!current) {
         s.sql(s"DROP TABLE IF EXISTS $table")
         // a fresh session's catalog doesn't know the table, so DROP alone
@@ -103,7 +108,7 @@ object RelScale {
         org.apache.commons.io.FileUtils.deleteQuietly(dir)
         df.write.bucketBy(8, key).sortBy(key)
           .mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
-        java.nio.file.Files.writeString(marker.toPath, fingerprint(src))
+        java.nio.file.Files.writeString(marker.toPath, fingerprint(src, defn))
       } else if (!s.catalog.tableExists(table)) {
         // files are current but the in-memory catalog is fresh: register
         // the existing bucketed files as an external table — no rewrite
@@ -115,9 +120,11 @@ object RelScale {
       }
     }
     ensureBucketed(orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
-      "o_orderkey", "orders", s"graft_bucketed_orders_$suffix")
+      "o_orderkey", "orders", "v2:o_orderkey,o_orderstatus:bucket8",
+      s"graft_bucketed_orders_$suffix")
     ensureBucketed(lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
-      "l_orderkey", "lineitem", s"graft_bucketed_lineitem_$suffix")
+      "l_orderkey", "lineitem", "v2:l_orderkey,l_extendedprice:bucket8",
+      s"graft_bucketed_lineitem_$suffix")
     val o = s.table(s"graft_bucketed_orders_$suffix")
     val l = s.table(s"graft_bucketed_lineitem_$suffix")
     // force sort-merge (hint) so the plan shows the point of bucketing:

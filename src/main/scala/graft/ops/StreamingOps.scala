@@ -16,6 +16,24 @@ import Tables._
   */
 object StreamingOps {
 
+  /** Copy-to-temp + atomic rename: a plain REPLACE_EXISTING copy is a
+    * truncate-then-write, so a concurrent JVM replaying the same
+    * staged file (two same-sf runs — Bench and QTime, say) could read
+    * a half-written parquet. A POSIX rename is atomic and an already
+    * open handle keeps the old inode, so readers see either the old or
+    * the new file, never a torn one. */
+  private def stageAtomically(src: String, dest: java.io.File): Unit = {
+    // dot-prefixed so the FileStreamSource's listing ignores the
+    // in-flight temp file (hidden-file convention)
+    val tmpFile = new java.io.File(dest.getParentFile,
+      "." + dest.getName + ".tmp-" + Thread.currentThread().getId)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src), tmpFile.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.move(tmpFile.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def streamEvents(s: SparkSession, d: String, withTs: Boolean): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource wants a directory to monitor: stage the single
@@ -24,13 +42,11 @@ object StreamingOps {
     val srcDir = new java.io.File(s"/tmp/graft-ops/stream-src-${d.replaceAll("[^A-Za-z0-9]", "_")}")
     srcDir.mkdirs()
     val staged = new java.io.File(srcDir, "events.parquet")
-    // always overwrite: an exists() guard would silently keep serving a
+    // always refresh: an exists() guard would silently keep serving a
     // stale copy if the dataset at the same path were regenerated, and
     // the copy is cheap relative to the query (checkpoints are wiped per
     // run, so replay always starts from the staged file as it is now)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/events.parquet"), staged.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stageAtomically(s"$d/events.parquet", staged)
     val base = new StructType()
       .add("event_id", LongType).add("user_id", LongType)
       .add("event_type", StringType).add("value", DoubleType)
@@ -143,11 +159,9 @@ object StreamingOps {
     val srcDir = new java.io.File(
       s"/tmp/graft-ops/stream-src-dup-${d.replaceAll("[^A-Za-z0-9]", "_")}")
     srcDir.mkdirs()
-    // always overwrite (same staleness guard as streamEvents)
+    // always refresh (same staleness guard as streamEvents)
     Seq("events_a.parquet", "events_b.parquet").foreach { n =>
-      val staged = new java.io.File(srcDir, n)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"), staged.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      stageAtomically(s"$d/events.parquet", new java.io.File(srcDir, n))
     }
     val schema = new StructType()
       .add("event_id", LongType).add("event_type", StringType)
