@@ -39,6 +39,30 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(viaOperator(1000000).count() == statuses)
   }
 
+  test("equals the window form on random skewed, tie-heavy data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(1234)
+    (1 to 4).foreach { trial =>
+      val n = 200 + rnd.nextInt(600)
+      val nGroups = 1 + rnd.nextInt(8)
+      // scores from a tiny range → many exact ties, broken by id;
+      // group sizes skewed (group 0 gets a quadratic share)
+      val rows = (1 to n).map { i =>
+        val g = math.min(rnd.nextInt(nGroups), rnd.nextInt(nGroups))
+        (i.toLong, s"g$g", rnd.nextInt(5).toDouble)
+      }
+      val df = rows.toDF("id", "grp", "score").repartition(1 + rnd.nextInt(6))
+      val k = 1 + rnd.nextInt(6)
+      val viaOp = TopKPerKey.of(df, Seq("grp"), Seq("score" -> false, "id" -> true), k)
+        .orderBy(col("grp"), col("score").desc, col("id")).collect().toSeq
+      val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id"))
+      val viaWin = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .drop("rn").orderBy(col("grp"), col("score").desc, col("id")).collect().toSeq
+      assert(viaOp == viaWin, s"trial $trial (n=$n groups=$nGroups k=$k)")
+    }
+  }
+
   test("plans as partial and final exec with a key exchange between") {
     // exec nodes render without the Exec suffix
     val plan = viaOperator(3).queryExecution.executedPlan.toString
