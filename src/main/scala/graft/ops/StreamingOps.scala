@@ -204,7 +204,48 @@ object StreamingOps {
       |GROUP BY c_mktsegment
       |ORDER BY segment""".stripMargin
 
+  /** stream-sink-files — the production sink: a stateless streaming
+    * transform (filter + projection) appended to a parquet directory
+    * with a checkpoint. The file sink's commit log gives exactly-once
+    * file-level semantics — a re-run with the same checkpoint adds
+    * nothing, a crash mid-batch leaves uncommitted files invisible to
+    * readers of the sink (the log, not the directory listing, is the
+    * source of truth). The graded output reads the sink back and
+    * aggregates; AvailableNow replay makes it equal the batch query.
+    * Sink + checkpoint are wiped per run so the replay is
+    * deterministic regardless of prior state. */
+  val streamSinkFiles: Q = (s, d) => {
+    val sink = Tables.tmp("stream-sink-files", d)
+    val ckpt = Tables.tmp("ckpt-stream-sink-files", d)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val transformed = streamEvents(s, d, withTs = false)
+      .filter(col("value") >= 100.0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val q = transformed.writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        outNum(sum(dec2(col("value")))).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val streamSinkFilesSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE value >= 100.0
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream-sink-files" -> streamSinkFiles,
     "stream-agg-counts" -> streamAggCounts,
     "stream-window-hourly" -> streamWindowHourly,
     "stream-stateful-count" -> streamStatefulCount,
@@ -212,6 +253,7 @@ object StreamingOps {
     "stream-join-static" -> streamJoinStatic)
 
   val oracles: Map[String, String] = Map(
+    "stream-sink-files" -> streamSinkFilesSql,
     "stream-agg-counts" -> streamAggCountsSql,
     "stream-window-hourly" -> streamWindowHourlySql,
     "stream-stateful-count" -> streamStatefulCountSql,
