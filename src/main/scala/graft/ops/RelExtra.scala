@@ -63,6 +63,37 @@ object RelExtra {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY gid, returnflag, linestatus""".stripMargin
 
+  /** agg-grouping-sets — arbitrary (non-hierarchical) grouping sets:
+    * (status, priority), (priority), and the grand total — a shape
+    * ROLLUP cannot express (it skips the (status) level and keeps the
+    * non-prefix (priority) one). Physically identical to rollup: one
+    * expand + partial/final hash aggregate; the same coalesce-to-'ALL'
+    * convention keeps NULL handling engine-neutral in the sort. */
+  val aggGroupingSets: Q = (s, d) =>
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast(IntegerType).as("gid"),
+        count(lit(1)).as("n_orders"),
+        outNum(sum(dec2(col("o_totalprice")))).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n_orders"), col("total_price"))
+      .orderBy("gid", "status", "priority")
+
+  val aggGroupingSetsSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+      |ORDER BY gid, status, priority""".stripMargin
+
   /** set-intersect-except — INTERSECT / EXCEPT (distinct set semantics):
     * nations that have customers and suppliers vs. customers only. */
   val setIntersectExcept: Q = (s, d) => {
@@ -298,6 +329,7 @@ object RelExtra {
     "agg-typed-aggregator" -> aggTypedAggregator,
     "win-rank-ntile" -> winRankNtile,
     "agg-rollup" -> aggRollup,
+    "agg-grouping-sets" -> aggGroupingSets,
     "set-intersect-except" -> setIntersectExcept,
     "join-range" -> joinRange,
     "join-asof" -> joinAsof,
@@ -310,6 +342,7 @@ object RelExtra {
     "agg-typed-aggregator" -> aggTypedAggregatorSql,
     "win-rank-ntile" -> winRankNtileSql,
     "agg-rollup" -> aggRollupSql,
+    "agg-grouping-sets" -> aggGroupingSetsSql,
     "set-intersect-except" -> setIntersectExceptSql,
     "join-range" -> joinRangeSql,
     "join-asof" -> joinAsofSql,
