@@ -168,6 +168,79 @@ object TextDedup {
        |WHERE d.doc_id % 5 = 0
        |ORDER BY d.doc_id""".stripMargin
 
+  /** dedup-cluster — duplicate-cluster assignment: connected components
+    * over the MinHash-LSH near-dup pair graph, labeling every involved
+    * doc with the smallest doc_id of its component (the keeper). This
+    * is the step an actual dedup pipeline runs after candidate
+    * generation: near-dup is transitive in practice (A≈B, B≈C ⇒ drop
+    * two of three), so keep-one-per-PAIR over-keeps.
+    *
+    * Physical shape: iterative min-label propagation — each round
+    * joins labels to the (symmetric) edge list, takes the neighborhood
+    * min, and converges when no label changes. Rounds = graph diameter
+    * (near-dup components are shallow; the loop is driver-coordinated
+    * but every step is a distributed join/agg — at web scale the
+    * large-star/small-star variant brings rounds to O(log n)). The
+    * oracle is a recursive-CTE transitive closure over the same
+    * pairs. */
+  val dedupCluster: Q = (s, d) => {
+    val bands = minhashBands(s, d)
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bk"))
+    val pairs = a.join(b, Seq("band", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("v"), col("cluster_id").as("nbr_label")), Seq("v"))
+        .groupBy(col("u"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+        .select(col("u").as("doc_id"), col("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      val changed = next
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old_label")), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old_label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("doc_id") === col("cluster_id"), 1).otherwise(0)
+          .cast(IntegerType).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE $minhashBandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+       |SELECT src AS doc_id, min(dst) AS cluster_id,
+       |       CAST(CASE WHEN src = min(dst) THEN 1 ELSE 0 END AS INT) AS is_keeper
+       |FROM reach
+       |GROUP BY src
+       |ORDER BY doc_id""".stripMargin
+
   /** dedup-simhash — 64-bit SimHash fingerprint per document: per-bit
     * majority vote over md5(word) bit vectors, weighted by word count.
     * Implemented as 64 conditional-sum aggregates in a single groupBy
@@ -433,6 +506,7 @@ object TextDedup {
     "dedup-exact" -> dedupExact,
     "dedup-minhash-lsh" -> dedupMinhashLsh,
     "dedup-incremental" -> dedupIncremental,
+    "dedup-cluster" -> dedupCluster,
     "dedup-simhash" -> dedupSimhash,
     "dedup-simhash-pairs" -> dedupSimhashPairs,
     "dedup-ngram-jaccard" -> dedupNgramJaccard,
@@ -442,6 +516,7 @@ object TextDedup {
     "dedup-exact" -> dedupExactSql,
     "dedup-minhash-lsh" -> dedupMinhashLshSql,
     "dedup-incremental" -> dedupIncrementalSql,
+    "dedup-cluster" -> dedupClusterSql,
     "dedup-simhash" -> dedupSimhashSql,
     "dedup-simhash-pairs" -> dedupSimhashPairsSql,
     "dedup-ngram-jaccard" -> dedupNgramJaccardSql,

@@ -109,6 +109,26 @@ class OpsPropertiesSpec extends SparkTestBase {
     assert(df.filter(col("query_id") >= 10).count() == 0)
   }
 
+  test("dedup-cluster: labels are component minima and keepers are consistent") {
+    val clusters = run("dedup-cluster").cache()
+    val pairs = run("dedup-minhash-lsh").cache()
+    // every clustered doc appears in some pair and vice versa
+    val inPairs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    assert(clusters.select("doc_id").except(inPairs).count() == 0)
+    assert(inPairs.except(clusters.select("doc_id")).count() == 0)
+    // a pair's two members always share a cluster (transitivity held)
+    val lab = clusters.select(col("doc_id"), col("cluster_id"))
+    val joined = pairs
+      .join(lab.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster_id", "ca"), Seq("doc_a"))
+      .join(lab.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "cb"), Seq("doc_b"))
+    assert(joined.filter(col("ca") =!= col("cb")).count() == 0)
+    // cluster label is the min member, and exactly that member is keeper
+    val minPerCluster = clusters.groupBy("cluster_id").agg(min(col("doc_id")).as("m"))
+    assert(minPerCluster.filter(col("cluster_id") =!= col("m")).count() == 0)
+    assert(clusters.filter((col("is_keeper") === 1) =!= (col("doc_id") === col("cluster_id"))).count() == 0)
+  }
+
   test("sink-compaction: data intact and file count actually reduced") {
     run("sink-compaction").count() // executes both writes
     def parts(dir: String) = new java.io.File(dir).listFiles()
