@@ -228,7 +228,42 @@ object RelAggs {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** agg-approx-quantile — mergeable quantile sketch
+    * (approx_percentile), the 100 TB path for percentiles: the exact
+    * form shuffles and sorts every value per group, the sketch merges
+    * KB-sized summaries associatively. Same grading pattern as the HLL
+    * op: sketch estimates are engine-specific, so the output carries
+    * the exact p50/p95 plus a pinned contract that Spark's estimate
+    * lands within the 1%-accuracy rank band. */
+  val aggApproxQuantile: Q = (s, d) => {
+    val perStatus = orders(s, d).groupBy("o_orderstatus").agg(
+      round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50_exact"),
+      round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95_exact"),
+      expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50_approx"),
+      expr("approx_percentile(o_totalprice, 0.95, 10000)").as("p95_approx"),
+      expr("percentile(o_totalprice, 0.49)").as("p50_lo"),
+      expr("percentile(o_totalprice, 0.51)").as("p50_hi"),
+      expr("percentile(o_totalprice, 0.94)").as("p95_lo"),
+      expr("percentile(o_totalprice, 0.96)").as("p95_hi"))
+    perStatus.select(
+      col("o_orderstatus"), col("p50_exact"), col("p95_exact"),
+      (col("p50_approx").between(col("p50_lo"), col("p50_hi")) &&
+        col("p95_approx").between(col("p95_lo"), col("p95_hi")))
+        .cast(IntegerType).as("within_rank_band"))
+      .orderBy("o_orderstatus")
+  }
+
+  val aggApproxQuantileSql: String =
+    """SELECT o_orderstatus,
+      |       round(quantile_cont(o_totalprice, 0.5), 6) AS p50_exact,
+      |       round(quantile_cont(o_totalprice, 0.95), 6) AS p95_exact,
+      |       CAST(1 AS INT) AS within_rank_band
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg-approx-quantile" -> aggApproxQuantile,
     "agg-approx-distinct" -> aggApproxDistinct,
     "agg-stats" -> aggStats,
     "agg-percentile" -> aggPercentile,
@@ -242,6 +277,7 @@ object RelAggs {
     "agg-rowcount-audit" -> aggRowcountAudit)
 
   val oracles: Map[String, String] = Map(
+    "agg-approx-quantile" -> aggApproxQuantileSql,
     "agg-approx-distinct" -> aggApproxDistinctSql,
     "agg-stats" -> aggStatsSql,
     "agg-percentile" -> aggPercentileSql,

@@ -195,7 +195,38 @@ object RelWindowSort {
       |WHERE rn <= 3
       |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** win-first-last — value-picking window functions (first_value,
+    * last_value, nth_value) with an explicit full-partition frame:
+    * last_value's default frame ends at CURRENT ROW (a classic
+    * footgun — it would return the current row's value), so the frame
+    * is pinned to UNBOUNDED..UNBOUNDED on both engines. Total order
+    * inside the window (price desc, key) keeps the picks
+    * deterministic. */
+  val winFirstLast: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      first(col("o_totalprice")).over(w).as("max_price"),
+      last(col("o_totalprice")).over(w).as("min_price"),
+      nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_orderkey")
+  }
+
+  val winFirstLastSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |       first_value(o_totalprice) OVER w AS max_price,
+      |       last_value(o_totalprice) OVER w AS min_price,
+      |       nth_value(o_totalprice, 2) OVER w AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice DESC, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "win-first-last" -> winFirstLast,
     "win-topk-per-key" -> winTopkPerKey,
     "win-percent-rank" -> winPercentRank,
     "win-dedup-latest" -> winDedupLatest,
@@ -206,6 +237,7 @@ object RelWindowSort {
     "limit-topk" -> limitTopk)
 
   val oracles: Map[String, String] = Map(
+    "win-first-last" -> winFirstLastSql,
     "win-topk-per-key" -> winTopkPerKeySql,
     "win-percent-rank" -> winPercentRankSql,
     "win-dedup-latest" -> winDedupLatestSql,
