@@ -190,11 +190,16 @@ object TextDedup {
     val pairs = a.join(b, Seq("band", "bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    // edges are re-joined every round: pre-partition once on the join
+    // key so the cached side never re-exchanges; the label frame is the
+    // only side that shuffles per round
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .repartition(col("v"))
       .persist()
-    var labels = edges.select(col("u").as("doc_id")).distinct()
+    var cached = edges.select(col("u").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var labels = cached
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -203,16 +208,20 @@ object TextDedup {
         .groupBy(col("u"))
         .agg(min(col("nbr_label")).as("nbr_min"))
         .select(col("u").as("doc_id"), col("nbr_min"))
+      // carry the changed flag instead of re-joining against the old
+      // labels — one action and zero extra shuffles per convergence
+      // check
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("ch"))
         .persist()
-      val changed = next
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old_label")), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old_label")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("ch")).isEmpty
+      // unpersist the frame that was actually cached (labels is a
+      // projection over it from the second round on)
+      cached.unpersist()
+      cached = next
+      labels = next.drop("ch")
       iter += 1
     }
     labels
