@@ -17,16 +17,20 @@ import Tables._
 object StreamingOps {
 
   /** Copy-to-temp + atomic rename: a plain REPLACE_EXISTING copy is a
-    * truncate-then-write, so a concurrent JVM replaying the same
-    * staged file (two same-sf runs — Bench and QTime, say) could read
-    * a half-written parquet. A POSIX rename is atomic and an already
-    * open handle keeps the old inode, so readers see either the old or
-    * the new file, never a torn one. */
+    * truncate-then-write, so a concurrent reader of the same staged
+    * file could see a half-written parquet. A POSIX rename is atomic
+    * and an already open handle keeps the old inode, so readers see
+    * either the old or the new file, never a torn one. (Staging dirs
+    * are additionally pid-namespaced via Tables.tmp, so the writer is
+    * the only process in the directory — the rename guards against
+    * intra-process concurrency and keeps the invariant local.) */
   private def stageAtomically(src: String, dest: java.io.File): Unit = {
     // dot-prefixed so the FileStreamSource's listing ignores the
-    // in-flight temp file (hidden-file convention)
+    // in-flight temp file (hidden-file convention); pid+thread suffix
+    // is unique across processes AND threads
     val tmpFile = new java.io.File(dest.getParentFile,
-      "." + dest.getName + ".tmp-" + Thread.currentThread().getId)
+      "." + dest.getName + ".tmp-" + ProcessHandle.current().pid() +
+        "-" + Thread.currentThread().getId)
     java.nio.file.Files.copy(java.nio.file.Paths.get(src), tmpFile.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     java.nio.file.Files.move(tmpFile.toPath, dest.toPath,
@@ -38,8 +42,9 @@ object StreamingOps {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource wants a directory to monitor: stage the single
     // parquet file into one (a live deployment would point this at the
-    // landing directory / object-store prefix directly).
-    val srcDir = new java.io.File(s"/tmp/graft-ops/stream-src-${d.replaceAll("[^A-Za-z0-9]", "_")}")
+    // landing directory / object-store prefix directly). Tables.tmp →
+    // pid-namespaced, so no cross-process interference.
+    val srcDir = new java.io.File(Tables.tmp("stream-src", d))
     srcDir.mkdirs()
     val staged = new java.io.File(srcDir, "events.parquet")
     // always refresh: an exists() guard would silently keep serving a
@@ -156,8 +161,7 @@ object StreamingOps {
     * collapse them back to the batch per-type counts. */
   val streamDedupIds: Q = (s, d) => {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val srcDir = new java.io.File(
-      s"/tmp/graft-ops/stream-src-dup-${d.replaceAll("[^A-Za-z0-9]", "_")}")
+    val srcDir = new java.io.File(Tables.tmp("stream-src-dup", d))
     srcDir.mkdirs()
     // always refresh (same staleness guard as streamEvents)
     Seq("events_a.parquet", "events_b.parquet").foreach { n =>

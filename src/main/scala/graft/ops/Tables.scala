@@ -62,10 +62,13 @@ object Tables {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Scratch dir for sink round trips, namespaced by op name AND the
-    * dataset dir — two interleaved runs at different scale factors must
-    * never share a path (a Bench at sf0.1 overwriting a Verify's sf0.01
-    * staging mid-query corrupts the read-back). */
+  /** Scratch dir for sink round trips, namespaced by op name, dataset
+    * dir AND the JVM pid — two interleaved runs must never share a
+    * path, whether at different scale factors (a Bench at sf0.1
+    * overwriting a Verify's sf0.01 staging mid-query) or at the SAME
+    * one (two same-sf JVMs deleting each other's live sink/checkpoint
+    * dirs). Scratch is process-private by construction; per-pid dirs
+    * are garbage after the process exits and cheap to leave behind. */
   def tmp(name: String, d: String): String =
-    s"/tmp/graft-ops/$name-${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"/tmp/graft-ops/p${ProcessHandle.current().pid()}/$name-${d.replaceAll("[^A-Za-z0-9]", "_")}"
 }

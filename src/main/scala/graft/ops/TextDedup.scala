@@ -110,21 +110,29 @@ object TextDedup {
        |  $bandSelects)""".stripMargin
   }
 
-  val dedupMinhashLsh: Q = (s, d) => {
+  /** Near-dup candidate pairs (doc_a < doc_b, distinct) from the band
+    * buckets — shared by the pair listing and the cluster op. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val bands = minhashBands(s, d)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bk"))
     a.join(b, Seq("band", "bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** The same pair table as a CTE (appends to minhashBandsCte). */
+  private val minhashPairsCte: String =
+    """pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+
+  val dedupMinhashLsh: Q = (s, d) =>
+    minhashPairs(s, d).orderBy("doc_a", "doc_b")
 
   val dedupMinhashLshSql: String =
     s"""WITH $minhashBandsCte,
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |$minhashPairsCte
        |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
   /** dedup-incremental — the production shape of corpus dedup: a NEW
@@ -184,12 +192,7 @@ object TextDedup {
     * oracle is a recursive-CTE transitive closure over the same
     * pairs. */
   val dedupCluster: Q = (s, d) => {
-    val bands = minhashBands(s, d)
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bk"))
-    val pairs = a.join(b, Seq("band", "bk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val pairs = minhashPairs(s, d)
     // edges are re-joined every round: pre-partition once on the join
     // key so the cached side never re-exchanges; the label frame is the
     // only side that shuffles per round
@@ -216,7 +219,11 @@ object TextDedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
           (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("ch"))
         .persist()
-      converged = next.filter(col("ch")).isEmpty
+      // count(), not isEmpty: the convergence probe must fully
+      // materialize next's cache before the parent round is
+      // unpersisted, or later rounds recompute uncached partitions
+      // through an ever-growing cross-round lineage
+      converged = next.filter(col("ch")).count() == 0
       // unpersist the frame that was actually cached (labels is a
       // projection over it from the second round on)
       cached.unpersist()
@@ -224,6 +231,11 @@ object TextDedup {
       labels = next.drop("ch")
       iter += 1
     }
+    // a silent cap would return non-minimal labels while the oracle
+    // computes the true closure — fail loudly instead (20 rounds covers
+    // any component of diameter ≤ 20; raise alongside a path-doubling
+    // variant if real corpora ever exceed it)
+    require(converged, s"dedup-cluster did not converge within $iter rounds")
     labels
       .select(col("doc_id"), col("cluster_id"),
         when(col("doc_id") === col("cluster_id"), 1).otherwise(0)
@@ -233,9 +245,7 @@ object TextDedup {
 
   val dedupClusterSql: String =
     s"""WITH RECURSIVE $minhashBandsCte,
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |$minhashPairsCte,
        |edges AS (
        |  SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION ALL
