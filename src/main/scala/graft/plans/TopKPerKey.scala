@@ -78,6 +78,12 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(keys))
 
+  // rows are only filtered within partitions, so the child's (post-
+  // exchange, key-clustered) partitioning survives — declaring it lets
+  // a downstream groupBy/join on the same keys skip its own exchange
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order

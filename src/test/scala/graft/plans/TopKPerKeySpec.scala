@@ -74,4 +74,14 @@ class TopKPerKeySpec extends SparkTestBase {
     val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
     assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, plan)
   }
+
+  test("key-clustered partitioning passes through: downstream groupBy adds no exchange") {
+    val grouped = TopKPerKey.of(orders, Seq("o_orderstatus"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val plan = grouped.queryExecution.executedPlan.toString
+    // exactly one exchange: the one between partial and final topk;
+    // the aggregate reuses the final exec's declared key clustering
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
 }
