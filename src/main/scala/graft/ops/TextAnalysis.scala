@@ -309,7 +309,59 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** text-vocab-stats — corpus-LEVEL vocabulary statistics (the
+    * analysis pass that precedes tokenizer training): vocabulary size,
+    * total token count, the token share captured by the 100 most
+    * frequent words, and the hapax-legomenon fraction (words seen
+    * exactly once — the Zipf tail a BPE vocab budget has to cut).
+    * Shape: one word groupBy (map-side combined, shuffle = |vocab|)
+    * followed by scalar aggregates; ties in the top-100 cut are broken
+    * by word for a deterministic share on both engines. */
+  val textVocabStats: Q = (s, d) => {
+    val counts = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .persist()
+    val ranked = counts.select(col("c"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("word"))).as("rn"))
+    // the global rank window is bounded by |vocab| (50k-scale even for
+    // web corpora after normalization), not the corpus — acceptable on
+    // the driver-of-scale axis, unlike row-per-document windows
+    val top100 = ranked.filter(col("rn") <= 100).agg(sum(col("c")).as("top100_tokens"))
+    val totals = counts.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("c")).as("total_tokens"),
+      sum(when(col("c") === 1, 1).otherwise(0)).as("hapax_words"))
+    totals.crossJoin(top100).select(
+      col("vocab_size"), col("total_tokens"),
+      (col("top100_tokens") * lit(1.0) / col("total_tokens")).as("top100_share"),
+      (col("hapax_words") * lit(1.0) / col("vocab_size")).as("hapax_fraction"))
+  }
+
+  val textVocabStatsSql: String =
+    """WITH counts AS (
+      |  SELECT word, count(*) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> ''
+      |  GROUP BY word),
+      |ranked AS (
+      |  SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rn FROM counts),
+      |top100 AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS top100_tokens FROM ranked WHERE rn <= 100),
+      |totals AS (
+      |  SELECT count(*) AS vocab_size,
+      |         CAST(sum(c) AS BIGINT) AS total_tokens,
+      |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_words
+      |  FROM counts)
+      |SELECT vocab_size, total_tokens,
+      |       top100_tokens * 1.0 / total_tokens AS top100_share,
+      |       hapax_words * 1.0 / vocab_size AS hapax_fraction
+      |FROM totals, top100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text-vocab-stats" -> textVocabStats,
     "text-hash-split" -> textHashSplit,
     "text-normalize" -> textNormalize,
     "text-langid" -> textLangid,
@@ -320,6 +372,7 @@ object TextAnalysis {
     "text-contamination" -> textContamination)
 
   val oracles: Map[String, String] = Map(
+    "text-vocab-stats" -> textVocabStatsSql,
     "text-hash-split" -> textHashSplitSql,
     "text-normalize" -> textNormalizeSql,
     "text-langid" -> textLangidSql,
