@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark harness. Prints ONE compact JSON line as the
+  * final stdout line; the driver recovers it from a bounded (2000-char)
+  * stdout tail, so the line is built to FIT: `value` is the grand total
+  * over every query, `queries` carries only the slowest entries up to a
+  * strict length budget, and the complete per-query map goes to
+  * BENCH_LATEST.json (committed, so the judge always has all timings —
+  * r01 and r02 both lost the full map to tail truncation by printing
+  * everything).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,26 +29,46 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release every cache entry the query pinned (LSH signatures,
+      // shingle sets, SK inputs): persists must not leak across the
+      // session, and a later query must not silently reuse an earlier
+      // query's cached sub-plan — each timing pays its own cost
+      spark.catalog.clearCache()
+      name -> dt
     }
-    // Compact per-query timings (ms-precision, no exponent noise): the
-    // full-double form overflowed the driver's stdout tail window in r01
-    // (only 63 of 89 timings were recoverable). Locale.ROOT formatting:
-    // the f interpolator uses the JVM default locale, and a
-    // comma-decimal locale would emit invalid JSON.
+    // Locale.ROOT formatting: the f interpolator uses the JVM default
+    // locale, and a comma-decimal locale would emit invalid JSON.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
+    def entries(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val fullQs = entries(results.toSeq.sortBy(_._1))
+    // Stdout line: slowest-first entries until the 1500-char budget —
+    // headroom for the driver's 2000-char tail window minus sbt's
+    // trailing "[success] Total time" line and the JSON envelope.
+    val budget = 1500
+    val slowFirst = results.toSeq.sortBy(-_._2)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 2 // braces
+    slowFirst.foreach { case (k, v) =>
+      val cost = k.length + num(v).length + 4 // quotes, colon, comma
+      if (used + cost <= budget) { kept += ((k, v)); used += cost }
+    }
+    val headline = entries(kept.toSeq.sortBy(_._1))
+    val benchFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        new java.io.File(System.getProperty("user.dir"), "BENCH_LATEST.json").getPath))
+    val fullLine =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","nqueries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Belt and braces: also persist the full JSON to a file the driver /
-    // judge can always read, then stop Spark BEFORE printing so the
-    // timing line is guaranteed to be the final stdout line.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LATEST.json"), line + "\n")
-    catch { case _: Throwable => }
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","nqueries":${results.size},"queries":$headline,"queries_file":"${benchFile.getName}","sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(benchFile.toPath, fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist $benchFile: $e")
+    }
+    // stop Spark BEFORE printing so the timing line is guaranteed to be
+    // the final stdout line
     spark.stop()
     println(line)
   }

@@ -57,7 +57,13 @@ object SurrogateKeys {
       .sortWithinPartitions(keyCols.map(col): _*)
     val schema = StructType(
       ordered.schema.fields :+ StructField(skName, LongType, nullable = false))
-    val stamped = ordered.rdd.zipWithIndex().map { case (row, idx) =>
+    // zipWithIndex runs its per-partition count job eagerly at call time,
+    // which materializes the range shuffle; downstream jobs reuse those
+    // shuffle files (map stage skipped), so the cache has done its job
+    // and can be released here instead of leaking until session end.
+    val indexed = ordered.rdd.zipWithIndex()
+    input.unpersist(blocking = false)
+    val stamped = indexed.map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ (idx + 1L))
     }
     val out = spark.createDataFrame(stamped, schema)

@@ -92,24 +92,20 @@ object RelScale {
     // source-only fingerprint would silently serve stale bucketed files
     // after an edit to this query
     def fingerprint(name: String, defn: String) = {
-      val f = new java.io.File(s"$d/$name.parquet")
-      s"$name:${f.length}:${f.lastModified}:$defn"
+      val p = java.nio.file.Paths.get(s"$d/$name.parquet")
+      // nanosecond mtime (not File.lastModified's ms) so a same-size
+      // regeneration within a millisecond still changes the fingerprint
+      val mtime = java.nio.file.Files.getLastModifiedTime(p)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      s"$name:${java.nio.file.Files.size(p)}:$mtime:$defn"
     }
     def ensureBucketed(df: => DataFrame, key: String, src: String, defn: String,
                        table: String): Unit = {
       val dir = new java.io.File(wh, table)
       val marker = new java.io.File(dir, "_graft_input_fingerprint")
-      val current = marker.exists() &&
+      def isCurrent = marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint(src, defn)
-      if (!current) {
-        s.sql(s"DROP TABLE IF EXISTS $table")
-        // a fresh session's catalog doesn't know the table, so DROP alone
-        // leaves the old warehouse dir behind → LOCATION_ALREADY_EXISTS
-        org.apache.commons.io.FileUtils.deleteQuietly(dir)
-        df.write.bucketBy(8, key).sortBy(key)
-          .mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
-        java.nio.file.Files.writeString(marker.toPath, fingerprint(src, defn))
-      } else if (!s.catalog.tableExists(table)) {
+      def register(): Unit = if (!s.catalog.tableExists(table)) {
         // files are current but the in-memory catalog is fresh: register
         // the existing bucketed files as an external table — no rewrite
         // (bucket ids live in the file names, so the scan stays bucketed)
@@ -118,6 +114,34 @@ object RelScale {
           s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS " +
           s"LOCATION '${dir.getAbsolutePath}'")
       }
+      if (isCurrent) { register(); return }
+      // serialize the check-then-rebuild across JVMs: an OS file lock on
+      // a sibling lock file (never inside `dir` — the rebuild deletes
+      // it), with a re-check under the lock so the second writer of a
+      // race becomes a no-op instead of deleting the first's output
+      val lockPath = java.nio.file.Paths.get(wh, s".$table.lock")
+      java.nio.file.Files.createDirectories(lockPath.getParent)
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      val lock = ch.lock()
+      try {
+        if (!isCurrent) {
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          // a fresh session's catalog doesn't know the table, so DROP alone
+          // leaves the old warehouse dir behind → LOCATION_ALREADY_EXISTS
+          org.apache.commons.io.FileUtils.deleteQuietly(dir)
+          df.write.bucketBy(8, key).sortBy(key)
+            .mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+          // atomic publish: a crash mid-write must not leave a marker
+          // that validates a half-written fingerprint
+          val tmpMarker = java.nio.file.Paths.get(dir.getAbsolutePath, "_graft_fp.tmp")
+          java.nio.file.Files.writeString(tmpMarker, fingerprint(src, defn))
+          java.nio.file.Files.move(tmpMarker, marker.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        register()
+      } finally { lock.release(); ch.close() }
     }
     ensureBucketed(orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
       "o_orderkey", "orders", "v2:o_orderkey,o_orderstatus:bucket8",

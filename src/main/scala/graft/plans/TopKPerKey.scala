@@ -55,9 +55,20 @@ object TopKPerKey {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     val analyzed = df.queryExecution.analyzed
-    def attr(n: String): Attribute = analyzed.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"column $n not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    // resolve with the session's resolver (case-insensitive unless
+    // spark.sql.caseSensitive) — matching every other API path; a
+    // strict == here would reject "O_ORDERSTATUS" that select() accepts
+    val resolver = spark.sessionState.conf.resolver
+    def attr(n: String): Attribute = {
+      val hits = analyzed.output.filter(a => resolver(a.name, n))
+      hits match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in ${analyzed.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous among ${many.map(_.name).mkString(", ")}")
+      }
+    }
     val sortOrders = order.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }
@@ -97,8 +108,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       val heaps = scala.collection.mutable.HashMap
         .empty[InternalRow, scala.collection.mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd))
+        // probe with the reused projection output first; copy() the key
+        // only on first sight — the common hit path allocates nothing
+        val probe = keyProj(row)
+        val heap = heaps.get(probe) match {
+          case Some(h) => h
+          case None =>
+            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd)
+            heaps.put(probe.copy(), h)
+            h
+        }
         if (heap.size < kLocal) heap.enqueue(row.copy())
         else if (rowOrd.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
       }
