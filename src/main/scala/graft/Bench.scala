@@ -56,13 +56,20 @@ object Bench {
       if (used + cost <= budget) { kept += ((k, v)); used += cost }
     }
     val headline = entries(kept.toSeq.sortBy(_._1))
+    // BENCH_LATEST.json is reserved for the canonical scale factor
+    // (sf0.1, what every round's BENCH_r{N}.json measures) — a run at a
+    // different sf lands in a sf-suffixed file so a local sf0.01
+    // iteration can never masquerade as a cross-round comparable total.
+    val sfName = new java.io.File(sfDir).getName
+    val defaultName =
+      if (sfName == "sf0.1") "BENCH_LATEST.json" else s"BENCH_LATEST_$sfName.json"
     val benchFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        new java.io.File(System.getProperty("user.dir"), "BENCH_LATEST.json").getPath))
+        new java.io.File(System.getProperty("user.dir"), defaultName).getPath))
     val fullLine =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","nqueries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","nqueries":${results.size},"queries":$headline,"queries_file":"${benchFile.getName}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","nqueries":${results.size},"queries":$headline,"queries_file":"${benchFile.getAbsolutePath}","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(benchFile.toPath, fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist $benchFile: $e")

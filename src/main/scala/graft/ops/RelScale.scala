@@ -13,6 +13,12 @@ import Tables._
   */
 object RelScale {
 
+  /** Per-table monitors serializing in-JVM callers of ensureBucketed —
+    * FileChannel.lock would throw OverlappingFileLockException if two
+    * threads of one JVM contended for the same table's lock file. */
+  private[ops] val bucketLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** src-json-lines — JSON-lines source with explicit schema (never
     * inferred, same bronze discipline as CSV): write→read round trip
     * must restore the table. */
@@ -94,10 +100,15 @@ object RelScale {
     def fingerprint(name: String, defn: String) = {
       val p = java.nio.file.Paths.get(s"$d/$name.parquet")
       // nanosecond mtime (not File.lastModified's ms) so a same-size
-      // regeneration within a millisecond still changes the fingerprint
-      val mtime = java.nio.file.Files.getLastModifiedTime(p)
-        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
-      s"$name:${java.nio.file.Files.size(p)}:$mtime:$defn"
+      // regeneration within a millisecond still changes the fingerprint.
+      // A missing source yields a sentinel that never matches a stored
+      // marker: the forced rebuild then fails with the informative
+      // source-read error instead of an opaque NoSuchFileException here.
+      try {
+        val mtime = java.nio.file.Files.getLastModifiedTime(p)
+          .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+        s"$name:${java.nio.file.Files.size(p)}:$mtime:$defn"
+      } catch { case _: java.io.IOException => s"$name:<missing $p>:$defn" }
     }
     def ensureBucketed(df: => DataFrame, key: String, src: String, defn: String,
                        table: String): Unit = {
@@ -114,34 +125,41 @@ object RelScale {
           s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS " +
           s"LOCATION '${dir.getAbsolutePath}'")
       }
-      if (isCurrent) { register(); return }
-      // serialize the check-then-rebuild across JVMs: an OS file lock on
-      // a sibling lock file (never inside `dir` — the rebuild deletes
-      // it), with a re-check under the lock so the second writer of a
-      // race becomes a no-op instead of deleting the first's output
+      // serialize check-then-act across JVMs: an OS file lock on a
+      // sibling lock file (never inside `dir` — the rebuild deletes it),
+      // held over the ENTIRE check INCLUDING the isCurrent fast path — an
+      // unlocked fast path could register+scan the dir while another
+      // JVM's rebuild (after a source regeneration) deletes it mid-read.
+      // FileChannel.lock throws OverlappingFileLockException when two
+      // threads of the SAME JVM race the same file, so in-JVM callers are
+      // first serialized on a per-table interned monitor.
       val lockPath = java.nio.file.Paths.get(wh, s".$table.lock")
       java.nio.file.Files.createDirectories(lockPath.getParent)
-      val ch = java.nio.channels.FileChannel.open(lockPath,
-        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-      val lock = ch.lock()
-      try {
-        if (!isCurrent) {
-          s.sql(s"DROP TABLE IF EXISTS $table")
-          // a fresh session's catalog doesn't know the table, so DROP alone
-          // leaves the old warehouse dir behind → LOCATION_ALREADY_EXISTS
-          org.apache.commons.io.FileUtils.deleteQuietly(dir)
-          df.write.bucketBy(8, key).sortBy(key)
-            .mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
-          // atomic publish: a crash mid-write must not leave a marker
-          // that validates a half-written fingerprint
-          val tmpMarker = java.nio.file.Paths.get(dir.getAbsolutePath, "_graft_fp.tmp")
-          java.nio.file.Files.writeString(tmpMarker, fingerprint(src, defn))
-          java.nio.file.Files.move(tmpMarker, marker.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-        register()
-      } finally { lock.release(); ch.close() }
+      RelScale.bucketLocks.computeIfAbsent(table, _ => new Object).synchronized {
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+        val lock = ch.lock()
+        try {
+          // re-check under the lock: the second writer of a cross-JVM race
+          // sees the first's marker and becomes a metadata-only register
+          if (!isCurrent) {
+            s.sql(s"DROP TABLE IF EXISTS $table")
+            // a fresh session's catalog doesn't know the table, so DROP alone
+            // leaves the old warehouse dir behind → LOCATION_ALREADY_EXISTS
+            org.apache.commons.io.FileUtils.deleteQuietly(dir)
+            df.write.bucketBy(8, key).sortBy(key)
+              .mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+            // atomic publish: a crash mid-write must not leave a marker
+            // that validates a half-written fingerprint
+            val tmpMarker = java.nio.file.Paths.get(dir.getAbsolutePath, "_graft_fp.tmp")
+            java.nio.file.Files.writeString(tmpMarker, fingerprint(src, defn))
+            java.nio.file.Files.move(tmpMarker, marker.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+          register()
+        } finally { lock.release(); ch.close() }
+      }
     }
     ensureBucketed(orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
       "o_orderkey", "orders", "v2:o_orderkey,o_orderstatus:bucket8",
