@@ -22,6 +22,8 @@ object SparkEntry {
     (RelSetGen.queries, RelSetGen.oracles),
     (RelScale.queries, RelScale.oracles),
     (RelExtra.queries, RelExtra.oracles),
+    (FuncSuites.queries, FuncSuites.oracles),
+    (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
     (Ann.queries, Ann.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),

@@ -360,7 +360,101 @@ object TextAnalysis {
       |       hapax_words * 1.0 / vocab_size AS hapax_fraction
       |FROM totals, top100""".stripMargin
 
+  /** text-pii-mask — PII scrubbing, the redaction pass every
+    * training-data pipeline runs before a corpus ships: regex-mask
+    * emails and phone-shaped tokens, count redactions per record. The
+    * testdata is synthetic word-salad with no real PII, so the
+    * contact string is synthesized deterministically per customer and
+    * the op grades the masking pipeline itself. Narrow projection —
+    * runs at scan speed; the regexes are RE2-compatible so the oracle
+    * twin executes them byte-identically. */
+  private val emailPat = "[a-z0-9.]+@[a-z.]+"
+  private val phonePat = "555-[0-9]{4}"
+
+  val textPiiMask: Q = (s, d) => {
+    val raw = concat(
+      col("c_name"), lit(" <"),
+      lower(translate(col("c_name"), "#", ".")), lit("@example.com> call 555-"),
+      lpad((col("c_custkey") % 10000).cast(StringType), 4, "0"))
+    customer(s, d)
+      .select(col("c_custkey"), raw.as("raw"))
+      .select(
+        col("c_custkey"),
+        regexp_replace(regexp_replace(col("raw"), emailPat, "[EMAIL]"),
+          phonePat, "[PHONE]").as("masked"),
+        (size(regexp_extract_all(col("raw"), lit(emailPat), lit(0)))
+          + size(regexp_extract_all(col("raw"), lit(phonePat), lit(0))))
+          .cast(IntegerType).as("n_pii"))
+      .orderBy("c_custkey")
+  }
+
+  val textPiiMaskSql: String =
+    s"""WITH raw AS (
+       |  SELECT c_custkey,
+       |         c_name || ' <' || lower(translate(c_name, '#', '.'))
+       |           || '@example.com> call 555-'
+       |           || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS raw
+       |  FROM customer)
+       |SELECT c_custkey,
+       |       regexp_replace(regexp_replace(raw, '$emailPat', '[EMAIL]', 'g'),
+       |                      '$phonePat', '[PHONE]', 'g') AS masked,
+       |       CAST(length(regexp_extract_all(raw, '$emailPat'))
+       |          + length(regexp_extract_all(raw, '$phonePat')) AS INT) AS n_pii
+       |FROM raw
+       |ORDER BY c_custkey""".stripMargin
+
+  /** dedup-url — URL canonicalization + exact dedup, the first dedup
+    * pass of a web-crawl pipeline (far cheaper than content hashing:
+    * most crawl duplicates are the same URL with tracking params /
+    * case / fragment noise). Canonicalization: lowercase the host,
+    * strip the fragment, drop utm_* tracking params. URLs are
+    * synthesized deterministically per document (testdata has no URL
+    * column); dedup is then hash-partitioned groupBy(canonical) —
+    * one shuffle on the canonical string, map-side combined, the
+    * exact-dedup scale shape. */
+  val dedupUrl: Q = (s, d) => {
+    val url = concat(
+      lit("https://"), upper(col("source")), lit(".Example.COM/"), col("lang"),
+      lit("/item/"), (col("doc_id") % 40).cast(StringType),
+      lit("?utm_source=feed&id="), (col("doc_id") % 7).cast(StringType),
+      lit("#sec"), (col("doc_id") % 3).cast(StringType))
+    val host = lower(regexp_extract(col("url"), "^https?://([^/]+)", 1))
+    val rest = regexp_extract(col("url"), "^https?://[^/]+([^#]*)", 1)
+    val canon = concat(lit("https://"), host,
+      regexp_replace(regexp_replace(rest, "utm_[a-z_]+=[^&]*&", ""),
+        "[?&]utm_[a-z_]+=[^&]*$", ""))
+    documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), canon.as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+      .orderBy("canonical_url")
+  }
+
+  val dedupUrlSql: String =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |         'https://' || upper(source) || '.Example.COM/' || lang
+      |           || '/item/' || CAST(doc_id % 40 AS VARCHAR)
+      |           || '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+      |           || '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id,
+      |         'https://' || lower(regexp_extract(url, '^https?://([^/]+)', 1))
+      |           || regexp_replace(regexp_replace(
+      |                regexp_extract(url, '^https?://[^/]+([^#]*)', 1),
+      |                'utm_[a-z_]+=[^&]*&', '', 'g'),
+      |                '[?&]utm_[a-z_]+=[^&]*$', '', 'g') AS canonical_url
+      |  FROM urls)
+      |SELECT canonical_url, count(*) AS n_dups, min(doc_id) AS keeper
+      |FROM canon
+      |GROUP BY canonical_url
+      |ORDER BY canonical_url""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text-pii-mask" -> textPiiMask,
+    "dedup-url" -> dedupUrl,
     "text-vocab-stats" -> textVocabStats,
     "text-hash-split" -> textHashSplit,
     "text-normalize" -> textNormalize,
@@ -372,6 +466,8 @@ object TextAnalysis {
     "text-contamination" -> textContamination)
 
   val oracles: Map[String, String] = Map(
+    "text-pii-mask" -> textPiiMaskSql,
+    "dedup-url" -> dedupUrlSql,
     "text-vocab-stats" -> textVocabStatsSql,
     "text-hash-split" -> textHashSplitSql,
     "text-normalize" -> textNormalizeSql,
