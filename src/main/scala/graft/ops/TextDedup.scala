@@ -192,7 +192,14 @@ object TextDedup {
     * oracle is a recursive-CTE transitive closure over the same
     * pairs. */
   val dedupCluster: Q = (s, d) => {
-    val pairs = minhashPairs(s, d)
+    val bands = minhashBands(s, d)
+    val pairs = {
+      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bk"))
+      a.join(b, Seq("band", "bk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    }
     // edges are re-joined every round: pre-partition once on the join
     // key so the cached side never re-exchanges; the label frame is the
     // only side that shuffles per round
@@ -200,8 +207,20 @@ object TextDedup {
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .repartition(col("v"))
       .persist()
-    var cached = edges.select(col("u").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    // bucket-min initialization: every bucket is a clique of the pair
+    // graph, so labeling each member with its bucket's min doc_id (min
+    // over a doc's buckets) performs a whole propagation round — over
+    // the DENSER clique graph — as two cheap aggregations on the band
+    // table, before any edge join runs. Cliques collapse immediately;
+    // the edge rounds below only have to stitch cross-bucket chains
+    // (components spanning buckets), so rounds = bucket-graph diameter,
+    // not doc-graph diameter. Buckets without a second member generate
+    // no pairs and must not inject their doc into the label set.
+    val bucketMin = bands.groupBy("band", "bk")
+      .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    var cached = bands.join(bucketMin, Seq("band", "bk"))
+      .groupBy("doc_id").agg(min(col("bmin")).as("cluster_id")).persist()
     var labels = cached
     var converged = false
     var iter = 0
