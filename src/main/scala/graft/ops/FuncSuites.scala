@@ -139,13 +139,56 @@ object FuncSuites {
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** func-regex-suite — the regex scalar surface (extract, global
+    * replace, match test, occurrence count, field split) over customer
+    * rows. All patterns are RE2-compatible (no lookaround/backrefs), the
+    * subset where Java's regex engine and DuckDB's RE2 agree byte-for-
+    * byte. Note the engine asymmetry the suite pins down: Spark
+    * `regexp_replace` is global by default while DuckDB needs the
+    * explicit 'g' flag — an easy silent-mismatch if ever forgotten.
+    * Narrow projection, scan speed. */
+  val funcRegexSuite: Q = (s, d) => {
+    // the testdata has no phone column — synthesize one deterministically
+    // (country code from the nation key, line number from the custkey)
+    // so extract/mask/split run against realistically-shaped input
+    val phone = concat(
+      (col("c_nationkey") + 10).cast(StringType), lit("-555-"),
+      lpad((col("c_custkey") % 10000).cast(StringType), 4, "0"))
+    customer(s, d)
+      .withColumn("c_phone", phone)
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).as("trailing_digits"),
+        regexp_replace(col("c_phone"), "[0-9]", "#").as("phone_masked"),
+        col("c_mktsegment").rlike("^(BUIL|AUTO)").cast(IntegerType).as("seg_flag"),
+        regexp_count(col("c_mktsegment"), lit("[AEIOU]")).cast(IntegerType).as("vowels"),
+        split(col("c_phone"), "-").getItem(0).as("phone_cc"))
+      .orderBy("c_custkey")
+  }
+
+  val funcRegexSuiteSql: String =
+    """WITH c AS (
+      |  SELECT *, CAST(c_nationkey + 10 AS VARCHAR) || '-555-'
+      |         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS c_phone
+      |  FROM customer)
+      |SELECT c_custkey,
+      |       regexp_extract(c_name, '([0-9]+)$', 1) AS trailing_digits,
+      |       regexp_replace(c_phone, '[0-9]', '#', 'g') AS phone_masked,
+      |       CAST(CASE WHEN regexp_matches(c_mktsegment, '^(BUIL|AUTO)') THEN 1 ELSE 0 END AS INT) AS seg_flag,
+      |       CAST(len(regexp_extract_all(c_mktsegment, '[AEIOU]')) AS INT) AS vowels,
+      |       string_split(c_phone, '-')[1] AS phone_cc
+      |FROM c
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "func-string-suite" -> funcStringSuite,
     "func-date-suite" -> funcDateSuite,
-    "func-math-suite" -> funcMathSuite)
+    "func-math-suite" -> funcMathSuite,
+    "func-regex-suite" -> funcRegexSuite)
 
   val oracles: Map[String, String] = Map(
     "func-string-suite" -> funcStringSuiteSql,
     "func-date-suite" -> funcDateSuiteSql,
-    "func-math-suite" -> funcMathSuiteSql)
+    "func-math-suite" -> funcMathSuiteSql,
+    "func-regex-suite" -> funcRegexSuiteSql)
 }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
 import Tables._
 
 /** Aggregation operators (SURVEY.md §2.4) re-expressed over the driver's
@@ -269,7 +270,50 @@ object RelAggs {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** agg-mode-median — per-group mode and median. Both engines ship
+    * built-ins, but their tie-breaks differ (Spark `mode` and DuckDB
+    * `mode` each pick an arbitrary value among equally-frequent
+    * candidates), so the mode is computed as the explicit
+    * count + rank-with-value-tiebreak pipeline — two map-side-combined
+    * aggregations, no window over raw rows, deterministic on any
+    * engine. The median stays a built-in on both sides (Spark `median`
+    * and DuckDB `median` both interpolate the middle pair) and lands
+    * as a rounded double. */
+  val aggModeMedian: Q = (s, d) => {
+    val counts = lineitem(s, d)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(desc("c"), col("l_quantity"))
+    val modes = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("c").as("mode_n"))
+    val med = lineitem(s, d).groupBy("l_returnflag")
+      .agg(round(expr("median(l_quantity)"), 6).as("median_qty"))
+    modes.join(med, Seq("l_returnflag"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggModeMedianSql: String =
+    """WITH counts AS (
+      |  SELECT l_returnflag, l_quantity, count(*) AS c
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+      |modes AS (
+      |  SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_n,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |                            ORDER BY c DESC, l_quantity) AS rn
+      |  FROM counts),
+      |med AS (
+      |  SELECT l_returnflag, round(median(l_quantity), 6) AS median_qty
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, mode_qty, mode_n, median_qty
+      |FROM modes JOIN med USING (l_returnflag)
+      |WHERE rn = 1
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg-mode-median" -> aggModeMedian,
     "agg-approx-quantile" -> aggApproxQuantile,
     "agg-approx-distinct" -> aggApproxDistinct,
     "agg-stats" -> aggStats,
@@ -284,6 +328,7 @@ object RelAggs {
     "agg-rowcount-audit" -> aggRowcountAudit)
 
   val oracles: Map[String, String] = Map(
+    "agg-mode-median" -> aggModeMedianSql,
     "agg-approx-quantile" -> aggApproxQuantileSql,
     "agg-approx-distinct" -> aggApproxDistinctSql,
     "agg-stats" -> aggStatsSql,

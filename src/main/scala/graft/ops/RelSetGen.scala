@@ -156,7 +156,47 @@ object RelSetGen {
       |       (SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
       |        FROM lineitem) AS null_keys""".stripMargin
 
+  /** set-except-all — bag-semantics EXCEPT ALL / INTERSECT ALL (the
+    * multiset counterparts of set-intersect-except): order-status rows of
+    * the first half of the orders table vs the second half, where each
+    * status appears many times so the MULTIPLICITY arithmetic (count_a −
+    * count_b surplus for EXCEPT ALL, min(count_a, count_b) for INTERSECT
+    * ALL) is actually exercised — plain EXCEPT would collapse both sides
+    * to the same 3 distinct rows. Spark plans these as a single
+    * count-aggregate + generate (one shuffle on the row value), which is
+    * exactly the scalable form: no sort, no pairwise matching. Output is
+    * the surviving multiset rolled up to (status, multiplicity) so the
+    * result is deterministic without inventing a row identity. */
+  val setExceptAll: Q = (s, d) => {
+    val o = orders(s, d)
+    val a = o.filter(col("o_orderkey") % 2 === 0).select(col("o_orderstatus"))
+    val b = o.filter(col("o_orderkey") % 2 === 1).select(col("o_orderstatus"))
+    val ex = a.exceptAll(b).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("except_all_n"))
+    val in = a.intersectAll(b).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("intersect_all_n"))
+    ex.join(in, Seq("o_orderstatus"), "full")
+      .select(col("o_orderstatus"),
+        coalesce(col("except_all_n"), lit(0L)).as("except_all_n"),
+        coalesce(col("intersect_all_n"), lit(0L)).as("intersect_all_n"))
+      .orderBy("o_orderstatus")
+  }
+
+  val setExceptAllSql: String =
+    """WITH a AS (SELECT o_orderstatus FROM orders WHERE o_orderkey % 2 = 0),
+      |b AS (SELECT o_orderstatus FROM orders WHERE o_orderkey % 2 = 1),
+      |ex AS (SELECT o_orderstatus, count(*) AS except_all_n
+      |       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY o_orderstatus),
+      |inx AS (SELECT o_orderstatus, count(*) AS intersect_all_n
+      |        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY o_orderstatus)
+      |SELECT o_orderstatus,
+      |       coalesce(except_all_n, 0) AS except_all_n,
+      |       coalesce(intersect_all_n, 0) AS intersect_all_n
+      |FROM ex FULL JOIN inx USING (o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "set-except-all" -> setExceptAll,
     "set-union-all" -> setUnionAll,
     "gen-date-series" -> genDateSeries,
     "gen-calendar-attrs" -> genCalendarAttrs,
@@ -165,6 +205,7 @@ object RelSetGen {
     "fk-notnull-check" -> fkNotnullCheck)
 
   val oracles: Map[String, String] = Map(
+    "set-except-all" -> setExceptAllSql,
     "set-union-all" -> setUnionAllSql,
     "gen-date-series" -> genDateSeriesSql,
     "gen-calendar-attrs" -> genCalendarAttrsSql,

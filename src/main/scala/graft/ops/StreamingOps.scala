@@ -248,7 +248,79 @@ object StreamingOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** stream-foreachbatch-upsert — the production warehouse-sink
+    * pattern: foreachBatch merges each micro-batch into a keyed target
+    * table (upsert: per-user latest event wins), the topology every
+    * streaming-into-lakehouse deployment runs where the sink needs
+    * MERGE semantics a file sink can't give. The events file is staged
+    * twice with one file per micro-batch, so batch 2 re-delivers every
+    * key into a non-empty target — the merge's idempotency under
+    * redelivery (the exactly-once-effective contract foreachBatch
+    * must provide, since it is at-least-once by itself) is actually
+    * exercised, not vacuously true. The per-key winner is
+    * argmax(event_ts, event_id), a total order, so the final target is
+    * invariant to the batch split and equals the batch window oracle.
+    * Each merge writes the new generation to a sibling dir before
+    * swapping it in — the read of the current generation and the
+    * overwrite never race. */
+  val streamForeachUpsert: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val target = new java.io.File(Tables.tmp("stream-upsert-target", d))
+    val ckpt = Tables.tmp("ckpt-stream-upsert", d)
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val srcDir = new java.io.File(Tables.tmp("stream-src-upsert", d))
+    srcDir.mkdirs()
+    Seq("events_a.parquet", "events_b.parquet").foreach { n =>
+      stageAtomically(s"$d/events.parquet", new java.io.File(srcDir, n))
+    }
+    val schema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType)
+      .add("event_type", StringType).add("value", DoubleType)
+      .add("ts", LongType)
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .drop("ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("event_ts").desc, col("event_id").desc)
+    def winners(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = winners(batch)
+        val merged = if (target.exists()) winners(s.read.parquet(target.getPath).unionByName(b))
+        else b
+        val next = new java.io.File(target.getPath + ".next")
+        merged.write.mode("overwrite").parquet(next.getPath)
+        org.apache.commons.io.FileUtils.deleteDirectory(target)
+        org.apache.commons.io.FileUtils.moveDirectory(next, target)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(target.getPath)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  val streamForeachUpsertSql: String =
+    """SELECT user_id, event_id AS last_event_id,
+      |       event_type AS last_type, value AS last_value
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream-foreachbatch-upsert" -> streamForeachUpsert,
     "stream-sink-files" -> streamSinkFiles,
     "stream-agg-counts" -> streamAggCounts,
     "stream-window-hourly" -> streamWindowHourly,
@@ -257,6 +329,7 @@ object StreamingOps {
     "stream-join-static" -> streamJoinStatic)
 
   val oracles: Map[String, String] = Map(
+    "stream-foreachbatch-upsert" -> streamForeachUpsertSql,
     "stream-sink-files" -> streamSinkFilesSql,
     "stream-agg-counts" -> streamAggCountsSql,
     "stream-window-hourly" -> streamWindowHourlySql,

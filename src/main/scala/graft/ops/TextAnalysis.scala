@@ -452,7 +452,114 @@ object TextAnalysis {
       |GROUP BY canonical_url
       |ORDER BY canonical_url""".stripMargin
 
+  /** sample-stratified — per-stratum deterministic subsampling, the
+    * domain-mixing primitive of corpus assembly (keep 25% of the
+    * over-represented `en` stratum, 75% of everything else): a digest
+    * of the id maps each doc to a 0-255 bucket (same discipline as
+    * text-hash-split — never random(), so the sample is reproducible
+    * across runs, engines and partitionings, and a doc's membership
+    * never flips when the corpus grows), and the keep threshold is a
+    * per-stratum constant. Narrow scan-speed filter; no shuffle. */
+  val sampleStratified: Q = (s, d) =>
+    documents(s, d)
+      .filter(col("doc_id").isNotNull)
+      .withColumn("bucket", expr(
+        "(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1)"))
+      .filter(col("bucket") < when(col("lang") === "en", 64).otherwise(192))
+      .select(col("doc_id"), col("lang"), col("bucket").cast(IntegerType).as("bucket"))
+      .orderBy("doc_id")
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang, CAST(bucket AS INT) AS bucket
+      |FROM (
+      |  SELECT doc_id, lang,
+      |         (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+      |         (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      |  FROM documents WHERE doc_id IS NOT NULL)
+      |WHERE bucket < CASE WHEN lang = 'en' THEN 64 ELSE 192 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** text-idf-rarity — corpus-grounded rarity scoring (the integer-exact
+    * core of a unigram-LM quality filter): pass 1 computes each word's
+    * document frequency (groupBy word — map-side combined, shuffle =
+    * |vocab|), pass 2 joins it back to the distinct doc-word pairs and
+    * aggregates per doc: rarest word's df, count of near-hapax words
+    * (df ≤ 2, the OOV-risk signal), and mean df. All sums are BIGINT —
+    * exact and order-independent — with the single terminal division
+    * rounded, so both engines emit identical bits (a float log-prob sum
+    * would be partition-order-dependent; see Tables determinism notes). */
+  val textIdfRarity: Q = (s, d) => {
+    val dw = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .distinct().persist()
+    val df = dw.groupBy("word").agg(count(lit(1)).as("df"))
+    dw.join(df, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_words"),
+        min(col("df")).as("min_df"),
+        sum(when(col("df") <= 2, 1).otherwise(0)).as("rare_words"),
+        sum(col("df")).as("sum_df"))
+      .select(col("doc_id"), col("n_distinct_words"), col("min_df"),
+        col("rare_words"),
+        round(col("sum_df") * lit(1.0) / col("n_distinct_words"), 9).as("avg_df"))
+      .orderBy("doc_id")
+  }
+
+  val textIdfRaritySql: String =
+    """WITH dw AS (
+      |  SELECT DISTINCT doc_id, word
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> ''),
+      |df AS (SELECT word, count(*) AS df FROM dw GROUP BY word)
+      |SELECT doc_id,
+      |       count(*) AS n_distinct_words,
+      |       CAST(min(df) AS BIGINT) AS min_df,
+      |       CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rare_words,
+      |       round(sum(df) * 1.0 / count(*), 9) AS avg_df
+      |FROM dw JOIN df USING (word)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** text-html-strip — markup removal, the first transform of any
+    * web-crawl text pipeline: strip tags, decode the common entities,
+    * squeeze whitespace. The testdata corpus is plain text, so markup
+    * is injected deterministically on both sides (tags with attributes,
+    * a self-closing tag, literal entities) — the stripper is exercised
+    * against structure it actually has to remove, not vacuously. Narrow
+    * scan-speed projection; the regex is RE2-compatible (no backrefs)
+    * so both engines execute it identically. */
+  val textHtmlStrip: Q = (s, d) => {
+    val dirty = concat(
+      lit("<html><body><div id=\"d1\" class='x'>Tom &amp; Jerry &lt;3</div><br/><p>"),
+      col("text"), lit("</p>\n</body></html>"))
+    val noTags = regexp_replace(dirty, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      noTags, "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+    documents(s, d).select(
+      col("doc_id"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  val textHtmlStripSql: String =
+    """SELECT doc_id,
+      |       trim(regexp_replace(
+      |         replace(replace(replace(
+      |           regexp_replace(
+      |             '<html><body><div id="d1" class=''x''>Tom &amp; Jerry &lt;3</div><br/><p>'
+      |               || text || '</p>' || chr(10) || '</body></html>',
+      |             '<[^>]*>', ' ', 'g'),
+      |           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+      |         '\s+', ' ', 'g')) AS text_clean
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sample-stratified" -> sampleStratified,
+    "text-idf-rarity" -> textIdfRarity,
+    "text-html-strip" -> textHtmlStrip,
     "text-pii-mask" -> textPiiMask,
     "dedup-url" -> dedupUrl,
     "text-vocab-stats" -> textVocabStats,
@@ -466,6 +573,9 @@ object TextAnalysis {
     "text-contamination" -> textContamination)
 
   val oracles: Map[String, String] = Map(
+    "sample-stratified" -> sampleStratifiedSql,
+    "text-idf-rarity" -> textIdfRaritySql,
+    "text-html-strip" -> textHtmlStripSql,
     "text-pii-mask" -> textPiiMaskSql,
     "dedup-url" -> dedupUrlSql,
     "text-vocab-stats" -> textVocabStatsSql,

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.olist.SparkTestBase
+
+/** Structural invariants for the second round-4 operator batch
+  * (stratified sampling, idf rarity, HTML strip, regex suite,
+  * EXCEPT/INTERSECT ALL, deterministic mode + median) over the
+  * sf0.001 testdata. The oracle harness checks exact values; these
+  * check the properties that must hold at any scale. */
+class Round4bOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("sample-stratified: per-stratum keep rates and hash stability") {
+    val df = run("sample-stratified").cache()
+    assert(df.filter(col("bucket") < 0 || col("bucket") > 255).count() == 0)
+    assert(df.filter(col("lang") === "en" && col("bucket") >= 64).count() == 0)
+    assert(df.filter(col("lang") =!= "en" && col("bucket") >= 192).count() == 0)
+    // reproducibility: a second run keeps exactly the same documents
+    val again = run("sample-stratified")
+    assert(df.select("doc_id").exceptAll(again.select("doc_id")).count() == 0)
+    // the sample is a subset of the corpus
+    val total = Tables.documents(spark, sf).count()
+    assert(df.count() > 0 && df.count() < total)
+  }
+
+  test("text-idf-rarity: df bounds and rarity arithmetic") {
+    val df = run("text-idf-rarity").cache()
+    assert(df.filter(col("min_df") < 1).count() == 0)
+    assert(df.filter(col("rare_words") > col("n_distinct_words")).count() == 0)
+    assert(df.filter(col("avg_df") < col("min_df")).count() == 0)
+    // every document with at least one word appears
+    val nDocs = Tables.documents(spark, sf)
+      .filter(length(col("text")) > 0).count()
+    assert(df.count() == nDocs)
+  }
+
+  test("text-html-strip: tags removed, entities decoded, whitespace squeezed") {
+    val df = run("text-html-strip").cache()
+    assert(df.filter(col("text_clean").contains("</")).count() == 0)
+    assert(df.filter(col("text_clean").contains("<p")
+      || col("text_clean").contains("<div")).count() == 0)
+    assert(df.filter(col("text_clean").contains("&amp;")).count() == 0)
+    assert(df.filter(col("text_clean").contains("  ")).count() == 0)
+    // the injected markup's text survives decoded
+    assert(df.filter(!col("text_clean").startsWith("Tom & Jerry <3")).count() == 0)
+  }
+
+  test("func-regex-suite: extraction, masking and split agree with direct columns") {
+    val df = run("func-regex-suite").cache()
+    assert(df.filter(col("phone_masked").rlike("[0-9]")).count() == 0)
+    assert(df.filter(col("trailing_digits").cast("long") =!= col("c_custkey")).count() == 0)
+    assert(df.filter(!col("seg_flag").isin(0, 1)).count() == 0)
+  }
+
+  test("set-except-all: multiplicities match direct per-side counts") {
+    val o = Tables.orders(spark, sf)
+    val ca = o.filter(col("o_orderkey") % 2 === 0)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("na"))
+    val cb = o.filter(col("o_orderkey") % 2 === 1)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("nb"))
+    val direct = ca.join(cb, Seq("o_orderstatus"), "full")
+      .select(col("o_orderstatus"),
+        greatest(coalesce(col("na"), lit(0L)) - coalesce(col("nb"), lit(0L)), lit(0L)).as("ex"),
+        least(coalesce(col("na"), lit(0L)), coalesce(col("nb"), lit(0L))).as("in_"))
+    val got = run("set-except-all")
+    assert(got.join(direct, Seq("o_orderstatus"))
+      .filter(col("except_all_n") =!= col("ex")
+        || col("intersect_all_n") =!= col("in_")).count() == 0)
+  }
+
+  test("stream-foreachbatch-upsert: one row per user, equal to the batch argmax") {
+    val got = run("stream-foreachbatch-upsert").cache()
+    val users = got.select("user_id").distinct().count()
+    assert(got.count() == users)
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(users == nUsers)
+  }
+
+  test("agg-mode-median: mode count is the per-group maximum") {
+    val maxC = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("c"))
+      .groupBy("l_returnflag").agg(max(col("c")).as("max_c"))
+    val got = run("agg-mode-median")
+    assert(got.join(maxC, Seq("l_returnflag"))
+      .filter(col("mode_n") =!= col("max_c")).count() == 0)
+    assert(got.filter(col("median_qty").isNull).count() == 0)
+  }
+}
