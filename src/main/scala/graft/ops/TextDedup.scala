@@ -290,13 +290,22 @@ object TextDedup {
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5(col("word")))
+    // h's 16 hex nibbles are projected ONCE into int columns; the 64
+    // bit-sum aggregates then reference plain (nibble >> shift) & 1
+    // arithmetic. Embedding instr(substring(h, ..)) inside every
+    // aggregate quadruples the generated aggregate code — Janino
+    // compile time is most of this op's one-shot cost — and repeats
+    // the nibble decode 4× per input row at runtime.
+    val withNibbles = (1 to 16).foldLeft(wc) { (df, p) =>
+      df.withColumn(s"n$p", expr(s"instr('0123456789abcdef', substring(h, $p, 1)) - 1"))
+    }
     val bitSums: Seq[Column] = (1 to 64).map { j =>
       val p = (j - 1) / 4 + 1
       val shift = 3 - ((j - 1) % 4)
-      val bit = expr(s"(shiftright(instr('0123456789abcdef', substring(h, $p, 1)) - 1, $shift) & 1)")
+      val bit = expr(s"shiftright(n$p, $shift) & 1")
       sum(when(bit === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s$j")
     }
-    val sums = wc.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sums = withNibbles.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val fp = concat((1 to 64).map(j => when(col(s"s$j") > 0, lit("1")).otherwise(lit("0"))): _*)
     sums.select(col("doc_id"), fp.as("simhash"))
   }
