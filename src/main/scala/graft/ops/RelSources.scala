@@ -224,7 +224,36 @@ object RelSources {
       |  UNION ALL SELECT 'graft_silver'
       |) ORDER BY schema_name""".stripMargin
 
+  /** src-datasourcev2 — a full custom DataSource V2 connector
+    * (graft.sources.GraftRangeSource, registered as `graft-range` via
+    * META-INF/services): deterministic range generator with source-side
+    * COLUMN PRUNING and PREDICATE PUSHDOWN — the id-range filter
+    * narrows the generated interval before partition planning, so the
+    * scan plans 49k rows, not 100k-then-filter. The graded query
+    * aggregates the pruned scan; money-style decimal sum keeps the
+    * result order-independent. GraftRangeSourceSpec asserts the
+    * pushdown actually reached the scan (description carries the
+    * narrowed range and pruned column list). */
+  val srcDatasourceV2: Q = (s, _) => {
+    val df = s.read.format("graft-range")
+      .option("rows", 100000L).option("slices", 8).load()
+      .filter(col("id") >= 1000L && col("id") < 50000L)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), outNum(sum(dec2(col("val")))).as("total_val"))
+      .orderBy("bucket")
+    df
+  }
+
+  val srcDatasourceV2Sql: String =
+    """SELECT CAST(id % 10 AS INT) AS bucket, count(*) AS n,
+      |       CAST(sum(CAST(CAST((id * 37) % 1000 AS DOUBLE) / CAST(10 AS DOUBLE)
+      |                     AS DECIMAL(18,2))) AS DOUBLE) AS total_val
+      |FROM (SELECT unnest(generate_series(1000, 49999)) AS id)
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "src-datasourcev2" -> srcDatasourceV2,
     "src-csv-quoted" -> srcCsvQuoted,
     "src-csv-pipe" -> srcCsvPipe,
     "src-preclean-newlines" -> srcPrecleanNewlines,
@@ -235,6 +264,7 @@ object RelSources {
     "ddl-catalog" -> ddlCatalog)
 
   val oracles: Map[String, String] = Map(
+    "src-datasourcev2" -> srcDatasourceV2Sql,
     "src-csv-quoted" -> srcCsvQuotedSql,
     "src-csv-pipe" -> srcCsvPipeSql,
     "src-preclean-newlines" -> srcPrecleanNewlinesSql,
