@@ -323,7 +323,64 @@ object RelExtra {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** join-interval-overlap — interval × interval overlap join via
+    * time-bucket binning: per-user daily activity intervals
+    * [first event, last event] against a fixed 6-hour window grid,
+    * reporting sessions/users overlapping each window. The naive plan
+    * is an inequality join (BroadcastNestedLoop = every pair tested);
+    * the scalable form bins time into 6h buckets, replicates each
+    * interval to the buckets it touches, EQUI-joins on the bucket, and
+    * only then applies the exact strict-overlap predicate. A window
+    * occupies exactly one bucket, so no candidate pair is produced
+    * twice (no dedup shuffle), replication is bounded by interval
+    * length / bucket width, and the join shuffles on a key — the
+    * standard interval-join recipe when both sides are fact-sized and
+    * nothing can be broadcast. */
+  val joinIntervalOverlap: Q = (s, d) => {
+    val bucket = 21600L // 6 h
+    val sess = events(s, d).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      .persist()
+    val bounds = sess.agg(min(col("s_start")).as("mn"), max(col("s_end")).as("mx"))
+    val windows = bounds.select(explode(expr(
+      s"sequence(timestamp_seconds(floor(unix_timestamp(mn) / $bucket) * $bucket), mx, interval 6 hours)")).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("interval 6 hours"))
+      .withColumn("bk", floor(unix_timestamp(col("w_start")) / bucket))
+    val sB = sess.withColumn("bk", explode(expr(
+      s"sequence(floor(unix_timestamp(s_start) / $bucket), floor(unix_timestamp(s_end) / $bucket))")))
+    windows.join(sB, Seq("bk"))
+      .filter(col("s_start") < col("w_end") && col("w_start") < col("s_end"))
+      .groupBy(col("w_start"))
+      .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_sessions"), col("n_users"))
+      .orderBy("window_start")
+  }
+
+  val joinIntervalOverlapSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('microseconds', ts) AS ts
+      |  FROM events WHERE user_id IS NOT NULL),
+      |sess AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS s_start, max(ts) AS s_end
+      |  FROM ev GROUP BY 1, 2),
+      |bounds AS (SELECT min(s_start) AS mn, max(s_end) AS mx FROM sess),
+      |win AS (
+      |  SELECT unnest(generate_series(
+      |    make_timestamp(CAST(floor(epoch(mn) / 21600) * 21600 * 1000000 AS BIGINT)),
+      |    mx, INTERVAL 6 HOUR)) AS w_start
+      |  FROM bounds)
+      |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       count(*) AS n_sessions,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM win JOIN sess
+      |  ON s_start < w_start + INTERVAL 6 HOUR AND w_start < s_end
+      |GROUP BY w_start
+      |ORDER BY window_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "join-interval-overlap" -> joinIntervalOverlap,
     "agg-sessionize" -> aggSessionize,
     "sink-incremental-merge" -> sinkIncrementalMerge,
     "agg-typed-aggregator" -> aggTypedAggregator,
@@ -337,6 +394,7 @@ object RelExtra {
     "udf-scala-reverse" -> udfScalaReverse)
 
   val oracles: Map[String, String] = Map(
+    "join-interval-overlap" -> joinIntervalOverlapSql,
     "agg-sessionize" -> aggSessionizeSql,
     "sink-incremental-merge" -> sinkIncrementalMergeSql,
     "agg-typed-aggregator" -> aggTypedAggregatorSql,

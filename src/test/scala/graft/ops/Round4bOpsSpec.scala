@@ -71,6 +71,26 @@ class Round4bOpsSpec extends SparkTestBase {
         || col("intersect_all_n") =!= col("in_")).count() == 0)
   }
 
+  test("join-interval-overlap: 6h grid alignment and bin-join equals naive overlap join") {
+    val got = run("join-interval-overlap").cache()
+    assert(got.filter(col("n_users") > col("n_sessions")).count() == 0)
+    // every window start sits on the 6h grid
+    assert(got.filter(
+      unix_timestamp(col("window_start"), "yyyy-MM-dd HH:mm:ss") % 21600 =!= 0).count() == 0)
+    // the binned join must agree with the naive inequality join
+    val sess = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val naive = sess.crossJoin(
+      got.select(to_timestamp(col("window_start")).as("w")))
+      .filter(col("s_start") < col("w") + expr("interval 6 hours")
+        && col("w") < col("s_end"))
+      .groupBy("w").agg(count(lit(1)).as("n_naive"))
+    assert(got.withColumn("w", to_timestamp(col("window_start")))
+      .join(naive, Seq("w"))
+      .filter(col("n_sessions") =!= col("n_naive")).count() == 0)
+  }
+
   test("stream-foreachbatch-upsert: one row per user, equal to the batch argmax") {
     val got = run("stream-foreachbatch-upsert").cache()
     val users = got.select("user_id").distinct().count()
