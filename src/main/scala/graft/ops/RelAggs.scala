@@ -312,7 +312,45 @@ object RelAggs {
       |WHERE rn = 1
       |ORDER BY l_returnflag""".stripMargin
 
+  /** agg-sketch-union — the REAGGREGATABLE sketch pattern that makes
+    * approximate distinct counting work in a layered warehouse: build a
+    * Datasketches HLL sketch per (event_type, day) shard — the
+    * granularity a daily pipeline materializes — then merge the binary
+    * sketches per type with hll_union_agg and estimate. Unlike
+    * approx_count_distinct (whose sketch lives only inside one
+    * aggregation), the sketch column is a persistable artifact: shards
+    * are built once per day and any rollup (type, type×month, global)
+    * is a cheap union of KB-sized blobs — no re-scan of the fact data.
+    * Cross-engine grading follows the agg-approx-distinct pattern: the
+    * oracle pins the exact counts and a within-5% contract on the
+    * estimate (sketch bits are engine-specific). */
+  val aggSketchUnion: Q = (s, d) => {
+    val ev = events(s, d)
+    val shards = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val merged = shards.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"),
+        count(lit(1)).as("n_shards"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_shards"),
+        when(col("n_exact") === 0, 1)
+          .otherwise((abs(col("est") - col("n_exact")) * lit(1.0) / col("n_exact") <= 0.05)
+            .cast(IntegerType)).as("within_tolerance"))
+      .orderBy("event_type")
+  }
+
+  val aggSketchUnionSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+      |       count(DISTINCT CAST(ts AS DATE)) AS n_shards,
+      |       CAST(1 AS INT) AS within_tolerance
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg-sketch-union" -> aggSketchUnion,
     "agg-mode-median" -> aggModeMedian,
     "agg-approx-quantile" -> aggApproxQuantile,
     "agg-approx-distinct" -> aggApproxDistinct,
@@ -328,6 +366,7 @@ object RelAggs {
     "agg-rowcount-audit" -> aggRowcountAudit)
 
   val oracles: Map[String, String] = Map(
+    "agg-sketch-union" -> aggSketchUnionSql,
     "agg-mode-median" -> aggModeMedianSql,
     "agg-approx-quantile" -> aggApproxQuantileSql,
     "agg-approx-distinct" -> aggApproxDistinctSql,

@@ -225,7 +225,51 @@ object RelWindowSort {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** win-distinct-running — running COUNT(DISTINCT) over a window,
+    * which neither engine supports directly as a window aggregate:
+    * rewritten as the first-occurrence-flag trick. Pass 1 marks the
+    * first row of each (user, event_type) with row_number = 1; pass 2
+    * running-sums the flags per user in event order. Both windows
+    * partition by user-scale keys (one shuffle each, no global
+    * window), and the rewrite is exact — the running sum counts
+    * precisely the types seen so far. Ties are pinned by (ts,
+    * event_id) so both engines mark the same first occurrences. */
+  val winDistinctRunning: Q = (s, d) => {
+    val ev = events(s, d)
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("first_seen",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("distinct_types_so_far", sum(col("first_seen")).over(wRun))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("distinct_types_so_far"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val winDistinctRunningSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |         date_trunc('microseconds', ts) AS ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |         CASE WHEN row_number() OVER (
+      |           PARTITION BY user_id, event_type
+      |           ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+      |  FROM ev)
+      |SELECT user_id, event_id, event_type,
+      |       CAST(sum(first_seen) OVER (
+      |         PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS distinct_types_so_far
+      |FROM flagged
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "win-distinct-running" -> winDistinctRunning,
     "win-first-last" -> winFirstLast,
     "win-topk-per-key" -> winTopkPerKey,
     "win-percent-rank" -> winPercentRank,
@@ -237,6 +281,7 @@ object RelWindowSort {
     "limit-topk" -> limitTopk)
 
   val oracles: Map[String, String] = Map(
+    "win-distinct-running" -> winDistinctRunningSql,
     "win-first-last" -> winFirstLastSql,
     "win-topk-per-key" -> winTopkPerKeySql,
     "win-percent-rank" -> winPercentRankSql,

@@ -556,7 +556,43 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** text-domain-mix — domain-mixing weights, the companion of
+    * sample-stratified: per-source document and token volumetry, each
+    * source's token share, and the downsampling weight that flattens
+    * the mix to uniform (weight = uniform_target / share, capped at 1 —
+    * over-represented domains get down-weighted, under-represented ones
+    * keep everything). This is the computation behind every published
+    * pretraining mix table. One map-side-combined groupBy on source
+    * (|domains| rows out), then a scalar-totals crossJoin — integer
+    * sums throughout, two terminal rounded divisions. */
+  val textDomainMix: Q = (s, d) => {
+    val perSrc = documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("s"))
+    perSrc.crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") * lit(1.0) / col("t"), 9).as("token_share"),
+        round(least(lit(1.0), col("t") * lit(1.0) / (col("s") * col("n_tokens"))), 9)
+          .as("mix_weight"))
+      .orderBy("source")
+  }
+
+  val textDomainMixSql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS s FROM per)
+      |SELECT source, n_docs, n_tokens,
+      |       round(n_tokens * 1.0 / t, 9) AS token_share,
+      |       round(least(CAST(1 AS DOUBLE), t * 1.0 / (s * n_tokens)), 9) AS mix_weight
+      |FROM per, tot
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text-domain-mix" -> textDomainMix,
     "sample-stratified" -> sampleStratified,
     "text-idf-rarity" -> textIdfRarity,
     "text-html-strip" -> textHtmlStrip,
@@ -573,6 +609,7 @@ object TextAnalysis {
     "text-contamination" -> textContamination)
 
   val oracles: Map[String, String] = Map(
+    "text-domain-mix" -> textDomainMixSql,
     "sample-stratified" -> sampleStratifiedSql,
     "text-idf-rarity" -> textIdfRaritySql,
     "text-html-strip" -> textHtmlStripSql,

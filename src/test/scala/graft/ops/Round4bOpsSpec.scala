@@ -99,6 +99,32 @@ class Round4bOpsSpec extends SparkTestBase {
     assert(users == nUsers)
   }
 
+  test("agg-sketch-union: merged shard sketches stay within the tolerance contract") {
+    val got = run("agg-sketch-union").cache()
+    assert(got.filter(col("within_tolerance") =!= 1).count() == 0)
+    assert(got.filter(col("n_shards") < 1).count() == 0)
+  }
+
+  test("win-distinct-running: final running value equals the exact distinct count") {
+    val got = run("win-distinct-running").cache()
+    val finals = got.groupBy("user_id")
+      .agg(max(col("distinct_types_so_far")).as("final_run"))
+    val exact = Tables.events(spark, sf)
+      .groupBy("user_id").agg(countDistinct(col("event_type")).as("nd"))
+    assert(finals.join(exact, Seq("user_id"))
+      .filter(col("final_run") =!= col("nd")).count() == 0)
+    assert(got.filter(col("distinct_types_so_far") < 1).count() == 0)
+  }
+
+  test("text-domain-mix: shares sum to one, weights in (0,1]") {
+    val got = run("text-domain-mix").cache()
+    val shareSum = got.agg(sum(col("token_share"))).head.getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-6, s"share sum $shareSum")
+    assert(got.filter(col("mix_weight") <= 0 || col("mix_weight") > 1).count() == 0)
+    assert(got.count() ==
+      Tables.documents(spark, sf).select("source").distinct().count())
+  }
+
   test("agg-mode-median: mode count is the per-group maximum") {
     val maxC = Tables.lineitem(spark, sf)
       .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("c"))
