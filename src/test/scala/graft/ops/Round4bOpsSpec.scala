@@ -99,6 +99,17 @@ class Round4bOpsSpec extends SparkTestBase {
     assert(users == nUsers)
   }
 
+  test("sort-zorder: every cell's bounding box honors the 64x64 locality bound") {
+    val got = run("sort-zorder").cache()
+    assert(got.count() > 0)
+    assert(got.filter(col("x_max") - col("x_min") > 63
+      || col("y_max") - col("y_min") > 63).count() == 0)
+    assert(got.filter(col("cell") < 0 || col("cell") > 15).count() == 0)
+    // cells partition the rows exactly
+    assert(got.agg(sum("n_rows")).head.getLong(0) ==
+      Tables.lineitem(spark, sf).count())
+  }
+
   test("agg-sketch-union: merged shard sketches stay within the tolerance contract") {
     val got = run("agg-sketch-union").cache()
     assert(got.filter(col("within_tolerance") =!= 1).count() == 0)
