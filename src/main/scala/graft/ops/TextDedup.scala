@@ -85,11 +85,13 @@ object TextDedup {
     val minCols = (1 to Seeds).map(j =>
       min(substring(col("h"), (j - 1) * 5 + 1, 5)).as(s"m$j"))
     val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).persist()
-    (0 until Seeds / BandSize).map { b =>
-      sig.select(col("doc_id"), lit(b).cast(IntegerType).as("band"),
-        md5(concat_ws(",",
-          col(s"m${BandSize * b + 1}"), col(s"m${BandSize * b + 2}"), col(s"m${BandSize * b + 3}"))).as("bk"))
-    }.reduce(_.unionAll(_))
+    // one stack() generator emits all bands in a single pass over the
+    // cached signature — a 4-way union would scan the cache once per
+    // band and carry 4 branch plans through every consumer's codegen
+    val stackArgs = (0 until Seeds / BandSize).map { b =>
+      s"$b, md5(concat_ws(',', m${BandSize * b + 1}, m${BandSize * b + 2}, m${BandSize * b + 3}))"
+    }.mkString(", ")
+    sig.selectExpr("doc_id", s"stack(${Seeds / BandSize}, $stackArgs) AS (band, bk)")
   }
 
   /** The same band table as a SQL CTE chain (through `bands`). */
