@@ -347,10 +347,11 @@ object TextDedup {
     // persist: the fingerprint table feeds 4 chunk projections and two
     // verify-join sides
     val sh = simhashDf(s, d).persist()
-    val chunks = (0 until 4).map { c =>
-      sh.select(col("doc_id"), lit(c).cast(IntegerType).as("chunk_idx"),
-        substring(col("simhash"), c * 16 + 1, 16).as("chunk"))
-    }.reduce(_.unionAll(_))
+    // one stack() pass over the cached fingerprints, not a 4-way union
+    // (same reasoning as the LSH band table)
+    val chunkArgs = (0 until 4).map(c =>
+      s"$c, substring(simhash, ${c * 16 + 1}, 16)").mkString(", ")
+    val chunks = sh.selectExpr("doc_id", s"stack(4, $chunkArgs) AS (chunk_idx, chunk)")
     val a = chunks.select(col("doc_id").as("doc_a"), col("chunk_idx"), col("chunk"))
     val b = chunks.select(col("doc_id").as("doc_b"), col("chunk_idx"), col("chunk"))
     val cand = a.join(b, Seq("chunk_idx", "chunk"))
