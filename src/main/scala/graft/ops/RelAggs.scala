@@ -349,7 +349,82 @@ object RelAggs {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** agg-bitmap-distinct — reaggregatable EXACT distinct counting via
+    * Spark's bitmap aggregates, the precise-count counterpart of
+    * agg-sketch-union: user ids are bucketed (bitmap_bucket_number),
+    * each (type, day, bucket) shard builds a 4 KB bitmap of bit
+    * positions, shards merge per (type, bucket) with bitmap_or_agg —
+    * the union is exact, unlike any sketch — and the per-type distinct
+    * count is the sum of disjoint buckets' bitmap_count. At 100 TB
+    * this is how exact COUNT(DISTINCT int-key) rolls up through a
+    * layered warehouse without re-scanning facts: bitmaps are
+    * persistable artifacts and OR-merge is associative. The oracle
+    * pins the exact counts; bitmap_exact asserts the bitmap path
+    * reproduced them bit-for-bit. */
+  val aggBitmapDistinct: Q = (s, d) => {
+    val ev = events(s, d)
+    val shards = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+    val perBucket = shards.groupBy("event_type", "bucket")
+      .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("bucket_distinct"))
+    val merged = perBucket.groupBy("event_type")
+      .agg(sum(col("bucket_distinct")).as("n_distinct_bitmap"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_distinct_bitmap"),
+        (col("n_distinct_bitmap") === col("n_exact")).cast(IntegerType).as("bitmap_exact"))
+      .orderBy("event_type")
+  }
+
+  val aggBitmapDistinctSql: String =
+    """SELECT event_type,
+      |       count(DISTINCT user_id) AS n_exact,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_bitmap,
+      |       CAST(1 AS INT) AS bitmap_exact
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** agg-histogram — fixed-width histogram per group (the profiling
+    * pass behind data-quality dashboards): explicit floor-division
+    * binning (not width_bucket — engines differ on its availability,
+    * and the arithmetic is the portable contract), per-bin count and
+    * share. One groupBy on (group, bin) with map-side combine —
+    * |groups × bins| output rows regardless of fact size. */
+  val aggHistogram: Q = (s, d) => {
+    val binW = 60000.0
+    val o = orders(s, d)
+      .withColumn("bin", floor(col("o_totalprice") / binW).cast(IntegerType))
+    val perStatus = o.groupBy("o_orderstatus").agg(count(lit(1)).as("n_total"))
+    o.groupBy("o_orderstatus", "bin")
+      .agg(count(lit(1)).as("n"))
+      .join(perStatus, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("bin"),
+        (col("bin") * binW).as("bin_low"),
+        col("n"),
+        round(col("n") * lit(1.0) / col("n_total"), 9).as("share"))
+      .orderBy("o_orderstatus", "bin")
+  }
+
+  val aggHistogramSql: String =
+    """WITH b AS (
+      |  SELECT o_orderstatus,
+      |         CAST(floor(o_totalprice / CAST(60000 AS DOUBLE)) AS INT) AS bin
+      |  FROM orders),
+      |tot AS (SELECT o_orderstatus, count(*) AS n_total FROM b GROUP BY 1)
+      |SELECT o_orderstatus, bin,
+      |       bin * CAST(60000 AS DOUBLE) AS bin_low,
+      |       count(*) AS n,
+      |       round(count(*) * 1.0 / n_total, 9) AS share
+      |FROM b JOIN tot USING (o_orderstatus)
+      |GROUP BY o_orderstatus, bin, n_total
+      |ORDER BY o_orderstatus, bin""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg-bitmap-distinct" -> aggBitmapDistinct,
+    "agg-histogram" -> aggHistogram,
     "agg-sketch-union" -> aggSketchUnion,
     "agg-mode-median" -> aggModeMedian,
     "agg-approx-quantile" -> aggApproxQuantile,
@@ -366,6 +441,8 @@ object RelAggs {
     "agg-rowcount-audit" -> aggRowcountAudit)
 
   val oracles: Map[String, String] = Map(
+    "agg-bitmap-distinct" -> aggBitmapDistinctSql,
+    "agg-histogram" -> aggHistogramSql,
     "agg-sketch-union" -> aggSketchUnionSql,
     "agg-mode-median" -> aggModeMedianSql,
     "agg-approx-quantile" -> aggApproxQuantileSql,

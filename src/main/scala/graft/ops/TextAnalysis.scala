@@ -591,7 +591,54 @@ object TextAnalysis {
       |FROM per, tot
       |ORDER BY source""".stripMargin
 
+  /** text-line-dedup — CCNet-style boilerplate removal at sub-document
+    * granularity: documents are segmented into fixed 10-word paragraphs
+    * (the corpus has no newlines; real pipelines split on them — the
+    * plumbing is identical), each paragraph's corpus-wide DISTINCT-doc
+    * frequency is computed on a 16-hex digest (fixed-width shuffle
+    * keys), and paragraphs appearing in more than BoilerplateDf
+    * documents (headers, footers, nav text in a real crawl) are
+    * dropped. Output is per-doc paragraph retention. Shape: one
+    * explode + distinct + digest groupBy (map-side combined, shuffle =
+    * |distinct paragraphs|) and a join back — the exact-dedup recipe
+    * applied one level below the document. */
+  private val BoilerplateDf = 3
+
+  val textLineDedup: Q = (s, d) => {
+    val paras = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, cast(floor((size(w) - 1) / 10) as int)), " +
+          "i -> array_join(slice(w, i * 10 + 1, 10), ' '))")).as("para"))
+      .select(col("doc_id"), substring(md5(col("para")), 1, 16).as("ph"))
+    val df = paras.distinct().groupBy("ph").agg(count(lit(1)).as("pdf"))
+    paras.join(df, Seq("ph"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("pdf") <= BoilerplateDf, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        round(col("n_kept") * lit(1.0) / col("n_paras"), 9).as("retained_frac"))
+      .orderBy("doc_id")
+  }
+
+  val textLineDedupSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |paras AS (
+       |  SELECT doc_id,
+       |         substring(md5(array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ')), 1, 16) AS ph
+       |  FROM w, LATERAL (SELECT unnest(generate_series(0, CAST(floor((len(w) - 1) / 10) AS INT))) AS i) t),
+       |pdfs AS (
+       |  SELECT ph, count(*) AS pdf FROM (SELECT DISTINCT doc_id, ph FROM paras) GROUP BY ph)
+       |SELECT doc_id, count(*) AS n_paras,
+       |       CAST(sum(CASE WHEN pdf <= $BoilerplateDf THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       round(sum(CASE WHEN pdf <= $BoilerplateDf THEN 1 ELSE 0 END) * 1.0 / count(*), 9) AS retained_frac
+       |FROM paras JOIN pdfs USING (ph)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text-line-dedup" -> textLineDedup,
     "text-domain-mix" -> textDomainMix,
     "sample-stratified" -> sampleStratified,
     "text-idf-rarity" -> textIdfRarity,
@@ -609,6 +656,7 @@ object TextAnalysis {
     "text-contamination" -> textContamination)
 
   val oracles: Map[String, String] = Map(
+    "text-line-dedup" -> textLineDedupSql,
     "text-domain-mix" -> textDomainMixSql,
     "sample-stratified" -> sampleStratifiedSql,
     "text-idf-rarity" -> textIdfRaritySql,

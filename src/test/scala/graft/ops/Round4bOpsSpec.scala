@@ -99,6 +99,28 @@ class Round4bOpsSpec extends SparkTestBase {
     assert(users == nUsers)
   }
 
+  test("agg-bitmap-distinct: the bitmap rollup reproduces exact distinct counts") {
+    val got = run("agg-bitmap-distinct").cache()
+    assert(got.count() > 0)
+    assert(got.filter(col("bitmap_exact") =!= 1).count() == 0)
+    assert(got.filter(col("n_distinct_bitmap") =!= col("n_exact")).count() == 0)
+  }
+
+  test("agg-histogram: per-group shares sum to one and counts partition the table") {
+    val got = run("agg-histogram").cache()
+    val perStatus = got.groupBy("o_orderstatus").agg(sum(col("share")).as("s"))
+    assert(perStatus.filter(abs(col("s") - 1.0) > 1e-6).count() == 0)
+    assert(got.agg(sum("n")).head.getLong(0) == Tables.orders(spark, sf).count())
+    assert(got.filter(col("bin") < 0).count() == 0)
+  }
+
+  test("text-line-dedup: retention bounded and every document accounted for") {
+    val got = run("text-line-dedup").cache()
+    assert(got.filter(col("n_kept") > col("n_paras")).count() == 0)
+    assert(got.filter(col("retained_frac") < 0 || col("retained_frac") > 1).count() == 0)
+    assert(got.count() == Tables.documents(spark, sf).count())
+  }
+
   test("sort-zorder: every cell's bounding box honors the 64x64 locality bound") {
     val got = run("sort-zorder").cache()
     assert(got.count() > 0)
