@@ -229,15 +229,71 @@ object Ann {
        |  AND ${cosSql("q.embedding", "c.embedding")} >= $RangeTau
        |ORDER BY query_id, neighbor_id""".stripMargin
 
+  /** emb-quantize — int8 symmetric per-vector quantization (the storage
+    * path for 100 TB embedding stores: 4× smaller than fp32, and ANN
+    * candidate scoring runs on the int8 codes): per-vector scale =
+    * max|x|/127, code = floor(x/scale + 0.5) — explicit floor-plus-half
+    * instead of round() because engines disagree on round's tie rule,
+    * while IEEE divide/add/floor are bit-identical everywhere. The op
+    * grades the reconstruction error per label. Shape: posexplode keeps
+    * everything codegen (no interpreted array HOFs in the hot path);
+    * the per-vector max is a window partitioned by vec_id (64 rows per
+    * group, dense); per-vec RMSE is rounded to 9 dp BEFORE the
+    * label-level mean so cross-engine summation order can't drift the
+    * aggregation input. */
+  val embQuantize: Q = (s, d) => {
+    val el = embeddings(s, d)
+      .select(col("vec_id"), col("label"), explode(col("embedding")).as("xf"))
+      .withColumn("x", col("xf").cast(DoubleType))
+    val wv = Window.partitionBy("vec_id")
+    val err = el
+      .withColumn("scale", max(abs(col("x"))).over(wv) / 127.0)
+      .withColumn("code", floor(col("x") / col("scale") + 0.5))
+      .withColumn("e", col("x") - col("code") * col("scale"))
+    val perVec = err.groupBy("vec_id", "label")
+      .agg(round(sqrt(avg(col("e") * col("e"))), 9).as("rmse"),
+        max(col("scale")).as("scale"),
+        max(abs(col("code"))).as("max_code"))
+    perVec.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("rmse")), 6).as("avg_rmse"),
+        round(max(col("scale")) * 127.0, 6).as("max_amax"),
+        max(col("max_code")).as("max_code"))
+      .orderBy("label")
+  }
+
+  val embQuantizeSql: String =
+    """WITH el AS (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, max(abs(x)) / 127.0 AS scale FROM el GROUP BY vec_id),
+      |err AS (
+      |  SELECT el.vec_id, el.label, sc.scale,
+      |         floor(el.x / sc.scale + 0.5) AS code,
+      |         el.x - floor(el.x / sc.scale + 0.5) * sc.scale AS e
+      |  FROM el JOIN sc USING (vec_id)),
+      |pv AS (
+      |  SELECT vec_id, label, round(sqrt(avg(e * e)), 9) AS rmse,
+      |         max(scale) AS scale, CAST(max(abs(code)) AS BIGINT) AS max_code
+      |  FROM err GROUP BY vec_id, label)
+      |SELECT label, count(*) AS n_vecs, round(avg(rmse), 6) AS avg_rmse,
+      |       round(max(scale) * 127.0, 6) AS max_amax, max(max_code) AS max_code
+      |FROM pv
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann-topk-bruteforce" -> annTopkBruteforce,
     "ann-ivf" -> annIvf,
     "ann-lsh-bucket" -> annLshBucket,
-    "ann-range-search" -> annRangeSearch)
+    "ann-range-search" -> annRangeSearch,
+    "emb-quantize" -> embQuantize)
 
   val oracles: Map[String, String] = Map(
     "ann-topk-bruteforce" -> annTopkBruteforceSql,
     "ann-ivf" -> annIvfSql,
     "ann-lsh-bucket" -> annLshBucketSql,
-    "ann-range-search" -> annRangeSearchSql)
+    "ann-range-search" -> annRangeSearchSql,
+    "emb-quantize" -> embQuantizeSql)
 }

@@ -422,7 +422,39 @@ object RelAggs {
       |GROUP BY o_orderstatus, bin, n_total
       |ORDER BY o_orderstatus, bin""".stripMargin
 
+  /** agg-regression — the OLS regression aggregate suite (slope,
+    * intercept, R², sample covariance of price vs quantity per return
+    * flag): single-pass distributive moments (sums of x, y, xy, x², y²
+    * combine associatively), so the whole fit is one map-side-combined
+    * groupBy — the profile-at-scale way to fit millions of tiny
+    * per-group models without a modeling library. Ratios are doubles;
+    * rounded to 6 dp for the cross-engine compare (same contract as
+    * agg-stats' corr). */
+  val aggRegression: Q = (s, d) => {
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("count(*)").as("n_items"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        round(expr("covar_samp(l_quantity, l_extendedprice)"), 6).as("covar"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggRegressionSql: String =
+    """SELECT l_returnflag,
+      |       count(*) AS n_items,
+      |       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      |       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+      |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |       round(covar_samp(l_quantity, l_extendedprice), 6) AS covar
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg-regression" -> aggRegression,
     "agg-bitmap-distinct" -> aggBitmapDistinct,
     "agg-histogram" -> aggHistogram,
     "agg-sketch-union" -> aggSketchUnion,
@@ -441,6 +473,7 @@ object RelAggs {
     "agg-rowcount-audit" -> aggRowcountAudit)
 
   val oracles: Map[String, String] = Map(
+    "agg-regression" -> aggRegressionSql,
     "agg-bitmap-distinct" -> aggBitmapDistinctSql,
     "agg-histogram" -> aggHistogramSql,
     "agg-sketch-union" -> aggSketchUnionSql,

@@ -319,7 +319,54 @@ object StreamingOps {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** stream-session-window — event-time session windows (gap-based, the
+    * streaming analogue of batch agg-sessionize): Spark merges adjacent
+    * per-user state when an event lands within SessionGapMin of an open
+    * session; state is per (user, open-session), so scale-out is by
+    * user hash — no global state. A session's window end is exclusive
+    * (last event + gap), so a gap of EXACTLY SessionGapMin starts a new
+    * session; the oracle's lag-diff breaks on >= gap to pin the same
+    * boundary rule. Complete mode under AvailableNow replay emits every
+    * session, making the result batch-equivalent. */
+  private val SessionGapMin = 10
+
+  val streamSessionWindow: Q = (s, d) => {
+    val agg = streamEvents(s, d, withTs = true)
+      .groupBy(session_window(col("event_ts"), s"$SessionGapMin minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        col("n_events"))
+    runToTable(s, agg, "stream_session_window", d)
+      .orderBy("user_id", "session_start")
+  }
+
+  val streamSessionWindowSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events),
+       |m AS (
+       |  SELECT user_id, ts,
+       |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+       |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+       |                   >= INTERVAL $SessionGapMin MINUTE
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM e),
+       |sess AS (
+       |  SELECT user_id, ts,
+       |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM m)
+       |SELECT user_id,
+       |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       |       count(*) AS n_events
+       |FROM sess
+       |GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream-session-window" -> streamSessionWindow,
     "stream-foreachbatch-upsert" -> streamForeachUpsert,
     "stream-sink-files" -> streamSinkFiles,
     "stream-agg-counts" -> streamAggCounts,
@@ -329,6 +376,7 @@ object StreamingOps {
     "stream-join-static" -> streamJoinStatic)
 
   val oracles: Map[String, String] = Map(
+    "stream-session-window" -> streamSessionWindowSql,
     "stream-foreachbatch-upsert" -> streamForeachUpsertSql,
     "stream-sink-files" -> streamSinkFilesSql,
     "stream-agg-counts" -> streamAggCountsSql,

@@ -637,7 +637,97 @@ object TextAnalysis {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** text-pack-sequences — GPT-style concat-and-chunk sequence packing:
+    * documents are concatenated in id order within a shard and cut into
+    * fixed CtxTokens-token context windows; the op reports per-shard
+    * packing stats (bins produced, docs straddling a window boundary).
+    * The prefix-sum that assigns each doc its token offset is a window
+    * partitioned BY SHARD — never a global single-partition window: at
+    * 100 TB the shard count is O(10k) and each shard's offsets are an
+    * independent task, which is exactly how real packing jobs shard
+    * (packing quality is per-shard, global order is irrelevant). */
+  private val CtxTokens = 512
+  private val PackShards = 8
+
+  val textPackSequences: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"),
+      (col("doc_id") % PackShards).as("shard"),
+      size(split(col("text"), " ")).cast(LongType).as("tok"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = docs
+      .withColumn("off", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("first_bin", floor(col("off") / CtxTokens).cast(LongType))
+      .withColumn("last_bin",
+        floor((col("off") + col("tok") - 1) / CtxTokens).cast(LongType))
+    off.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        (max(col("last_bin")) + 1).as("n_bins"),
+        sum(when(col("first_bin") =!= col("last_bin"), 1L).otherwise(0L))
+          .as("n_straddlers"))
+      .withColumn("straddle_frac",
+        round(col("n_straddlers") * lit(1.0) / col("n_docs"), 9))
+      .orderBy("shard")
+  }
+
+  val textPackSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT shard, tok,
+       |         coalesce(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM t),
+       |b AS (
+       |  SELECT shard, tok, off,
+       |         CAST(floor(off / CAST($CtxTokens AS DOUBLE)) AS BIGINT) AS first_bin,
+       |         CAST(floor((off + tok - 1) / CAST($CtxTokens AS DOUBLE)) AS BIGINT) AS last_bin
+       |  FROM o)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |       max(last_bin) + 1 AS n_bins,
+       |       CAST(sum(CASE WHEN first_bin <> last_bin THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+       |       round(sum(CASE WHEN first_bin <> last_bin THEN 1 ELSE 0 END) * 1.0 / count(*), 9) AS straddle_frac
+       |FROM b
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
+  /** text-bpe-pairs — the core BPE-training statistic: adjacent-pair
+    * frequencies across the corpus, top-20 merge candidates. Pairs come
+    * from zipping the token array against itself shifted by one (empty
+    * when a doc has a single token — no descending-sequence trap), so
+    * the whole op is one explode + one map-side-combined groupBy +
+    * TakeOrdered: shuffle volume is |distinct pairs|, never corpus
+    * size, and the top-k never materializes a global sort. */
+  val textBpePairs: Q = (s, d) => {
+    val pairs = documents(s, d)
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> struct(a AS l, b AS r))")).as("p"))
+      .select(col("p.l").as("tok_left"), col("p.r").as("tok_right"))
+    pairs.groupBy("tok_left", "tok_right")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("tok_left"), col("tok_right"))
+      .limit(20)
+  }
+
+  val textBpePairsSql: String =
+    """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |p AS (
+      |  SELECT w[i] AS tok_left, w[i + 1] AS tok_right
+      |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t)
+      |SELECT tok_left, tok_right, count(*) AS cnt
+      |FROM p
+      |GROUP BY 1, 2
+      |ORDER BY cnt DESC, tok_left, tok_right
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text-pack-sequences" -> textPackSequences,
+    "text-bpe-pairs" -> textBpePairs,
     "text-line-dedup" -> textLineDedup,
     "text-domain-mix" -> textDomainMix,
     "sample-stratified" -> sampleStratified,
@@ -656,6 +746,8 @@ object TextAnalysis {
     "text-contamination" -> textContamination)
 
   val oracles: Map[String, String] = Map(
+    "text-pack-sequences" -> textPackSequencesSql,
+    "text-bpe-pairs" -> textBpePairsSql,
     "text-line-dedup" -> textLineDedupSql,
     "text-domain-mix" -> textDomainMixSql,
     "sample-stratified" -> sampleStratifiedSql,
