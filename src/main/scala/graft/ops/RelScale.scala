@@ -51,6 +51,29 @@ object RelScale {
       |FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  /** src-xml-roundtrip — Spark 4's built-in XML source (rowTag-framed
+    * records): write→read with an EXPLICIT schema (inference would scan
+    * the data twice and is banned by the same bronze discipline as
+    * CSV/JSON) restores nation exactly. XML is the interchange format
+    * legacy feeds still speak; a complete engine reads it natively
+    * rather than through a preprocessing hop. */
+  val srcXmlRoundtrip: Q = (s, d) => {
+    val out = tmp("src-xml-roundtrip", d)
+    nation(s, d).write.mode(SaveMode.Overwrite)
+      .option("rowTag", "nation").format("xml").save(out)
+    val schema = new StructType()
+      .add("n_nationkey", LongType).add("n_name", StringType)
+      .add("n_regionkey", LongType)
+    s.read.schema(schema).option("rowTag", "nation").format("xml").load(out)
+      .orderBy("n_nationkey")
+  }
+
+  val srcXmlRoundtripSql: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
   /** sink-partitioned-prune — hive-style partitioned parquet layout +
     * partition-pruned read: the filter on the partition column must
     * eliminate whole directories (PartitionFilters in the plan), which
@@ -301,6 +324,7 @@ object RelScale {
   val queries: Map[String, Q] = Map(
     "src-json-lines" -> srcJsonLines,
     "src-orc-roundtrip" -> srcOrcRoundtrip,
+    "src-xml-roundtrip" -> srcXmlRoundtrip,
     "sink-partitioned-prune" -> sinkPartitionedPrune,
     "sink-bucketed-join" -> sinkBucketedJoin,
     "agg-salted-skew" -> aggSaltedSkew,
@@ -311,6 +335,7 @@ object RelScale {
   val oracles: Map[String, String] = Map(
     "src-json-lines" -> srcJsonLinesSql,
     "src-orc-roundtrip" -> srcOrcRoundtripSql,
+    "src-xml-roundtrip" -> srcXmlRoundtripSql,
     "sink-partitioned-prune" -> sinkPartitionedPruneSql,
     "sink-bucketed-join" -> sinkBucketedJoinSql,
     "agg-salted-skew" -> aggSaltedSkewSql,

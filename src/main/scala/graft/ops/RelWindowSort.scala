@@ -309,7 +309,55 @@ object RelWindowSort {
        |ORDER BY cell""".stripMargin
   }
 
+  /** win-streaks — gaps-and-islands over event days (the "login streak"
+    * analytics pattern): per user, runs of CONSECUTIVE active days are
+    * grouped by the classic dayNumber − row_number() island key, then
+    * reduced to streak stats. Both windows partition by user_id — high
+    * cardinality, so the shuffle spreads and no partition outgrows an
+    * executor at 100 TB (unlike status-partitioned islands, which would
+    * put half the table in one sort). day − epoch is an exact integer,
+    * so the island key is arithmetic, not time math. */
+  val winStreaks: Q = (s, d) => {
+    val days = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("dn", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.partitionBy("user_id").orderBy("dn")
+    val islands = days
+      .withColumn("grp", col("dn") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("streak_len"), min(col("day")).as("streak_start"))
+    islands.groupBy("user_id")
+      .agg(sum(col("streak_len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("streak_len")).as("max_streak"),
+        min(col("streak_start")).as("first_day"))
+      .withColumn("first_day", date_format(col("first_day"), "yyyy-MM-dd"))
+      .orderBy("user_id")
+  }
+
+  val winStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dn AS (
+      |  SELECT user_id, day, date_diff('day', DATE '1970-01-01', day) AS dn
+      |  FROM days),
+      |isl AS (
+      |  SELECT user_id, day, dn,
+      |         dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS grp
+      |  FROM dn),
+      |streaks AS (
+      |  SELECT user_id, grp, count(*) AS streak_len, min(day) AS streak_start
+      |  FROM isl GROUP BY user_id, grp)
+      |SELECT user_id, CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+      |       count(*) AS n_streaks, max(streak_len) AS max_streak,
+      |       strftime(min(streak_start), '%Y-%m-%d') AS first_day
+      |FROM streaks
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "win-streaks" -> winStreaks,
     "sort-zorder" -> sortZorder,
     "win-distinct-running" -> winDistinctRunning,
     "win-first-last" -> winFirstLast,
@@ -323,6 +371,7 @@ object RelWindowSort {
     "limit-topk" -> limitTopk)
 
   val oracles: Map[String, String] = Map(
+    "win-streaks" -> winStreaksSql,
     "sort-zorder" -> sortZorderSql,
     "win-distinct-running" -> winDistinctRunningSql,
     "win-first-last" -> winFirstLastSql,

@@ -725,7 +725,86 @@ object TextAnalysis {
       |ORDER BY cnt DESC, tok_left, tok_right
       |LIMIT 20""".stripMargin
 
+  /** text-substring-dedup — exact-substring duplication signal (the
+    * suffix-array dedup of Lee et al. 2022, re-expressed for a
+    * distributed engine): overlapping 16-token windows at stride 8 are
+    * digested, a window is "duplicated" when its digest occurs in ≥ 2
+    * distinct documents, and each doc reports its duplicated-window
+    * fraction — the retain/trim signal. Stride-8 windows bound the blowup
+    * at 2 digests per 16 tokens (vs 16 for stride-1 suffixes); shuffle
+    * is |distinct digests|, and the digest keys are fixed-width 16-hex
+    * strings. Docs shorter than one window contribute a single short
+    * window (greatest(...) keeps the start sequence non-descending). */
+  val textSubstringDedup: Q = (s, d) => {
+    val wins = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, greatest(size(w) - 16, 0), 8), " +
+          "i -> array_join(slice(w, i + 1, 16), ' '))")).as("win"))
+      .select(col("doc_id"), substring(md5(col("win")), 1, 16).as("wh"))
+    val df = wins.distinct().groupBy("wh")
+      .agg(count(lit(1)).as("ndocs"))
+    wins.join(df, Seq("wh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows") * lit(1.0) / col("n_windows"), 9).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val textSubstringDedupSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |wins AS (
+      |  SELECT doc_id,
+      |         substring(md5(array_to_string(w[i + 1 : i + 16], ' ')), 1, 16) AS wh
+      |  FROM w, LATERAL (SELECT unnest(generate_series(0, greatest(len(w) - 16, 0), 8)) AS i) t),
+      |dfs AS (
+      |  SELECT wh, count(*) AS ndocs
+      |  FROM (SELECT DISTINCT doc_id, wh FROM wins) GROUP BY wh)
+      |SELECT doc_id, count(*) AS n_windows,
+      |       CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+      |       round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 9) AS dup_frac
+      |FROM wins JOIN dfs USING (wh)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** agg-entropy — per-source Shannon entropy of the token distribution
+    * (low entropy = templated/repetitive source, a corpus-mix quality
+    * signal). Two map-side-combined groupBys: (source, token) counts,
+    * then the entropy fold per source — shuffle is |vocab|, never
+    * corpus size. Each p·log2(p) term is bit-identical across engines
+    * (integer-ratio division, one log2); only the final sum is
+    * order-sensitive, so it alone carries the 6-dp contract. */
+  val aggEntropy: Q = (s, d) => {
+    val toks = documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val cnts = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val tot = toks.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+    cnts.join(tot, Seq("source"))
+      .withColumn("p", col("c") * lit(1.0) / col("n_tokens"))
+      .groupBy("source")
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        round(-sum(col("p") * log2(col("p"))), 6).as("entropy_bits"))
+      .orderBy("source")
+  }
+
+  val aggEntropySql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnts AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      |tot AS (SELECT source, count(*) AS n_tokens FROM toks GROUP BY 1)
+      |SELECT source, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+      |       count(*) AS n_distinct_tokens,
+      |       round(-sum((c * 1.0 / n_tokens) * log2(c * 1.0 / n_tokens)), 6) AS entropy_bits
+      |FROM cnts JOIN tot USING (source)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text-substring-dedup" -> textSubstringDedup,
+    "agg-entropy" -> aggEntropy,
     "text-pack-sequences" -> textPackSequences,
     "text-bpe-pairs" -> textBpePairs,
     "text-line-dedup" -> textLineDedup,
@@ -746,6 +825,8 @@ object TextAnalysis {
     "text-contamination" -> textContamination)
 
   val oracles: Map[String, String] = Map(
+    "text-substring-dedup" -> textSubstringDedupSql,
+    "agg-entropy" -> aggEntropySql,
     "text-pack-sequences" -> textPackSequencesSql,
     "text-bpe-pairs" -> textBpePairsSql,
     "text-line-dedup" -> textLineDedupSql,

@@ -63,6 +63,51 @@ class Round4cOpsSpec extends SparkTestBase {
     assert(got.filter(col("r2") < 0 || col("r2") > 1).count() == 0)
   }
 
+  test("text-substring-dedup: window accounting and duplicate-fraction bounds") {
+    val got = run("text-substring-dedup").cache()
+    assert(got.count() == Tables.documents(spark, sf).count())
+    assert(got.filter(col("n_dup_windows") > col("n_windows")).count() == 0)
+    assert(got.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
+    // stride-8/16-token windows: a doc with W words yields
+    // floor(max(W-16,0)/8)+1 windows — spot-check the global total
+    val expected = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).as("nw"))
+      .select(sum(floor(greatest(col("nw") - 16, lit(0)) / 8) + 1)).head.getLong(0)
+    assert(got.agg(sum("n_windows")).head.getLong(0) == expected)
+  }
+
+  test("agg-entropy: entropy bounded by log2 of vocabulary size") {
+    val got = run("agg-entropy").cache()
+    assert(got.count() > 0)
+    assert(got.filter(col("entropy_bits") < 0).count() == 0)
+    // H <= log2(V) with equality only for a uniform distribution
+    assert(got.filter(col("entropy_bits") > log2(col("n_distinct_tokens")) + 1e-6)
+      .count() == 0)
+    assert(got.filter(col("n_distinct_tokens") > col("n_tokens")).count() == 0)
+  }
+
+  test("win-streaks: islands partition active days and max <= total") {
+    val got = run("win-streaks").cache()
+    assert(got.count() > 0)
+    assert(got.filter(col("max_streak") > col("n_active_days")).count() == 0)
+    assert(got.filter(col("n_streaks") > col("n_active_days")).count() == 0)
+    // sum over streaks = distinct active days per user
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val joined = got.join(days, Seq("user_id"))
+    assert(joined.filter(col("n_active_days") =!= col("n")).count() == 0)
+  }
+
+  test("src-xml-roundtrip: XML write+read restores the table exactly") {
+    val got = run("src-xml-roundtrip")
+    val src = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+    assert(got.count() == src.count())
+    assert(got.exceptAll(src).count() == 0 && src.exceptAll(got).count() == 0)
+  }
+
   test("stream-session-window: sessions partition events and respect the gap") {
     val got = run("stream-session-window").cache()
     // every event lands in exactly one session
