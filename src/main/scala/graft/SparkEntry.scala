@@ -26,6 +26,7 @@ object SparkEntry {
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
     (Ann.queries, Ann.oracles),
+    (GraphOps.queries, GraphOps.oracles),
     (TextAnalysis.queries, TextAnalysis.oracles),
     (Multimodal.queries, Multimodal.oracles),
     (StreamingOps.queries, StreamingOps.oracles))

@@ -283,7 +283,75 @@ object Ann {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** emb-kmeans-assign — one Lloyd's-iteration assignment step with the
+    * label column as the seed partition: per-label centroids, then every
+    * vector re-assigned to its nearest centroid (squared L2, tie → lower
+    * label). This is the building block of IVF training and of
+    * embedding-space corpus clustering; at scale it's one map-side-
+    * combined aggregate (shuffle = labels × dims) plus a broadcast of
+    * the tiny centroid table against the partitioned corpus.
+    *
+    * Determinism: embeddings are quantized to integer micro-units with
+    * floor() FIRST (floor has no round-half ties — a double→decimal
+    * cast would hit exact .5 ties on ~2^-12 of float32 components,
+    * where Spark rounds HALF_UP but DuckDB half-even). Centroid sums
+    * are then exact longs, order-independent; centroid components are
+    * one double division; distances are the identical left-fold
+    * dot-product expansion on both engines, floored at output. */
+  val embKmeansAssign: Q = (s, d) => {
+    graft.functions.DotProduct.register(s)
+    val base = embeddings(s, d).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xi"))
+    val comp = base.select(col("label"), posexplode(col("xi")).as(Seq("pos", "x")))
+    val cent = comp.groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("sd"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sd))), s -> CAST(s.sd AS DOUBLE))").as("sv"),
+        max(col("n")).as("n"))
+      .select(col("label").as("clabel"),
+        expr("transform(sv, x -> x / CAST(n AS DOUBLE))").as("cv"))
+    val v = base.withColumn("v", expr("transform(xi, x -> CAST(x AS DOUBLE))"))
+    val scored = v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        expr("dot_product(v, v) - 2 * dot_product(v, cv) + dot_product(cv, cv)").as("dist2"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("clabel").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("assigned_label"),
+        floor(col("dist2") / lit(1000000.0)).cast(LongType).as("dist2_q"),
+        (col("label") === col("clabel")).cast(IntegerType).as("is_own_cluster"))
+      .orderBy("vec_id")
+  }
+
+  val embKmeansAssignSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xi
+      |  FROM embeddings),
+      |comp AS (
+      |  SELECT label, unnest(xi) AS x, unnest(range(1, len(xi) + 1)) AS pos
+      |  FROM base),
+      |cent AS (
+      |  SELECT label AS clabel,
+      |         list(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS cv
+      |  FROM (SELECT label, pos, CAST(sum(x) AS BIGINT) AS sd, count(*) AS n
+      |        FROM comp GROUP BY 1, 2)
+      |  GROUP BY label),
+      |v AS (SELECT vec_id, label, list_transform(xi, x -> CAST(x AS DOUBLE)) AS v FROM base),
+      |scored AS (
+      |  SELECT vec_id, label, clabel,
+      |         list_inner_product(v, v) - 2 * list_inner_product(v, cv) + list_inner_product(cv, cv) AS dist2
+      |  FROM v CROSS JOIN cent),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS rk
+      |  FROM scored)
+      |SELECT vec_id, label, clabel AS assigned_label,
+      |       CAST(floor(dist2 / 1000000.0) AS BIGINT) AS dist2_q,
+      |       CAST(label = clabel AS INT) AS is_own_cluster
+      |FROM ranked WHERE rk = 1
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "emb-kmeans-assign" -> embKmeansAssign,
     "ann-topk-bruteforce" -> annTopkBruteforce,
     "ann-ivf" -> annIvf,
     "ann-lsh-bucket" -> annLshBucket,
@@ -291,6 +359,7 @@ object Ann {
     "emb-quantize" -> embQuantize)
 
   val oracles: Map[String, String] = Map(
+    "emb-kmeans-assign" -> embKmeansAssignSql,
     "ann-topk-bruteforce" -> annTopkBruteforceSql,
     "ann-ivf" -> annIvfSql,
     "ann-lsh-bucket" -> annLshBucketSql,

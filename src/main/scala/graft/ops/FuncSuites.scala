@@ -180,13 +180,47 @@ object FuncSuites {
       |FROM c
       |ORDER BY c_custkey""".stripMargin
 
+  /** func-bitwise-suite — the integer bit-manipulation surface
+    * (AND/OR/XOR masks, shifts, popcount): the workhorse ops behind
+    * hash partitioning, bloom-filter bit math, bitmap indexes and flag
+    * packing. Pure projection over codegen'd built-ins — scan-speed,
+    * no shuffle; the BIGINT lattice is identical in both engines so no
+    * rounding discipline is needed (the one cross-engine trap is
+    * DuckDB's TINYINT bit_count, cast to INT on both sides). */
+  val funcBitwiseSuite: Q = (s, d) =>
+    events(s, d)
+      .select(
+        col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("lo8"),
+        col("user_id").bitwiseOR(lit(4096L)).as("hibit"),
+        col("event_id").bitwiseXOR(col("user_id")).as("mix"),
+        shiftleft(col("user_id"), 3).as("shl3"),
+        shiftright(col("event_id"), 2).as("shr2"),
+        bitwise_not(col("user_id")).as("inv"),
+        bit_count(col("event_id")).cast(IntegerType).as("bits"))
+      .orderBy("event_id")
+
+  val funcBitwiseSuiteSql: String =
+    """SELECT event_id,
+      |       event_id & 255 AS lo8,
+      |       user_id | 4096 AS hibit,
+      |       xor(event_id, user_id) AS mix,
+      |       user_id << 3 AS shl3,
+      |       event_id >> 2 AS shr2,
+      |       ~user_id AS inv,
+      |       CAST(bit_count(event_id) AS INT) AS bits
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "func-bitwise-suite" -> funcBitwiseSuite,
     "func-string-suite" -> funcStringSuite,
     "func-date-suite" -> funcDateSuite,
     "func-math-suite" -> funcMathSuite,
     "func-regex-suite" -> funcRegexSuite)
 
   val oracles: Map[String, String] = Map(
+    "func-bitwise-suite" -> funcBitwiseSuiteSql,
     "func-string-suite" -> funcStringSuiteSql,
     "func-date-suite" -> funcDateSuiteSql,
     "func-math-suite" -> funcMathSuiteSql,

@@ -379,7 +379,38 @@ object RelExtra {
       |GROUP BY w_start
       |ORDER BY window_start""".stripMargin
 
+  /** agg-cube — full CUBE over (status, order-year): all four grouping
+    * sets at once, the shape ROLLUP (hierarchy) and explicit GROUPING
+    * SETS (hand-picked) don't cover. Physically still ONE expand + one
+    * partial/final hash aggregate — the 4× row expansion happens
+    * map-side and combines before the shuffle, so the exchange carries
+    * |groups| rows, not 4×|orders|, at any scale. The year dim is
+    * computed pre-cube so the expand operates on a plain column. */
+  val aggCube: Q = (s, d) =>
+    orders(s, d)
+      .withColumn("oyear", year(col("o_orderdate")).cast(IntegerType))
+      .cube(col("o_orderstatus"), col("oyear"))
+      .agg(grouping_id().cast(IntegerType).as("gid"),
+        count(lit(1)).as("n_orders"),
+        outNum(sum(dec2(col("o_totalprice")))).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("oyear").cast(StringType), lit("ALL")).as("oyear"),
+        col("gid"), col("n_orders"), col("total_price"))
+      .orderBy("gid", "status", "oyear")
+
+  val aggCubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(CAST(CAST(year(o_orderdate) AS INT) AS VARCHAR), 'ALL') AS oyear,
+      |       CAST(GROUPING(o_orderstatus, CAST(year(o_orderdate) AS INT)) AS INT) AS gid,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, CAST(year(o_orderdate) AS INT))
+      |ORDER BY gid, status, oyear""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "agg-cube" -> aggCube,
     "join-interval-overlap" -> joinIntervalOverlap,
     "agg-sessionize" -> aggSessionize,
     "sink-incremental-merge" -> sinkIncrementalMerge,
@@ -394,6 +425,7 @@ object RelExtra {
     "udf-scala-reverse" -> udfScalaReverse)
 
   val oracles: Map[String, String] = Map(
+    "agg-cube" -> aggCubeSql,
     "join-interval-overlap" -> joinIntervalOverlapSql,
     "agg-sessionize" -> aggSessionizeSql,
     "sink-incremental-merge" -> sinkIncrementalMergeSql,

@@ -802,7 +802,49 @@ object TextAnalysis {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** text-perplexity-proxy — unigram cross-entropy of each document
+    * against the corpus's own unigram LM (the CCNet/Gopher
+    * "perplexity filter" with the corpus as its own language model):
+    * docs whose tokens are globally rare score high and are trim
+    * candidates. Two shuffles, both bounded by |vocab|, never corpus
+    * size: token counts (map-side combined), then a broadcast of the
+    * single-row total into the per-token probability. The per-doc sum
+    * of log2 p is a double fold whose partition-order noise (~1e-16
+    * relative) is absorbed by the 6-dp output contract. */
+  val textPerplexityProxy: Q = (s, d) => {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val cnts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = cnts.agg(sum(col("c")).cast(DoubleType).as("t"))
+    val probs = cnts.crossJoin(broadcast(tot))
+      .select(col("tok"), (col("c").cast(DoubleType) / col("t")).as("p"))
+    toks.join(probs, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (-sum(log2(col("p"))) / count(lit(1))).as("xent"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("xent"), 6).as("xent_bits"),
+        round(pow(lit(2.0), col("xent")), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  val textPerplexityProxySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnts),
+      |probs AS (SELECT tok, CAST(c AS DOUBLE) / t AS p FROM cnts, tot),
+      |perdoc AS (
+      |  SELECT doc_id, count(*) AS n_tokens, -sum(log2(p)) / count(*) AS xent
+      |  FROM toks JOIN probs USING (tok)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, round(xent, 6) AS xent_bits,
+      |       round(pow(2.0, xent), 4) AS ppl
+      |FROM perdoc
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text-perplexity-proxy" -> textPerplexityProxy,
     "text-substring-dedup" -> textSubstringDedup,
     "agg-entropy" -> aggEntropy,
     "text-pack-sequences" -> textPackSequences,
@@ -825,6 +867,7 @@ object TextAnalysis {
     "text-contamination" -> textContamination)
 
   val oracles: Map[String, String] = Map(
+    "text-perplexity-proxy" -> textPerplexityProxySql,
     "text-substring-dedup" -> textSubstringDedupSql,
     "agg-entropy" -> aggEntropySql,
     "text-pack-sequences" -> textPackSequencesSql,
