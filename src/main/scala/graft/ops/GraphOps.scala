@@ -37,14 +37,17 @@ object GraphOps {
       .distinct()
     val edges = li.select(col("pn").as("src"), col("sn").as("dst"))
       .unionAll(li.select(col("sn").as("src"), col("pn").as("dst")))
-      .persist()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
-    val n = deg.count().toDouble
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // fold the degree into the edge list ONCE — the loop then joins a
+    // single (src, dst, deg) relation against the rank vector instead of
+    // re-running the 3-way join every iteration. r/deg stays the same
+    // per-row double division, so the oracle's arithmetic is unchanged.
+    val edgesDeg = edges.join(deg, "src").persist()
+    val n = edgesDeg.select(col("src")).distinct().count().toDouble
     var ranks = deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
     for (_ <- 1 to 5) {
       val prev = ranks
-      ranks = edges
-        .join(deg, "src")
+      ranks = edgesDeg
         .join(prev.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"))
         .agg(round(lit(0.15 / n) + lit(0.85) * sum(col("r") / col("deg")), 8).as("r"))
