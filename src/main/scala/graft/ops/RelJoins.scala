@@ -210,7 +210,40 @@ object RelJoins {
       |ORDER BY revenue DESC, p_brand
       |LIMIT 3""".stripMargin
 
+  /** join-star-dims — the full star-schema traversal: fact orders →
+    * customer (fact-sized dim, shuffle hash/sort-merge on custkey) →
+    * nation → region (true dims, explicit broadcast so the plan holds
+    * even without stats). At 100 TB this is THE canonical query shape:
+    * one shuffle for the fact-to-big-dim hop, zero additional shuffles
+    * for the snowflaked small dims — revenue rolls up by region and
+    * order year with map-side combine before the final |groups| -row
+    * exchange. */
+  val joinStarDims: Q = (s, d) =>
+    orders(s, d)
+      .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).cast(IntegerType).as("oyear"))
+      .agg(count(lit(1)).as("n_orders"),
+        outNum(sum(dec2(col("o_totalprice")))).as("revenue"))
+      .orderBy("r_name", "oyear")
+
+  val joinStarDimsSql: String =
+    """SELECT r_name, CAST(year(o_orderdate) AS INT) AS oyear,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, CAST(year(o_orderdate) AS INT)
+      |ORDER BY r_name, oyear""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "join-star-dims" -> joinStarDims,
     "join-left-translate" -> joinLeftTranslate,
     "join-left-geo" -> joinLeftGeo,
     "join-sk-customer" -> joinSkCustomer,
@@ -221,6 +254,7 @@ object RelJoins {
     "join-topcat" -> joinTopcat)
 
   val oracles: Map[String, String] = Map(
+    "join-star-dims" -> joinStarDimsSql,
     "join-left-translate" -> joinLeftTranslateSql,
     "join-left-geo" -> joinLeftGeoSql,
     "join-sk-customer" -> joinSkCustomerSql,

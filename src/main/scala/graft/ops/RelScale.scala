@@ -74,6 +74,61 @@ object RelScale {
       |FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  /** src-mergeschema — parquet schema evolution: an old shard written
+    * before a column existed and a new shard carrying it are read as ONE
+    * dataset with mergeSchema=true; the engine unions the footers and
+    * null-fills the missing column. This is how a 100 TB lake absorbs
+    * additive schema changes without rewriting history — the
+    * alternative (migrate every old file) is a full-corpus write.
+    * Footer merging is a driver-side metadata operation; the data scan
+    * itself stays columnar and pruned. */
+  val srcMergeSchema: Q = (s, d) => {
+    val out = tmp("src-mergeschema", d)
+    val nat = nation(s, d).select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+      col("n_name"), col("n_regionkey").cast(LongType).as("n_regionkey"))
+    nat.filter(col("n_nationkey") < 12).select("n_nationkey", "n_name")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/v1")
+    nat.filter(col("n_nationkey") >= 12)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      .orderBy("n_nationkey")
+  }
+
+  val srcMergeSchemaSql: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |       CAST(NULL AS BIGINT) AS n_regionkey
+      |FROM nation WHERE n_nationkey < 12
+      |UNION ALL
+      |SELECT CAST(n_nationkey AS BIGINT), n_name, CAST(n_regionkey AS BIGINT)
+      |FROM nation WHERE n_nationkey >= 12
+      |ORDER BY n_nationkey""".stripMargin
+
+  /** sql-tpch-q1 — the SQL front door: TPC-H Q1 submitted as ONE SQL
+    * string that is valid, and means the same thing, in both engines —
+    * spark.sql() here, DuckDB verbatim as its own oracle. Proves the
+    * library's surface isn't DataFrame-only: a reference user's SQL
+    * runs unmodified. Decimal-sum/double-divide replaces avg() so the
+    * aggregation stays order-independent (see Tables' conventions). */
+  val sqlTpchQ1: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(sqlTpchQ1Sql)
+  }
+
+  val sqlTpchQ1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** sink-partitioned-prune — hive-style partitioned parquet layout +
     * partition-pruned read: the filter on the partition column must
     * eliminate whole directories (PartitionFilters in the plan), which
@@ -325,6 +380,8 @@ object RelScale {
     "src-json-lines" -> srcJsonLines,
     "src-orc-roundtrip" -> srcOrcRoundtrip,
     "src-xml-roundtrip" -> srcXmlRoundtrip,
+    "src-mergeschema" -> srcMergeSchema,
+    "sql-tpch-q1" -> sqlTpchQ1,
     "sink-partitioned-prune" -> sinkPartitionedPrune,
     "sink-bucketed-join" -> sinkBucketedJoin,
     "agg-salted-skew" -> aggSaltedSkew,
@@ -336,6 +393,8 @@ object RelScale {
     "src-json-lines" -> srcJsonLinesSql,
     "src-orc-roundtrip" -> srcOrcRoundtripSql,
     "src-xml-roundtrip" -> srcXmlRoundtripSql,
+    "src-mergeschema" -> srcMergeSchemaSql,
+    "sql-tpch-q1" -> sqlTpchQ1Sql,
     "sink-partitioned-prune" -> sinkPartitionedPruneSql,
     "sink-bucketed-join" -> sinkBucketedJoinSql,
     "agg-salted-skew" -> aggSaltedSkewSql,

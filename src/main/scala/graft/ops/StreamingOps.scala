@@ -365,7 +365,96 @@ object StreamingOps {
        |GROUP BY user_id, sid
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** stream-late-drop — the watermark's actual contract: late data is
+    * DROPPED once the watermark passes its window, and only
+    * watermark-closed windows are ever emitted in append mode. Unlike
+    * the single-replay ops above, this runs TWO AvailableNow executions
+    * against one checkpoint + file sink, so the watermark genuinely
+    * advances between deliveries:
+    *
+    *  - run 1 delivers the "on-time" batch A (events before Jan 20,
+    *    minus every 5th id); the commit log records
+    *    wm1 = max(A.ts) − 1 h;
+    *  - run 2 delivers batch B = everything else, i.e. the on-time tail
+    *    PLUS the held-back 20% of early events, which now arrive with
+    *    event times far below wm1 → state for their windows is gone and
+    *    they are dropped; B rows in windows still open under wm1 are
+    *    merged and emitted up to wm2 = max(all ts) − 1 h.
+    *
+    * The oracle reproduces the exact pinned edges (empirical, Spark
+    * 4.1: a late row is kept iff window_end > wm; a window is emitted
+    * iff window_end <= wm; the watermark itself is computed from the
+    * max event time truncated to MILLISECONDS). The file sink
+    * accumulates across both runs with exactly-once file commits, so
+    * the read-back is the union of both runs' emissions. */
+  val streamLateDrop: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = new java.io.File(Tables.tmp("stream-late-src", d))
+    val sink = Tables.tmp("stream-late-sink", d)
+    val ckpt = Tables.tmp("ckpt-stream-late-drop", d)
+    val stage = Tables.tmp("stream-late-stage", d)
+    Seq(srcDir.getAbsolutePath, sink, ckpt, stage).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    srcDir.mkdirs()
+    val raw = t(s, d, "events").select(col("event_id"), col("event_type"), col("ts"))
+    val isEarlyOnTime = expr(
+      "timestamp_micros((ts - pmod(ts, 1000)) div 1000) < timestamp'2024-01-20 00:00:00'") &&
+      col("event_id") % 5 =!= 0
+    def stageBatch(df: DataFrame, name: String): Unit = {
+      val tmpDir = s"$stage/$name"
+      df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
+      val part = new java.io.File(tmpDir).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      stageAtomically(part.getAbsolutePath, new java.io.File(srcDir, s"$name.parquet"))
+    }
+    val schema = new StructType()
+      .add("event_id", LongType).add("event_type", StringType).add("ts", LongType)
+    def runOnce(): Unit = {
+      val q = s.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+        .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    stageBatch(raw.filter(isEarlyOnTime), "a")
+    runOnce()
+    stageBatch(raw.filter(!isEarlyOnTime), "b")
+    runOnce()
+    s.read.parquet(sink).orderBy("window_start", "event_type")
+  }
+
+  val streamLateDropSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, date_trunc('microseconds', ts) AS ts
+      |  FROM events),
+      |a AS (SELECT * FROM ev
+      |      WHERE ts < TIMESTAMP '2024-01-20 00:00:00' AND event_id % 5 <> 0),
+      |b AS (SELECT * FROM ev
+      |      WHERE NOT (ts < TIMESTAMP '2024-01-20 00:00:00' AND event_id % 5 <> 0)),
+      |wm1 AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w FROM a),
+      |wm2 AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w FROM ev),
+      |kept AS (
+      |  SELECT * FROM a
+      |  UNION ALL
+      |  SELECT * FROM b
+      |  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm1)),
+      |agg AS (
+      |  SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n_events
+      |  FROM kept GROUP BY 1, 2)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n_events
+      |FROM agg
+      |WHERE ws + INTERVAL 1 HOUR <= (SELECT w FROM wm2)
+      |ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream-late-drop" -> streamLateDrop,
     "stream-session-window" -> streamSessionWindow,
     "stream-foreachbatch-upsert" -> streamForeachUpsert,
     "stream-sink-files" -> streamSinkFiles,
@@ -376,6 +465,7 @@ object StreamingOps {
     "stream-join-static" -> streamJoinStatic)
 
   val oracles: Map[String, String] = Map(
+    "stream-late-drop" -> streamLateDropSql,
     "stream-session-window" -> streamSessionWindowSql,
     "stream-foreachbatch-upsert" -> streamForeachUpsertSql,
     "stream-sink-files" -> streamSinkFilesSql,

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.olist.SparkTestBase
+
+/** Structural invariants for the fifth round-4 operator batch (schema
+  * evolution, SQL front door, star-schema join, watermark late-drop)
+  * over the sf0.001 testdata. */
+class Round4eOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("src-mergeschema: union schema with null-filled evolved column") {
+    val got = run("src-mergeschema").cache()
+    assert(got.columns.sorted.toSeq == Seq("n_name", "n_nationkey", "n_regionkey"))
+    assert(got.count() == Tables.nation(spark, sf).count())
+    // exactly the old-shard rows carry the null
+    assert(got.filter(col("n_regionkey").isNull) .count() ==
+      got.filter(col("n_nationkey") < 12).count())
+    assert(got.filter(col("n_nationkey") >= 12 && col("n_regionkey").isNull).count() == 0)
+  }
+
+  test("sql-tpch-q1: the SQL front door equals the DataFrame aggregation") {
+    val got = run("sql-tpch-q1").cache()
+    assert(got.count() > 0)
+    // re-derive one column through the DataFrame API: identical input,
+    // identical decimal discipline => identical values
+    val expect = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(Tables.outNum(sum(Tables.dec2(col("l_quantity")))).as("sum_qty"))
+    val joined = got.select("l_returnflag", "l_linestatus", "sum_qty")
+      .except(expect.select("l_returnflag", "l_linestatus", "sum_qty"))
+    assert(joined.count() == 0)
+  }
+
+  test("join-star-dims: every order lands in exactly one region-year cell") {
+    val got = run("join-star-dims").cache()
+    assert(got.count() > 0)
+    val totalOrders = Tables.orders(spark, sf).count()
+    assert(got.agg(sum("n_orders")).head.getLong(0) == totalOrders)
+    assert(got.select("r_name").distinct().count() ==
+      Tables.region(spark, sf).count())
+  }
+
+  test("stream-late-drop: late rows are dropped, open windows withheld") {
+    val got = run("stream-late-drop").cache()
+    val counted = got.agg(sum("n_events")).head.getLong(0)
+    val total = Tables.events(spark, sf).count()
+    // the watermark must have genuinely dropped and withheld something…
+    assert(counted < total, s"nothing dropped: $counted of $total counted")
+    // …but never invented rows, and never emitted an empty window
+    assert(counted > 0)
+    assert(got.filter(col("n_events") <= 0).count() == 0)
+    // no window may appear twice per type (append emits each window once)
+    assert(got.groupBy("window_start", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+}
