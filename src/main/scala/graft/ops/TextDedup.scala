@@ -552,7 +552,57 @@ object TextDedup {
       |ORDER BY cosine DESC, vec_a, vec_b
       |LIMIT 20""".stripMargin
 
+  /** dedup-edit-distance — the two-stage fuzzy-dedup shape in its exact
+    * form: cheap blocking (the shared MinHash LSH band buckets — never
+    * corpus²) followed by an EXACT Levenshtein verify with a normalized
+    * threshold (edit ≤ 20% of the longer doc, kept as integer math:
+    * 5·edit ≤ max_len, so the predicate is tie-free). Edit distance is
+    * the verifier MinHash/SimHash can't replace when the dedup policy
+    * is contractual ("less than k chars changed"); its O(len²) cost per
+    * pair is exactly why the blocking stage must bound candidates
+    * first. Blocking choice is measured, not guessed: SimHash 16-bit
+    * chunk buckets admit 188k candidate pairs at sf0.1 (simhash bits
+    * correlate across random docs — common words dominate the bit
+    * sums), while MinHash bands admit ~tens, with identical recall on
+    * every verified pair. A length pre-filter (5·|Δlen| ≤ max_len, a
+    * NECESSARY condition since edit ≥ length difference) guards the
+    * quadratic verifier even if a band bucket degenerates. Distances
+    * are integers — bit-stable across engines by construction; the one
+    * double (norm) is a single division. */
+  val dedupEditDistance: Q = (s, d) => {
+    val txt = documents(s, d).select(col("doc_id"), col("text"))
+    minhashPairs(s, d)
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .filter(lit(5) * abs(length(col("text_a")) - length(col("text_b"))) <=
+        greatest(length(col("text_a")), length(col("text_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast(IntegerType).as("edit_dist"),
+        greatest(length(col("text_a")), length(col("text_b"))).cast(IntegerType).as("max_len"))
+      .filter(col("edit_dist") * 5 <= col("max_len"))
+      .withColumn("norm", round(col("edit_dist").cast(DoubleType) / col("max_len"), 6))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupEditDistanceSql: String =
+    s"""WITH $minhashBandsCte,
+       |$minhashPairsCte,
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_dist,
+       |         CAST(greatest(len(ta.text), len(tb.text)) AS INT) AS max_len
+       |  FROM pairs
+       |  JOIN documents ta ON ta.doc_id = doc_a
+       |  JOIN documents tb ON tb.doc_id = doc_b
+       |  WHERE 5 * abs(len(ta.text) - len(tb.text)) <= greatest(len(ta.text), len(tb.text)))
+       |SELECT doc_a, doc_b, edit_dist, max_len,
+       |       round(CAST(edit_dist AS DOUBLE) / max_len, 6) AS norm
+       |FROM verified
+       |WHERE edit_dist * 5 <= max_len
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup-edit-distance" -> dedupEditDistance,
     "dedup-exact" -> dedupExact,
     "dedup-minhash-lsh" -> dedupMinhashLsh,
     "dedup-incremental" -> dedupIncremental,
@@ -563,6 +613,7 @@ object TextDedup {
     "dedup-embedding-cosine" -> dedupEmbeddingCosine)
 
   val oracles: Map[String, String] = Map(
+    "dedup-edit-distance" -> dedupEditDistanceSql,
     "dedup-exact" -> dedupExactSql,
     "dedup-minhash-lsh" -> dedupMinhashLshSql,
     "dedup-incremental" -> dedupIncrementalSql,

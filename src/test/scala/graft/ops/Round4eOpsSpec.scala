@@ -44,6 +44,19 @@ class Round4eOpsSpec extends SparkTestBase {
       Tables.region(spark, sf).count())
   }
 
+  test("dedup-edit-distance: verified pairs respect the normalized threshold") {
+    val got = run("dedup-edit-distance").cache()
+    assert(got.filter(col("edit_dist") < 0).count() == 0)
+    assert(got.filter(col("edit_dist") * 5 > col("max_len")).count() == 0)
+    assert(got.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    // edit distance lower bound: at least the length difference
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), length(col("text")).as("l"))
+    val joined = got
+      .join(docs.select(col("doc_id").as("doc_a"), col("l").as("la")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("l").as("lb")), Seq("doc_b"))
+    assert(joined.filter(col("edit_dist") < abs(col("la") - col("lb"))).count() == 0)
+  }
+
   test("stream-late-drop: late rows are dropped, open windows withheld") {
     val got = run("stream-late-drop").cache()
     val counted = got.agg(sum("n_events")).head.getLong(0)
