@@ -45,16 +45,19 @@ object GraphOps {
     val edgesDeg = edges.join(deg, "src").persist()
     val n = edgesDeg.select(col("src")).distinct().count().toDouble
     var ranks = deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
+    // the loop stays LAZY: at a fixed 5 iterations the whole chain is one
+    // action whose 5 aggregate stages each run exactly once (per-stage
+    // shuffle materialization is the checkpointing), and the cached
+    // edgesDeg join side is reused by every stage. Per-iteration
+    // persist+count would add 5 extra job submissions for nothing at
+    // this depth — that pattern (or checkpoint every ~20 steps) only
+    // pays once iteration counts grow enough for plan-size blowup.
     for (_ <- 1 to 5) {
-      val prev = ranks
       ranks = edgesDeg
-        .join(prev.withColumnRenamed("node", "src"), "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"))
         .agg(round(lit(0.15 / n) + lit(0.85) * sum(col("r") / col("deg")), 8).as("r"))
         .select(col("dst").as("node"), col("r"))
-        .persist()
-      ranks.count() // materialize: truncates lineage before dropping prev
-      prev.unpersist()
     }
     ranks.select(col("node"), col("r").as("pagerank")).orderBy("node")
   }
