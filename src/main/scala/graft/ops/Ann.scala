@@ -350,7 +350,57 @@ object Ann {
       |FROM ranked WHERE rk = 1
       |ORDER BY vec_id""".stripMargin
 
+  /** emb-norm-outliers — embedding quality gate on the per-vector
+    * peak magnitude amax = max|component|, the statistic that drives
+    * int8 quantization error (see emb-quantize: scale = amax/127, so an
+    * amax outlier quantizes the REST of its components coarsely). The
+    * corpus is unit-normalized — ‖v‖² ≡ 1 ± 1e-7, measured, so a norm
+    * gate would only flag float noise; amax has genuine per-vector
+    * spread. One aggregate for per-label moments (shuffle = |labels|
+    * rows), a broadcast of that tiny stats table back onto the
+    * partitioned corpus for the 2σ flag pass, one final aggregate. The
+    * mean/σ thresholds are rounded to 6 dp BEFORE the comparison so
+    * both engines flag against bit-identical cutoffs — the fp noise of
+    * the moment sums never reaches the verdict. */
+  val embNormOutliers: Q = (s, d) => {
+    val v = embeddings(s, d).select(col("vec_id"), col("label"),
+      expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").as("amax"))
+    val stats = v.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      round(sum(col("amax")) / count(lit(1)), 6).as("mean_amax"),
+      round(sqrt(sum(col("amax") * col("amax")) / count(lit(1)) -
+        pow(sum(col("amax")) / count(lit(1)), 2)), 6).as("std_amax"))
+    v.join(broadcast(stats), Seq("label"))
+      .withColumn("is_outlier",
+        (abs(col("amax") - col("mean_amax")) > lit(2.0) * col("std_amax"))
+          .cast(IntegerType))
+      .groupBy("label")
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        max(col("mean_amax")).as("mean_amax"),
+        max(col("std_amax")).as("std_amax"),
+        sum(col("is_outlier")).as("n_outliers"))
+      .orderBy("label")
+  }
+
+  val embNormOutliersSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      |  FROM embeddings),
+      |stats AS (
+      |  SELECT label, count(*) AS n_vecs,
+      |         round(sum(amax) / count(*), 6) AS mean_amax,
+      |         round(sqrt(sum(amax * amax) / count(*) - pow(sum(amax) / count(*), 2)), 6) AS std_amax
+      |  FROM v GROUP BY label)
+      |SELECT label, max(n_vecs) AS n_vecs, max(mean_amax) AS mean_amax,
+      |       max(std_amax) AS std_amax,
+      |       CAST(sum(CASE WHEN abs(amax - mean_amax) > 2.0 * std_amax THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM v JOIN stats USING (label)
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "emb-norm-outliers" -> embNormOutliers,
     "emb-kmeans-assign" -> embKmeansAssign,
     "ann-topk-bruteforce" -> annTopkBruteforce,
     "ann-ivf" -> annIvf,
@@ -359,6 +409,7 @@ object Ann {
     "emb-quantize" -> embQuantize)
 
   val oracles: Map[String, String] = Map(
+    "emb-norm-outliers" -> embNormOutliersSql,
     "emb-kmeans-assign" -> embKmeansAssignSql,
     "ann-topk-bruteforce" -> annTopkBruteforceSql,
     "ann-ivf" -> annIvfSql,

@@ -843,7 +843,86 @@ object TextAnalysis {
       |FROM perdoc
       |ORDER BY doc_id""".stripMargin
 
+  /** text-mix-sample — deterministic weighted data mixing: each source
+    * gets a target sampling rate (derived here from the source id; in
+    * production, the tuned mixture weights), and a document survives
+    * iff its hash bucket clears the source's threshold. Hash-threshold
+    * sampling is THE reproducible mixing primitive: no RNG state, no
+    * shuffle, any worker can re-derive membership, and re-runs/restarts
+    * keep exactly the same sample. The keep test is pure integer math
+    * (bucket·100 < rate·256 — no float boundary), one scan, map-side
+    * combined aggregate. */
+  val textMixSample: Q = (s, d) => {
+    val bucket = expr(
+      "(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1)")
+    val rate = (expr("CAST(substring(source, 4, 10) AS INT)") % 6) * 15 + 20
+    documents(s, d)
+      .withColumn("rate", rate)
+      .withColumn("kept", (bucket * 100 < col("rate") * 256).cast(IntegerType))
+      .groupBy("source")
+      .agg(max(col("rate")).as("target_pct"),
+        count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"))
+      .withColumn("realized", round(col("n_kept").cast(DoubleType) / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
+  val textMixSampleSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |         (CAST(substring(source, 4, 10) AS INT) % 6) * 15 + 20 AS rate,
+      |         CASE WHEN ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+      |                    (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 100
+      |                   < rate * 256 THEN 1 ELSE 0 END AS kept
+      |  FROM documents)
+      |SELECT source, max(rate) AS target_pct, count(*) AS n_docs,
+      |       CAST(sum(kept) AS BIGINT) AS n_kept,
+      |       round(CAST(sum(kept) AS DOUBLE) / count(*), 6) AS realized
+      |FROM t
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** text-bigram-lm — bigram conditional probabilities over the corpus
+    * (the n-gram LM table: P(b|a) = c(a,b)/c(a·)): the statistic behind
+    * classic LM perplexity filters and tokenizer-transition analysis.
+    * Adjacent pairs come from one generator pass over the token array
+    * (no self-join); both counts are map-side-combined groupBys with
+    * shuffle = |bigram vocab|. The conditional is one integer-ratio
+    * division. Top-20 with a full tiebreak keeps the output stable. */
+  val textBigramLm: Q = (s, d) => {
+    val pairs = documents(s, d)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+    val lefts = pairs.groupBy("a").agg(count(lit(1)).as("left_cnt"))
+    big.join(lefts, Seq("a"))
+      .withColumn("p_b_given_a",
+        round(col("cnt").cast(DoubleType) / col("left_cnt"), 6))
+      .select("a", "b", "cnt", "left_cnt", "p_b_given_a")
+      .orderBy(desc("cnt"), col("a"), col("b"))
+      .limit(20)
+  }
+
+  val textBigramLmSql: String =
+    """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |pairs AS (
+      |  SELECT unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b FROM w),
+      |big AS (SELECT a, b, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+      |lefts AS (SELECT a, count(*) AS left_cnt FROM pairs GROUP BY 1)
+      |SELECT a, b, cnt, left_cnt,
+      |       round(CAST(cnt AS DOUBLE) / left_cnt, 6) AS p_b_given_a
+      |FROM big JOIN lefts USING (a)
+      |ORDER BY cnt DESC, a, b
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text-mix-sample" -> textMixSample,
+    "text-bigram-lm" -> textBigramLm,
     "text-perplexity-proxy" -> textPerplexityProxy,
     "text-substring-dedup" -> textSubstringDedup,
     "agg-entropy" -> aggEntropy,
@@ -867,6 +946,8 @@ object TextAnalysis {
     "text-contamination" -> textContamination)
 
   val oracles: Map[String, String] = Map(
+    "text-mix-sample" -> textMixSampleSql,
+    "text-bigram-lm" -> textBigramLmSql,
     "text-perplexity-proxy" -> textPerplexityProxySql,
     "text-substring-dedup" -> textSubstringDedupSql,
     "agg-entropy" -> aggEntropySql,
