@@ -368,8 +368,11 @@ object Ann {
     val stats = v.groupBy("label").agg(
       count(lit(1)).as("n_vecs"),
       round(sum(col("amax")) / count(lit(1)), 6).as("mean_amax"),
-      round(sqrt(sum(col("amax") * col("amax")) / count(lit(1)) -
-        pow(sum(col("amax")) / count(lit(1)), 2)), 6).as("std_amax"))
+      // greatest(…, 0): E[x²]−E[x]² can go fractionally negative under
+      // fp cancellation (near-constant amax) — Spark sqrt(neg) = NaN
+      // (silently zero outliers) while DuckDB errors out
+      round(sqrt(greatest(sum(col("amax") * col("amax")) / count(lit(1)) -
+        pow(sum(col("amax")) / count(lit(1)), 2), lit(0.0))), 6).as("std_amax"))
     v.join(broadcast(stats), Seq("label"))
       .withColumn("is_outlier",
         (abs(col("amax") - col("mean_amax")) > lit(2.0) * col("std_amax"))
@@ -390,7 +393,7 @@ object Ann {
       |stats AS (
       |  SELECT label, count(*) AS n_vecs,
       |         round(sum(amax) / count(*), 6) AS mean_amax,
-      |         round(sqrt(sum(amax * amax) / count(*) - pow(sum(amax) / count(*), 2)), 6) AS std_amax
+      |         round(sqrt(greatest(sum(amax * amax) / count(*) - pow(sum(amax) / count(*), 2), 0.0)), 6) AS std_amax
       |  FROM v GROUP BY label)
       |SELECT label, max(n_vecs) AS n_vecs, max(mean_amax) AS mean_amax,
       |       max(std_amax) AS std_amax,

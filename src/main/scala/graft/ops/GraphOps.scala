@@ -21,6 +21,15 @@ import Tables._
   */
 object GraphOps {
 
+  /** The shared graph: distinct (partkey, suppkey) pairs from lineitem
+    * as 'p'/'s'-prefixed node ids — one definition so the two graph ops
+    * can't drift. */
+  private def bipartitePairs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(concat(lit("p"), col("l_partkey")).as("pn"),
+        concat(lit("s"), col("l_suppkey")).as("sn"))
+      .distinct()
+
   /** graph-pagerank — 5 damped PageRank iterations (d = 0.85) over the
     * undirected part↔supplier bipartite graph from lineitem's distinct
     * (partkey, suppkey) pairs. Undirected edges mean no dangling mass.
@@ -31,10 +40,7 @@ object GraphOps {
     * bit-identical ranks into the next step, so the noise cannot
     * compound across iterations. */
   val graphPagerank: Q = (s, d) => {
-    val li = lineitem(s, d)
-      .select(concat(lit("p"), col("l_partkey")).as("pn"),
-        concat(lit("s"), col("l_suppkey")).as("sn"))
-      .distinct()
+    val li = bipartitePairs(s, d)
     val edges = li.select(col("pn").as("src"), col("sn").as("dst"))
       .unionAll(li.select(col("sn").as("src"), col("pn").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -43,7 +49,10 @@ object GraphOps {
     // re-running the 3-way join every iteration. r/deg stays the same
     // per-row double division, so the oracle's arithmetic is unchanged.
     val edgesDeg = edges.join(deg, "src").persist()
-    val n = edgesDeg.select(col("src")).distinct().count().toDouble
+    // |V| = deg's row count (deg is one row per distinct src already —
+    // re-distincting the larger joined relation would pay an extra
+    // shuffle for the same number); mirrors the oracle's count over deg
+    val n = deg.count().toDouble
     var ranks = deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
     // the loop stays LAZY: at a fixed 5 iterations the whole chain is one
     // action whose 5 aggregate stages each run exactly once (per-stage
@@ -93,10 +102,7 @@ object GraphOps {
     * reduction; at 100 TB the histogram is the cheap pre-flight before
     * committing to an iteration strategy. */
   val graphDegreeStats: Q = (s, d) => {
-    val li = lineitem(s, d)
-      .select(concat(lit("p"), col("l_partkey")).as("pn"),
-        concat(lit("s"), col("l_suppkey")).as("sn"))
-      .distinct()
+    val li = bipartitePairs(s, d)
     val edges = li.select(col("pn").as("src")).unionAll(li.select(col("sn").as("src")))
     edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .groupBy(substring(col("src"), 1, 1).as("node_class"))
@@ -104,9 +110,10 @@ object GraphOps {
         sum(col("deg")).as("n_edges"),
         min(col("deg")).as("min_deg"),
         max(col("deg")).as("max_deg"),
-        // sum-then-divide, not avg(): the long sum is exact and
-        // order-free, so the single double division is deterministic
-        round(sum(col("deg")).cast("double") / count(lit(1)).cast("double"), 6).as("avg_deg"))
+        // floor-quantized exact ratio (see Tables.ratioFloor): the long
+        // sum is exact and order-free, the division is one IEEE op, and
+        // floor has no round-half ties
+        ratioFloor(sum(col("deg")), count(lit(1)), 6).as("avg_deg"))
       .orderBy("node_class")
   }
 
@@ -121,7 +128,7 @@ object GraphOps {
       |       CAST(sum(deg) AS BIGINT) AS n_edges,
       |       min(deg) AS min_deg,
       |       max(deg) AS max_deg,
-      |       round(CAST(sum(deg) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_deg
+      |       floor(CAST(sum(deg) AS DOUBLE) * 1e6 / count(*)) / 1e6 AS avg_deg
       |FROM deg
       |GROUP BY 1
       |ORDER BY node_class""".stripMargin

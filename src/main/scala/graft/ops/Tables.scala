@@ -60,6 +60,25 @@ object Tables {
     * away from engine-specific decimal width/scale conventions. */
   def outNum(c: Column): Column = c.cast(DoubleType)
 
+  /** Exact-ratio output quantizer: floor(n·10^k / d) / 10^k. For ratios
+    * of exact integers, round() is a latent cross-engine tie bomb —
+    * e.g. 3/640 = 0.0046875 is a perfect half-tie at 6 dp, where Spark
+    * rounds the shortest decimal repr HALF_UP and DuckDB scales the
+    * binary double (can differ). floor has no ties: both engines run
+    * the identical IEEE multiply/divide and truncate the identical
+    * double, at ANY data. Use for count/count-style outputs; round()
+    * stays fine for continuous values (non-terminating expansions). */
+  def ratioFloor(n: Column, d: Column, k: Int): Column = {
+    val s = math.pow(10, k)
+    floor(n.cast(DoubleType) * lit(s) / d) / lit(s)
+  }
+
+  /** The oracle-SQL twin of [[ratioFloor]] — keep textually in sync. */
+  def ratioFloorSql(n: String, d: String, k: Int): String = {
+    val s = s"1e$k"
+    s"floor(CAST($n AS DOUBLE) * $s / $d) / $s"
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Scratch dir for sink round trips, namespaced by op name, dataset

@@ -736,12 +736,16 @@ object TextAnalysis {
     * strings. Docs shorter than one window contribute a single short
     * window (greatest(...) keeps the start sequence non-descending). */
   val textSubstringDedup: Q = (s, d) => {
+    // persist: the window-digest table (tokenize + stride-window + md5 —
+    // the dominant cost) feeds both the doc-frequency aggregate and the
+    // per-doc join; unpersisted it would be computed twice
     val wins = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, greatest(size(w) - 16, 0), 8), " +
           "i -> array_join(slice(w, i + 1, 16), ' '))")).as("win"))
       .select(col("doc_id"), substring(md5(col("win")), 1, 16).as("wh"))
+      .persist()
     val df = wins.distinct().groupBy("wh")
       .agg(count(lit(1)).as("ndocs"))
     wins.join(df, Seq("wh"))
@@ -749,7 +753,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
-        round(col("n_dup_windows") * lit(1.0) / col("n_windows"), 9).as("dup_frac"))
+        ratioFloor(col("n_dup_windows"), col("n_windows"), 9).as("dup_frac"))
       .orderBy("doc_id")
   }
 
@@ -764,7 +768,7 @@ object TextAnalysis {
       |  FROM (SELECT DISTINCT doc_id, wh FROM wins) GROUP BY wh)
       |SELECT doc_id, count(*) AS n_windows,
       |       CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
-      |       round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 9) AS dup_frac
+      |       floor(CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) * 1e9 / count(*)) / 1e9 AS dup_frac
       |FROM wins JOIN dfs USING (wh)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
@@ -777,8 +781,11 @@ object TextAnalysis {
     * (integer-ratio division, one log2); only the final sum is
     * order-sensitive, so it alone carries the 6-dp contract. */
   val aggEntropy: Q = (s, d) => {
+    // persist: the token explode feeds both the (source, tok) counts and
+    // the per-source totals
     val toks = documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .persist()
     val cnts = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
     val tot = toks.groupBy("source").agg(count(lit(1)).as("n_tokens"))
     cnts.join(tot, Seq("source"))
@@ -864,7 +871,7 @@ object TextAnalysis {
       .agg(max(col("rate")).as("target_pct"),
         count(lit(1)).as("n_docs"),
         sum(col("kept")).as("n_kept"))
-      .withColumn("realized", round(col("n_kept").cast(DoubleType) / col("n_docs"), 6))
+      .withColumn("realized", ratioFloor(col("n_kept"), col("n_docs"), 6))
       .orderBy("source")
   }
 
@@ -878,7 +885,7 @@ object TextAnalysis {
       |  FROM documents)
       |SELECT source, max(rate) AS target_pct, count(*) AS n_docs,
       |       CAST(sum(kept) AS BIGINT) AS n_kept,
-      |       round(CAST(sum(kept) AS DOUBLE) / count(*), 6) AS realized
+      |       floor(CAST(sum(kept) AS DOUBLE) * 1e6 / count(*)) / 1e6 AS realized
       |FROM t
       |GROUP BY source
       |ORDER BY source""".stripMargin
@@ -898,11 +905,11 @@ object TextAnalysis {
         "transform(sequence(1, size(w) - 1), " +
           "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+      .persist() // feeds both the bigram and the left-marginal counts
     val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
     val lefts = pairs.groupBy("a").agg(count(lit(1)).as("left_cnt"))
     big.join(lefts, Seq("a"))
-      .withColumn("p_b_given_a",
-        round(col("cnt").cast(DoubleType) / col("left_cnt"), 6))
+      .withColumn("p_b_given_a", ratioFloor(col("cnt"), col("left_cnt"), 6))
       .select("a", "b", "cnt", "left_cnt", "p_b_given_a")
       .orderBy(desc("cnt"), col("a"), col("b"))
       .limit(20)
@@ -915,7 +922,7 @@ object TextAnalysis {
       |big AS (SELECT a, b, count(*) AS cnt FROM pairs GROUP BY 1, 2),
       |lefts AS (SELECT a, count(*) AS left_cnt FROM pairs GROUP BY 1)
       |SELECT a, b, cnt, left_cnt,
-      |       round(CAST(cnt AS DOUBLE) / left_cnt, 6) AS p_b_given_a
+      |       floor(CAST(cnt AS DOUBLE) * 1e6 / left_cnt) / 1e6 AS p_b_given_a
       |FROM big JOIN lefts USING (a)
       |ORDER BY cnt DESC, a, b
       |LIMIT 20""".stripMargin

@@ -580,7 +580,7 @@ object TextDedup {
         levenshtein(col("text_a"), col("text_b")).cast(IntegerType).as("edit_dist"),
         greatest(length(col("text_a")), length(col("text_b"))).cast(IntegerType).as("max_len"))
       .filter(col("edit_dist") * 5 <= col("max_len"))
-      .withColumn("norm", round(col("edit_dist").cast(DoubleType) / col("max_len"), 6))
+      .withColumn("norm", ratioFloor(col("edit_dist"), col("max_len"), 6))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -596,7 +596,7 @@ object TextDedup {
        |  JOIN documents tb ON tb.doc_id = doc_b
        |  WHERE 5 * abs(len(ta.text) - len(tb.text)) <= greatest(len(ta.text), len(tb.text)))
        |SELECT doc_a, doc_b, edit_dist, max_len,
-       |       round(CAST(edit_dist AS DOUBLE) / max_len, 6) AS norm
+       |       floor(CAST(edit_dist AS DOUBLE) * 1e6 / max_len) / 1e6 AS norm
        |FROM verified
        |WHERE edit_dist * 5 <= max_len
        |ORDER BY doc_a, doc_b""".stripMargin
