@@ -453,7 +453,95 @@ object StreamingOps {
       |WHERE ws + INTERVAL 1 HOUR <= (SELECT w FROM wm2)
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** stream-flatmap-state — flatMapGroupsWithState, the other half of
+    * the custom-state API (mapGroupsWithState emits exactly one row per
+    * group per batch; flatMap emits ANY number — here the full per-type
+    * snapshot of each user's running counts, the shape a live dashboard
+    * sink consumes). State is a per-user Map[event_type → count], an
+    * order-free merge; AvailableNow replay makes the final snapshot
+    * equal the batch per-(user, type) counts. */
+  val streamFlatmapState: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = streamEvents(s, d, withTs = false)
+      .select(col("user_id"), col("event_type")).as[(Long, String)]
+    val counted = typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String)], state: GroupState[Map[String, Long]]) =>
+          val merged = rows.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
+            case (m, (_, t)) => m.updated(t, m.getOrElse(t, 0L) + 1L)
+          }
+          state.update(merged)
+          merged.iterator.map { case (t, c) => (user, t, c) }
+      }
+      .toDF("user_id", "event_type", "n_events")
+    runToTable(s, counted, "stream_flatmap_state", d, mode = "update")
+      .orderBy("user_id", "event_type")
+  }
+
+  val streamFlatmapStateSql: String =
+    """SELECT user_id, event_type, count(*) AS n_events
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** stream-stream-join — the real two-stream join: even-id events and
+    * odd-id events arrive as two independent streaming sources, joined
+    * on user within a ±1 h event-time band. Both sides carry watermarks
+    * (that is what bounds the join state buffers in production — each
+    * side can discard rows once the other side's watermark passes the
+    * band); AvailableNow delivers both sides in one batch, so the
+    * emitted matches equal the batch interval join, which is what the
+    * oracle checks. Inner join + append mode: matches emit as both
+    * sides arrive. */
+  val streamStreamJoin: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = Tables.tmp("ss-join-stage", d)
+    val dirs = Seq("a", "b").map(n => new java.io.File(Tables.tmp(s"ss-join-src-$n", d)))
+    dirs.foreach { f =>
+      org.apache.commons.io.FileUtils.deleteQuietly(f); f.mkdirs()
+    }
+    val raw = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+    def stageSide(even: Boolean, dir: java.io.File, name: String): Unit = {
+      val tmpDir = s"$stage/$name"
+      raw.filter(if (even) col("event_id") % 2 === 0 else col("event_id") % 2 === 1)
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
+      val part = new java.io.File(tmpDir).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      stageAtomically(part.getAbsolutePath, new java.io.File(dir, s"$name.parquet"))
+    }
+    stageSide(even = true, dirs(0), "a")
+    stageSide(even = false, dirs(1), "b")
+    val schema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType).add("ts", LongType)
+    def side(dir: java.io.File, suffix: String): DataFrame =
+      s.readStream.schema(schema).parquet(dir.getAbsolutePath)
+        .select(col("event_id").as(s"event_id_$suffix"),
+          col("user_id").as(s"user_$suffix"),
+          expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)").as(s"ts_$suffix"))
+        .withWatermark(s"ts_$suffix", "2 hours")
+    val joined = side(dirs(0), "a").join(side(dirs(1), "b"),
+      expr("user_a = user_b AND " +
+        "ts_b BETWEEN ts_a - INTERVAL 1 HOUR AND ts_a + INTERVAL 1 HOUR"))
+      .select(col("user_a").as("user_id"), col("event_id_a"), col("event_id_b"))
+    runToTable(s, joined, "stream_stream_join", d, mode = "append")
+      .orderBy("user_id", "event_id_a", "event_id_b")
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT a.user_id AS user_id, a.event_id AS event_id_a, b.event_id AS event_id_b
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+      | AND date_trunc('microseconds', b.ts)
+      |     BETWEEN date_trunc('microseconds', a.ts) - INTERVAL 1 HOUR
+      |         AND date_trunc('microseconds', a.ts) + INTERVAL 1 HOUR
+      |ORDER BY user_id, event_id_a, event_id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream-flatmap-state" -> streamFlatmapState,
+    "stream-stream-join" -> streamStreamJoin,
     "stream-late-drop" -> streamLateDrop,
     "stream-session-window" -> streamSessionWindow,
     "stream-foreachbatch-upsert" -> streamForeachUpsert,
@@ -465,6 +553,8 @@ object StreamingOps {
     "stream-join-static" -> streamJoinStatic)
 
   val oracles: Map[String, String] = Map(
+    "stream-flatmap-state" -> streamFlatmapStateSql,
+    "stream-stream-join" -> streamStreamJoinSql,
     "stream-late-drop" -> streamLateDropSql,
     "stream-session-window" -> streamSessionWindowSql,
     "stream-foreachbatch-upsert" -> streamForeachUpsertSql,
