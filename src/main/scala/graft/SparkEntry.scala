@@ -22,6 +22,7 @@ object SparkEntry {
     (RelSetGen.queries, RelSetGen.oracles),
     (RelScale.queries, RelScale.oracles),
     (RelExtra.queries, RelExtra.oracles),
+    (RelMore.queries, RelMore.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
