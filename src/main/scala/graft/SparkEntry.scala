@@ -23,6 +23,7 @@ object SparkEntry {
     (RelScale.queries, RelScale.oracles),
     (RelExtra.queries, RelExtra.oracles),
     (RelMore.queries, RelMore.oracles),
+    (RelMore2.queries, RelMore2.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

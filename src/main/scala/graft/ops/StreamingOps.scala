@@ -539,7 +539,87 @@ object StreamingOps {
       |         AND date_trunc('microseconds', a.ts) + INTERVAL 1 HOUR
       |ORDER BY user_id, event_id_a, event_id_b""".stripMargin
 
+  /** stream-left-outer-join — stream-stream LEFT OUTER interval join:
+    * the hard half of streaming joins, because the null-padded rows for
+    * unmatched left events can only be emitted once the watermark
+    * proves no matching right row can still arrive. Like
+    * stream-late-drop this runs TWO AvailableNow executions against one
+    * checkpoint + file sink: run 1 delivers both real sides (matches
+    * emit immediately, unmatched left rows are withheld in state);
+    * run 2 delivers one far-future sentinel row per side (impossible
+    * user ids −1/−2, so they match nothing) whose only effect is to
+    * advance both watermarks past every real event's join window —
+    * state for unmatched left rows expires and they flush with a null
+    * right side (coalesced to −1: the compare must not depend on
+    * engine null-ordering). The file sink accumulates across runs, so
+    * the read-back is matches ∪ expired-unmatched = the batch LEFT
+    * JOIN, which is what the oracle checks. */
+  val streamLeftOuterJoin: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = Tables.tmp("ss-loj-stage", d)
+    val sink = Tables.tmp("ss-loj-sink", d)
+    val ckpt = Tables.tmp("ckpt-ss-loj", d)
+    val dirs = Seq("a", "b").map(n => new java.io.File(Tables.tmp(s"ss-loj-src-$n", d)))
+    (dirs.map(_.getAbsolutePath) ++ Seq(sink, ckpt, stage)).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    dirs.foreach(_.mkdirs())
+    val raw = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+    def stageInto(df: DataFrame, dir: java.io.File, name: String): Unit = {
+      val tmpDir = s"$stage/$name"
+      df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
+      val part = new java.io.File(tmpDir).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      stageAtomically(part.getAbsolutePath, new java.io.File(dir, s"$name.parquet"))
+    }
+    stageInto(raw.filter(col("event_id") % 2 === 0), dirs(0), "a")
+    stageInto(raw.filter(col("event_id") % 2 === 1), dirs(1), "b")
+    val schema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType).add("ts", LongType)
+    def side(dir: java.io.File, suffix: String): DataFrame =
+      s.readStream.schema(schema).parquet(dir.getAbsolutePath)
+        .select(col("event_id").as(s"event_id_$suffix"),
+          col("user_id").as(s"user_$suffix"),
+          expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)").as(s"ts_$suffix"))
+        .withWatermark(s"ts_$suffix", "2 hours")
+    def runOnce(): Unit = {
+      val joined = side(dirs(0), "a").join(side(dirs(1), "b"),
+        expr("user_a = user_b AND " +
+          "ts_b BETWEEN ts_a - INTERVAL 1 HOUR AND ts_a + INTERVAL 1 HOUR"),
+        "left_outer")
+        .select(col("user_a").as("user_id"), col("event_id_a"),
+          coalesce(col("event_id_b"), lit(-1L)).as("event_id_b"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // watermark-advancing sentinels: +10 days, unmatched by construction
+    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    val far = maxTs + 10L * 86400L * 1000000000L
+    stageInto(raw.limit(1).select(lit(-100L).as("event_id"),
+      lit(-1L).as("user_id"), lit(far).as("ts")), dirs(0), "a2")
+    stageInto(raw.limit(1).select(lit(-101L).as("event_id"),
+      lit(-2L).as("user_id"), lit(far).as("ts")), dirs(1), "b2")
+    runOnce()
+    s.read.parquet(sink).filter(col("user_id") >= 0)
+      .orderBy("user_id", "event_id_a", "event_id_b")
+  }
+
+  val streamLeftOuterJoinSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts FROM events),
+      |a AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+      |b AS (SELECT * FROM ev WHERE event_id % 2 = 1)
+      |SELECT a.user_id AS user_id, a.event_id AS event_id_a,
+      |       coalesce(b.event_id, -1) AS event_id_b
+      |FROM a LEFT JOIN b
+      |  ON a.user_id = b.user_id
+      | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR
+      |ORDER BY user_id, event_id_a, event_id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream-left-outer-join" -> streamLeftOuterJoin,
     "stream-flatmap-state" -> streamFlatmapState,
     "stream-stream-join" -> streamStreamJoin,
     "stream-late-drop" -> streamLateDrop,
@@ -553,6 +633,7 @@ object StreamingOps {
     "stream-join-static" -> streamJoinStatic)
 
   val oracles: Map[String, String] = Map(
+    "stream-left-outer-join" -> streamLeftOuterJoinSql,
     "stream-flatmap-state" -> streamFlatmapStateSql,
     "stream-stream-join" -> streamStreamJoinSql,
     "stream-late-drop" -> streamLateDropSql,
