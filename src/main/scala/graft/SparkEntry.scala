@@ -24,6 +24,7 @@ object SparkEntry {
     (RelExtra.queries, RelExtra.oracles),
     (RelMore.queries, RelMore.oracles),
     (RelMore2.queries, RelMore2.oracles),
+    (RelMore3.queries, RelMore3.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

@@ -1,0 +1,227 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Round-4 continuation batch C: OHLC time-series bars, the digest /
+  * encoding scalar suite, calendar-interval arithmetic, and a
+  * perceptual-hash (blockhash) near-dup pass over the multimodal
+  * payload plumbing.
+  */
+object RelMore3 {
+
+  /** agg-ohlc-bars — OHLC downsampling of the event stream into 6-hour
+    * bars per event type: open/close resolved by explicit first/last
+    * row_number (ts then event_id tiebreak — never first()/last(),
+    * which are partition-order-dependent), high/low as plain min/max,
+    * turnover as an exact decimal sum. The bar key is integer epoch
+    * division (portable across engines, unlike tz-sensitive
+    * to_timestamp formatting). Two window passes + one aggregate, all
+    * shuffling on the same (bar, type) key — at 100 TB this is the
+    * classic tick→bar compaction and partitions by time range first. */
+  val aggOhlcBars: Q = (s, d) => {
+    val ev = events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("bucket", date_format(
+        timestamp_seconds((unix_timestamp(col("ts")) / 21600L).cast(LongType) * 21600L),
+        "yyyy-MM-dd HH:mm"))
+    val wAsc = Window.partitionBy("bucket", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("bucket", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rna", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .groupBy("bucket", "event_type")
+      .agg(
+        max(when(col("rna") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rnd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_trades"),
+        outNum(sum(dec2(col("value")))).as("turnover"))
+      .orderBy("bucket", "event_type")
+  }
+
+  val aggOhlcBarsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, date_trunc('microseconds', ts) AS ts, value,
+      |         strftime(make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600) * 1000000),
+      |                  '%Y-%m-%d %H:%M') AS bucket
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY bucket, event_type ORDER BY ts, event_id) AS rna,
+      |         row_number() OVER (PARTITION BY bucket, event_type ORDER BY ts DESC, event_id DESC) AS rnd
+      |  FROM ev)
+      |SELECT bucket, event_type,
+      |       max(CASE WHEN rna = 1 THEN value END) AS open,
+      |       max(value) AS high,
+      |       min(value) AS low,
+      |       max(CASE WHEN rnd = 1 THEN value END) AS close,
+      |       count(*) AS n_trades,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS turnover
+      |FROM r
+      |GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** func-hash-suite — the digest/encoding scalar surface: md5,
+    * sha-256, base64, hex, bit/octet lengths. These are the primitives
+    * under every content-addressed pattern in the repo (dedup keys,
+    * hash splits, fingerprints); all narrow codegen'd projections.
+    * DuckDB twins: sha256(), to_base64 over an encode()d blob, hex()
+    * (both engines emit uppercase hex of the UTF-8 bytes). */
+  val funcHashSuite: Q = (s, d) =>
+    customer(s, d).select(
+      col("c_custkey"),
+      md5(col("c_name")).as("h_md5"),
+      sha2(col("c_name"), 256).as("h_sha256"),
+      base64(encode(col("c_name"), "UTF-8")).as("h_b64"),
+      hex(encode(col("c_mktsegment"), "UTF-8")).as("h_hex"),
+      bit_length(col("c_name")).cast(LongType).as("n_bits"),
+      octet_length(col("c_name")).cast(LongType).as("n_bytes"))
+      .orderBy("c_custkey")
+
+  val funcHashSuiteSql: String =
+    """SELECT c_custkey,
+      |       md5(c_name) AS h_md5,
+      |       sha256(c_name) AS h_sha256,
+      |       to_base64(encode(c_name)) AS h_b64,
+      |       hex(c_mktsegment) AS h_hex,
+      |       CAST(bit_length(c_name) AS BIGINT) AS n_bits,
+      |       CAST(octet_length(encode(c_name)) AS BIGINT) AS n_bytes
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  /** func-interval-suite — calendar-interval arithmetic: day offsets,
+    * add_months (both engines clamp to month end), last_day, month /
+    * quarter truncation, a linear month index, and next-Monday — which
+    * DuckDB lacks as a builtin, so its twin spells the identical
+    * ISO-dow arithmetic. Calendar math is the classic cross-engine
+    * divergence zone; every output is DATE or INT so the compare is
+    * repr-exact. */
+  val funcIntervalSuite: Q = (s, d) => {
+    val dt = to_date(col("o_orderdate"))
+    orders(s, d).select(
+      col("o_orderkey"),
+      date_add(dt, 3).as("plus3d"),
+      date_sub(dt, 90).as("minus90d"),
+      add_months(dt, 2).as("plus2mo"),
+      last_day(dt).as("month_end"),
+      trunc(dt, "month").as("month_start"),
+      trunc(dt, "quarter").as("quarter_start"),
+      ((year(dt) - 1970) * 12 + month(dt) - 1).cast(IntegerType).as("month_index"),
+      next_day(dt, "Mon").as("next_monday"))
+      .orderBy("o_orderkey")
+  }
+
+  val funcIntervalSuiteSql: String =
+    """SELECT o_orderkey,
+      |       CAST(CAST(o_orderdate AS DATE) + to_days(3) AS DATE) AS plus3d,
+      |       CAST(CAST(o_orderdate AS DATE) - to_days(90) AS DATE) AS minus90d,
+      |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+      |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+      |       CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start,
+      |       CAST((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS INT) AS month_index,
+      |       CAST(CAST(o_orderdate AS DATE) + to_days(
+      |         CASE WHEN (8 - isodow(CAST(o_orderdate AS DATE))) % 7 = 0 THEN 7
+      |              ELSE CAST((8 - isodow(CAST(o_orderdate AS DATE))) % 7 AS INT) END) AS DATE) AS next_monday
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- mm-blockhash-dedup ------------------------------------------------
+  // Blockhash (blockhash.io): split the payload into 64 equal byte
+  // blocks, bit j = 1 iff block j's byte-sum is above the global mean.
+  // Small edits perturb few blocks → genuinely locality-sensitive,
+  // unlike a cryptographic digest. The "pixels" here are the text
+  // bytes (decode is the stubbed step, as in mm-decode-stub); with a
+  // real image decoder the same plan hashes luma blocks.
+
+  private val blockSumsExpr =
+    "transform(sequence(1, 64), j -> aggregate(" +
+      "sequence(1, CAST((j*n) DIV 64 - ((j-1)*n) DIV 64 AS INT)), 0L, " +
+      "(a, i) -> a + ascii(substring(text, CAST(((j-1)*n) DIV 64 AS INT) + i, 1))))"
+
+  private def blockhashDf(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text"), length(col("text")).cast(LongType).as("n"))
+      .withColumn("bsums", expr(blockSumsExpr))
+      .withColumn("total", expr("aggregate(bsums, 0L, (a, x) -> a + x)"))
+      .select(col("doc_id"), expr(
+        "concat_ws('', transform(bsums, b -> IF(b*64 > total, '1', '0')))").as("phash"))
+
+  /** mm-blockhash-dedup — perceptual-hash near-dup pairs over the
+    * multimodal payload path: 64-bit blockhash per payload, 8×8-bit
+    * Hamming-LSH chunks (pigeonhole: any pair within distance 7 shares
+    * a chunk, so the ≤6 verify loses nothing), candidate self-join on
+    * chunk, exact Hamming verify with the native codegen
+    * hamming_distance expression. Same scale shape as
+    * dedup-simhash-pairs: candidates come from chunk buckets (never
+    * corpus²), and the per-doc hash is one narrow scan pass. */
+  val mmBlockhashDedup: Q = (s, d) => {
+    graft.functions.HammingDistance.register(s)
+    val ph = blockhashDf(s, d).persist()
+    val chunkArgs = (0 until 8).map(c =>
+      s"$c, substring(phash, ${c * 8 + 1}, 8)").mkString(", ")
+    val chunks = ph.selectExpr("doc_id", s"stack(8, $chunkArgs) AS (chunk_idx, chunk)")
+    val cand = chunks.select(col("doc_id").as("doc_a"), col("chunk_idx"), col("chunk"))
+      .join(chunks.select(col("doc_id").as("doc_b"), col("chunk_idx"), col("chunk")),
+        Seq("chunk_idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(ph.select(col("doc_id").as("doc_a"), col("phash").as("fp_a")), Seq("doc_a"))
+      .join(ph.select(col("doc_id").as("doc_b"), col("phash").as("fp_b")), Seq("doc_b"))
+      .withColumn("hamming", expr("hamming_distance(fp_a, fp_b)"))
+      .filter(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val blockhashCoreSql: String =
+    """SELECT doc_id,
+      |       array_to_string(list_transform(bsums,
+      |         b -> CASE WHEN b*64 > total THEN '1' ELSE '0' END), '') AS phash
+      |FROM (
+      |  SELECT doc_id, bsums, list_aggregate(bsums, 'sum') AS total
+      |  FROM (
+      |    SELECT doc_id,
+      |           list_transform(range(1, 65), j ->
+      |             list_aggregate(
+      |               list_transform(range(1, ((j*n)//64 - ((j-1)*n)//64) + 1),
+      |                              i -> ascii(substring(text, ((j-1)*n)//64 + i, 1))),
+      |               'sum')) AS bsums
+      |    FROM (SELECT doc_id, text, length(text) AS n FROM documents
+      |          WHERE length(text) >= 64)))""".stripMargin
+
+  val mmBlockhashDedupSql: String =
+    s"""WITH ph AS ($blockhashCoreSql),
+       |chunks AS (
+       |  SELECT doc_id, c AS chunk_idx, substring(phash, c * 8 + 1, 8) AS chunk
+       |  FROM ph, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS c) t),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(mismatches(pa.phash, pb.phash) AS INT) AS hamming
+       |FROM cand
+       |JOIN ph pa ON pa.doc_id = doc_a
+       |JOIN ph pb ON pb.doc_id = doc_b
+       |WHERE mismatches(pa.phash, pb.phash) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "agg-ohlc-bars" -> aggOhlcBars,
+    "func-hash-suite" -> funcHashSuite,
+    "func-interval-suite" -> funcIntervalSuite,
+    "mm-blockhash-dedup" -> mmBlockhashDedup)
+
+  val oracles: Map[String, String] = Map(
+    "agg-ohlc-bars" -> aggOhlcBarsSql,
+    "func-hash-suite" -> funcHashSuiteSql,
+    "func-interval-suite" -> funcIntervalSuiteSql,
+    "mm-blockhash-dedup" -> mmBlockhashDedupSql)
+}

@@ -539,6 +539,79 @@ object StreamingOps {
       |         AND date_trunc('microseconds', a.ts) + INTERVAL 1 HOUR
       |ORDER BY user_id, event_id_a, event_id_b""".stripMargin
 
+  /** Per-user processor for stream-transform-with-state: composite
+    * state = MapState[event_type → count] + ValueState[max value].
+    * Emits the full per-type snapshot for every user touched in the
+    * batch (update-mode dashboard shape, like stream-flatmap-state). */
+  private class UserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String, Double), (Long, String, Long, Double)] {
+    import org.apache.spark.sql.streaming.{MapState, ValueState, TTLConfig, TimerValues, OutputMode, TimeMode}
+    import org.apache.spark.sql.Encoders
+    @transient private var typeCounts: MapState[String, Long] = _
+    @transient private var maxValue: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      typeCounts = getHandle.getMapState[String, Long](
+        "typeCounts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      maxValue = getHandle.getValueState[Double](
+        "maxValue", Encoders.scalaDouble, TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String, Double)],
+                                 timerValues: TimerValues): Iterator[(Long, String, Long, Double)] = {
+      var mx = if (maxValue.exists()) maxValue.get() else Double.NegativeInfinity
+      rows.foreach { case (_, t, v) =>
+        val cur = if (typeCounts.containsKey(t)) typeCounts.getValue(t) else 0L
+        typeCounts.updateValue(t, cur + 1L)
+        if (v > mx) mx = v
+      }
+      maxValue.update(mx)
+      typeCounts.iterator().map { case (t, c) => (user, t, c, mx) }
+    }
+  }
+
+  /** stream-transform-with-state — the Spark 4 arbitrary-state API
+    * (transformWithState, successor of map/flatMapGroupsWithState):
+    * a StatefulProcessor with TWO composite state variables — a
+    * MapState (per-type counts: keyed sub-state the old API had to
+    * fake inside one blob value) and a ValueState (running max) —
+    * over the RocksDB state store provider it requires. Emits each
+    * user's per-type snapshot; AvailableNow replay makes the final
+    * snapshot equal the batch per-(user, type) counts joined with the
+    * per-user max. The provider conf is restored after the run so the
+    * legacy-API ops keep exercising the default HDFS-backed store. */
+  val streamTransformWithState: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val typed = streamEvents(s, d, withTs = false)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .as[(Long, String, Double)]
+      val snap = typed.groupByKey(_._1)
+        .transformWithState(new UserStatsProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_type", "n_type", "max_value")
+      runToTable(s, snap, "stream_tws", d, mode = "update")
+        .orderBy("user_id", "event_type")
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+  }
+
+  val streamTransformWithStateSql: String =
+    """WITH t AS (SELECT user_id, event_type, count(*) AS n_type
+      |           FROM events GROUP BY 1, 2),
+      |u AS (SELECT user_id, max(value) AS max_value FROM events GROUP BY 1)
+      |SELECT t.user_id, t.event_type, t.n_type, u.max_value
+      |FROM t JOIN u USING (user_id)
+      |ORDER BY t.user_id, t.event_type""".stripMargin
+
   /** stream-left-outer-join — stream-stream LEFT OUTER interval join:
     * the hard half of streaming joins, because the null-padded rows for
     * unmatched left events can only be emitted once the watermark
@@ -619,6 +692,7 @@ object StreamingOps {
       |ORDER BY user_id, event_id_a, event_id_b""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "stream-transform-with-state" -> streamTransformWithState,
     "stream-left-outer-join" -> streamLeftOuterJoin,
     "stream-flatmap-state" -> streamFlatmapState,
     "stream-stream-join" -> streamStreamJoin,
@@ -633,6 +707,7 @@ object StreamingOps {
     "stream-join-static" -> streamJoinStatic)
 
   val oracles: Map[String, String] = Map(
+    "stream-transform-with-state" -> streamTransformWithStateSql,
     "stream-left-outer-join" -> streamLeftOuterJoinSql,
     "stream-flatmap-state" -> streamFlatmapStateSql,
     "stream-stream-join" -> streamStreamJoinSql,
