@@ -25,6 +25,7 @@ object SparkEntry {
     (RelMore.queries, RelMore.oracles),
     (RelMore2.queries, RelMore2.oracles),
     (RelMore3.queries, RelMore3.oracles),
+    (RelMore4.queries, RelMore4.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

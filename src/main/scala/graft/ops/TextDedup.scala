@@ -137,6 +137,79 @@ object TextDedup {
        |$minhashPairsCte
        |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
 
+  /** dedup-minhash-estimate — the MinHash ACCURACY contract, measured:
+    * for every LSH candidate pair, the sketch's Jaccard estimate
+    * (matching signature slots / 12) side by side with the exact
+    * distinct-shingle Jaccard and the absolute error — all in exact
+    * integer micro-units. This is the number that justifies sizing the
+    * signature at 12 hashes (stderr ≈ √(J(1−J)/12) ≈ 0.14): at 100 TB
+    * the exact verify join is what you pay for candidates the sketch
+    * over-admits, and this op is how you measure that trade on YOUR
+    * corpus. Exact side runs only over candidate pairs (inverted-index
+    * join restricted by the pair table), never corpus². */
+  val dedupMinhashEstimate: Q = (s, d) => {
+    val hashed = shingles(s, d).select(col("doc_id"),
+      concat(md5(col("sh")), md5(concat(lit("#"), col("sh")))).as("h"))
+    val minCols = (1 to Seeds).map(j =>
+      min(substring(col("h"), (j - 1) * 5 + 1, 5)).as(s"m$j"))
+    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).persist()
+    val pairs = minhashPairs(s, d)
+    val matchExpr = (1 to Seeds).map(j => s"IF(a.m$j = b.m$j, 1, 0)").mkString(" + ")
+    val est = pairs
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), expr(matchExpr).cast(LongType).as("matches"))
+    // exact distinct-shingle Jaccard, candidates only
+    val sets = shingles(s, d)
+      .select(col("doc_id"), substring(md5(col("sh")), 1, 16).as("k")).distinct().persist()
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sets.as("sa")
+      .join(sets.as("sb"), col("sa.k") === col("sb.k") && col("sa.doc_id") < col("sb.doc_id"))
+      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+      .join(pairs, Seq("doc_a", "doc_b"))
+    est.join(common, Seq("doc_a", "doc_b"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("matches") * lit(1e6) / lit(Seeds)).cast(LongType).as("est_micro"),
+        floor(col("c") * lit(1e6) / (col("na") + col("nb") - col("c"))).cast(LongType).as("jac_micro"))
+      .withColumn("err_micro", abs(col("est_micro") - col("jac_micro")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashEstimateSql: String = {
+    val matchSum = (1 to Seeds).map(j =>
+      s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $minhashBandsCte,
+       |$minhashPairsCte,
+       |est AS (
+       |  SELECT p.doc_a, p.doc_b, CAST($matchSum AS BIGINT) AS matches
+       |  FROM pairs p
+       |  JOIN sig sa ON sa.doc_id = p.doc_a
+       |  JOIN sig sb ON sb.doc_id = p.doc_b),
+       |sets AS (
+       |  SELECT DISTINCT doc_id, substring(md5(sh), 1, 16) AS k FROM shingles),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+       |common AS (
+       |  SELECT x.doc_a, x.doc_b, x.c FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |    FROM sets a JOIN sets b ON a.k = b.k AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) x
+       |  JOIN pairs p ON p.doc_a = x.doc_a AND p.doc_b = x.doc_b)
+       |SELECT e.doc_a, e.doc_b,
+       |       CAST(floor(e.matches * 1e6 / ${Seeds}) AS BIGINT) AS est_micro,
+       |       CAST(floor(coalesce(co.c, 0) * 1e6 / (na.n + nb.n - coalesce(co.c, 0))) AS BIGINT) AS jac_micro,
+       |       abs(CAST(floor(e.matches * 1e6 / ${Seeds}) AS BIGINT) -
+       |           CAST(floor(coalesce(co.c, 0) * 1e6 / (na.n + nb.n - coalesce(co.c, 0))) AS BIGINT)) AS err_micro
+       |FROM est e
+       |LEFT JOIN common co ON co.doc_a = e.doc_a AND co.doc_b = e.doc_b
+       |JOIN sizes na ON na.doc_id = e.doc_a
+       |JOIN sizes nb ON nb.doc_id = e.doc_b
+       |ORDER BY e.doc_a, e.doc_b""".stripMargin
+  }
+
   /** dedup-incremental — the production shape of corpus dedup: a NEW
     * shard (here docs with doc_id % 5 == 0, standing in for the latest
     * crawl) is checked against the EXISTING corpus (the rest) for
@@ -605,6 +678,7 @@ object TextDedup {
     "dedup-edit-distance" -> dedupEditDistance,
     "dedup-exact" -> dedupExact,
     "dedup-minhash-lsh" -> dedupMinhashLsh,
+    "dedup-minhash-estimate" -> dedupMinhashEstimate,
     "dedup-incremental" -> dedupIncremental,
     "dedup-cluster" -> dedupCluster,
     "dedup-simhash" -> dedupSimhash,
@@ -616,6 +690,7 @@ object TextDedup {
     "dedup-edit-distance" -> dedupEditDistanceSql,
     "dedup-exact" -> dedupExactSql,
     "dedup-minhash-lsh" -> dedupMinhashLshSql,
+    "dedup-minhash-estimate" -> dedupMinhashEstimateSql,
     "dedup-incremental" -> dedupIncrementalSql,
     "dedup-cluster" -> dedupClusterSql,
     "dedup-simhash" -> dedupSimhashSql,
