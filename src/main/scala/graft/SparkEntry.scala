@@ -26,6 +26,7 @@ object SparkEntry {
     (RelMore2.queries, RelMore2.oracles),
     (RelMore3.queries, RelMore3.oracles),
     (RelMore4.queries, RelMore4.oracles),
+    (RelMore5.queries, RelMore5.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

@@ -539,6 +539,83 @@ object StreamingOps {
       |         AND date_trunc('microseconds', a.ts) + INTERVAL 1 HOUR
       |ORDER BY user_id, event_id_a, event_id_b""".stripMargin
 
+  /** stream-state-timeout — GroupStateTimeout.EventTimeTimeout, the
+    * state-EVICTION half of the legacy custom-state API (the other ops
+    * keep state forever): each user's running count lives in state with
+    * a timeout at max(event time)+2h; the group emits NOTHING while
+    * open, and exactly one final row from the hasTimedOut branch once
+    * the watermark passes its timeout. Run 1 delivers all real events
+    * (every group open → sink stays empty); run 2 delivers one
+    * far-future sentinel user whose only effect is advancing the
+    * watermark → every real group times out and flushes. This is the
+    * session-close-and-release pattern: at 100 TB/day state size is
+    * |open sessions|, not |users ever seen|. Oracle: the batch per-user
+    * counts (every session closes once the stream drains). */
+  val streamStateTimeout: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = new java.io.File(Tables.tmp("state-timeout-src", d))
+    val sink = Tables.tmp("state-timeout-sink", d)
+    val ckpt = Tables.tmp("ckpt-state-timeout", d)
+    val stage = Tables.tmp("state-timeout-stage", d)
+    Seq(srcDir.getAbsolutePath, sink, ckpt, stage).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    srcDir.mkdirs()
+    val raw = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+    def stageBatch(df: DataFrame, name: String): Unit = {
+      val tmpDir = s"$stage/$name"
+      df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
+      val part = new java.io.File(tmpDir).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      stageAtomically(part.getAbsolutePath, new java.io.File(srcDir, s"$name.parquet"))
+    }
+    val schema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType).add("ts", LongType)
+    def runOnce(): Unit = {
+      val typed = s.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+        .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+        .withWatermark("event_ts", "1 hour")
+        .select(col("user_id"), col("event_ts")).as[(Long, java.sql.Timestamp)]
+      val closed = typed.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+          (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+           state: GroupState[(Long, Long)]) =>
+            if (state.hasTimedOut) {
+              val (n, _) = state.get
+              state.remove()
+              Iterator.single((user, n))
+            } else {
+              var (n, maxMs) = state.getOption.getOrElse((0L, 0L))
+              rows.foreach { r => n += 1; maxMs = math.max(maxMs, r._2.getTime) }
+              state.update((n, maxMs))
+              // close 2h (event time) after the last event seen so far
+              state.setTimeoutTimestamp(maxMs + 2L * 3600 * 1000)
+              Iterator.empty
+            }
+        }
+        .toDF("user_id", "n_events")
+      val q = closed.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    stageBatch(raw, "a")
+    runOnce()
+    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    stageBatch(raw.limit(1).select(lit(-100L).as("event_id"),
+      lit(-1L).as("user_id"), lit(maxTs + 30L * 86400L * 1000000000L).as("ts")), "b")
+    runOnce()
+    s.read.parquet(sink).filter(col("user_id") >= 0).orderBy("user_id")
+  }
+
+  val streamStateTimeoutSql: String =
+    """SELECT user_id, count(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** Per-user processor for stream-transform-with-state: composite
     * state = MapState[event_type → count] + ValueState[max value].
     * Emits the full per-type snapshot for every user touched in the
@@ -693,6 +770,7 @@ object StreamingOps {
 
   val queries: Map[String, Q] = Map(
     "stream-transform-with-state" -> streamTransformWithState,
+    "stream-state-timeout" -> streamStateTimeout,
     "stream-left-outer-join" -> streamLeftOuterJoin,
     "stream-flatmap-state" -> streamFlatmapState,
     "stream-stream-join" -> streamStreamJoin,
@@ -708,6 +786,7 @@ object StreamingOps {
 
   val oracles: Map[String, String] = Map(
     "stream-transform-with-state" -> streamTransformWithStateSql,
+    "stream-state-timeout" -> streamStateTimeoutSql,
     "stream-left-outer-join" -> streamLeftOuterJoinSql,
     "stream-flatmap-state" -> streamFlatmapStateSql,
     "stream-stream-join" -> streamStreamJoinSql,
