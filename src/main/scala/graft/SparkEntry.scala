@@ -27,6 +27,7 @@ object SparkEntry {
     (RelMore3.queries, RelMore3.oracles),
     (RelMore4.queries, RelMore4.oracles),
     (RelMore5.queries, RelMore5.oracles),
+    (RelMore6.queries, RelMore6.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
