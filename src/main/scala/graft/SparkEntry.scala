@@ -28,6 +28,7 @@ object SparkEntry {
     (RelMore4.queries, RelMore4.oracles),
     (RelMore5.queries, RelMore5.oracles),
     (RelMore6.queries, RelMore6.oracles),
+    (RelMore7.queries, RelMore7.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

@@ -402,7 +402,43 @@ object Ann {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** ann-recall-measure — the ANN ACCURACY contract, measured (the
+    * similarity-search twin of dedup-minhash-estimate): per query, how
+    * many of IVF's top-3 in-bucket neighbors appear in the EXACT
+    * brute-force top-3 — recall@3 in integer micro-units. At 100 TB
+    * brute force is unaffordable as the serving path but affordable as
+    * a sampled audit, and this measured recall (vs nprobe/centroid
+    * count) is what sizes the IVF index before committing to it. */
+  val annRecallMeasure: Q = (s, d) => {
+    val ivf = annIvf(s, d).select(col("query_id"), col("neighbor_id"))
+    val bf = annTopkBruteforce(s, d).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    ivf.join(bf, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_ivf"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_match"))
+      .select(col("query_id"), col("n_ivf"), col("n_match"),
+        floor(col("n_match") * lit(1000000L) / lit(3)).cast(LongType).as("recall_micro"))
+      .orderBy("query_id")
+  }
+
+  val annRecallMeasureSql: String =
+    s"""WITH ivf AS (SELECT query_id, neighbor_id FROM ($annIvfSql)),
+       |bf AS (SELECT query_id, neighbor_id, 1 AS hit
+       |       FROM ($annTopkBruteforceSql) WHERE rank <= 3),
+       |m AS (
+       |  SELECT i.query_id, count(*) AS n_ivf,
+       |         CAST(coalesce(sum(b.hit), 0) AS BIGINT) AS n_match
+       |  FROM ivf i
+       |  LEFT JOIN bf b ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |  GROUP BY i.query_id)
+       |SELECT query_id, n_ivf, n_match,
+       |       CAST(floor(n_match * 1000000 / 3) AS BIGINT) AS recall_micro
+       |FROM m
+       |ORDER BY query_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ann-recall-measure" -> annRecallMeasure,
     "emb-norm-outliers" -> embNormOutliers,
     "emb-kmeans-assign" -> embKmeansAssign,
     "ann-topk-bruteforce" -> annTopkBruteforce,
@@ -412,6 +448,7 @@ object Ann {
     "emb-quantize" -> embQuantize)
 
   val oracles: Map[String, String] = Map(
+    "ann-recall-measure" -> annRecallMeasureSql,
     "emb-norm-outliers" -> embNormOutliersSql,
     "emb-kmeans-assign" -> embKmeansAssignSql,
     "ann-topk-bruteforce" -> annTopkBruteforceSql,

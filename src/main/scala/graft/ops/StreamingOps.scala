@@ -539,6 +539,120 @@ object StreamingOps {
       |         AND date_trunc('microseconds', a.ts) + INTERVAL 1 HOUR
       |ORDER BY user_id, event_id_a, event_id_b""".stripMargin
 
+  /** stream-initial-state — warm-starting stateful processing: the
+    * mapGroupsWithState overload that seeds per-key state from a BATCH
+    * dataset before the first micro-batch. Here the "historical" counts
+    * (event_id % 3 == 0, standing in for yesterday's aggregate table)
+    * become initial state and only the remainder streams; the final
+    * per-user counts must equal the batch aggregate over EVERYTHING —
+    * i.e. a pipeline restart from a compacted snapshot loses nothing.
+    * At 100 TB this is how stateful jobs bootstrap without replaying
+    * the full history through the stream. */
+  val streamInitialState: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // historical partition → initial state (a batch KeyValueGroupedDataset)
+    val hist = t(s, d, "events").filter(col("event_id") % 3 === 0)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n")).as[(Long, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+    // live stream = the remainder, staged into its own source dir
+    val srcDir = new java.io.File(Tables.tmp("init-state-src", d))
+    org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
+    srcDir.mkdirs()
+    val stage = Tables.tmp("init-state-stage", d)
+    val rest = t(s, d, "events").filter(col("event_id") % 3 =!= 0)
+      .select(col("event_id"), col("user_id"))
+    rest.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    stageAtomically(part.getAbsolutePath, new java.io.File(srcDir, "rest.parquet"))
+    val schema = new StructType().add("event_id", LongType).add("user_id", LongType)
+    val typed = s.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+      .select(col("user_id")).as[Long]
+    val counted = typed.groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout(), hist) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+      .toDF("user_id", "n_events")
+    runToTable(s, counted, "stream_initial_state", d, mode = "update")
+      .orderBy("user_id")
+  }
+
+  val streamInitialStateSql: String =
+    """SELECT user_id, count(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** stream-windowed-rollup — CHAINED streaming window aggregations
+    * (Spark 3.5+): hourly counts feed a second, daily window aggregate
+    * in the same streaming query via window_time() — the streaming
+    * form of a rollup cube, with state at BOTH granularities. Chained
+    * aggs only run in append mode, so windows emit strictly when the
+    * watermark closes them: run 1 delivers all real events (the last
+    * day stays open), run 2's far-future sentinel closes everything
+    * real. The sentinel's own windows stay open and are never emitted
+    * — no filtering needed beyond the read-back. */
+  val streamWindowedRollup: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = new java.io.File(Tables.tmp("wroll-src", d))
+    val sink = Tables.tmp("wroll-sink", d)
+    val ckpt = Tables.tmp("ckpt-wroll", d)
+    val stage = Tables.tmp("wroll-stage", d)
+    Seq(srcDir.getAbsolutePath, sink, ckpt, stage).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    srcDir.mkdirs()
+    val raw = t(s, d, "events").select(col("event_id"), col("ts"))
+    def stageBatch(df: DataFrame, name: String): Unit = {
+      val tmpDir = s"$stage/$name"
+      df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
+      val part = new java.io.File(tmpDir).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      stageAtomically(part.getAbsolutePath, new java.io.File(srcDir, s"$name.parquet"))
+    }
+    val schema = new StructType().add("event_id", LongType).add("ts", LongType)
+    def runOnce(): Unit = {
+      val hourly = s.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+        .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(window(col("event_ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_hourly"))
+      val daily = hourly
+        .groupBy(window(window_time(col("window")), "24 hours").as("day"))
+        .agg(sum(col("n_hourly")).as("n_events"),
+          count(lit(1)).as("n_hours"))
+        .select(date_format(col("day.start"), "yyyy-MM-dd").as("day"),
+          col("n_events"), col("n_hours"))
+      val q = daily.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    stageBatch(raw, "a")
+    runOnce()
+    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    stageBatch(raw.limit(1).select(lit(-100L).as("event_id"),
+      lit(maxTs + 30L * 86400L * 1000000000L).as("ts")), "b")
+    runOnce()
+    s.read.parquet(sink).orderBy("day")
+  }
+
+  val streamWindowedRollupSql: String =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS hr, count(*) AS n_hourly
+      |  FROM events GROUP BY 1)
+      |SELECT strftime(date_trunc('day', hr), '%Y-%m-%d') AS day,
+      |       CAST(sum(n_hourly) AS BIGINT) AS n_events,
+      |       count(*) AS n_hours
+      |FROM h
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   /** stream-state-timeout — GroupStateTimeout.EventTimeTimeout, the
     * state-EVICTION half of the legacy custom-state API (the other ops
     * keep state forever): each user's running count lives in state with
@@ -771,6 +885,8 @@ object StreamingOps {
   val queries: Map[String, Q] = Map(
     "stream-transform-with-state" -> streamTransformWithState,
     "stream-state-timeout" -> streamStateTimeout,
+    "stream-initial-state" -> streamInitialState,
+    "stream-windowed-rollup" -> streamWindowedRollup,
     "stream-left-outer-join" -> streamLeftOuterJoin,
     "stream-flatmap-state" -> streamFlatmapState,
     "stream-stream-join" -> streamStreamJoin,
@@ -787,6 +903,8 @@ object StreamingOps {
   val oracles: Map[String, String] = Map(
     "stream-transform-with-state" -> streamTransformWithStateSql,
     "stream-state-timeout" -> streamStateTimeoutSql,
+    "stream-initial-state" -> streamInitialStateSql,
+    "stream-windowed-rollup" -> streamWindowedRollupSql,
     "stream-left-outer-join" -> streamLeftOuterJoinSql,
     "stream-flatmap-state" -> streamFlatmapStateSql,
     "stream-stream-join" -> streamStreamJoinSql,
