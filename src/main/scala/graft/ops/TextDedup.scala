@@ -153,7 +153,17 @@ object TextDedup {
     val minCols = (1 to Seeds).map(j =>
       min(substring(col("h"), (j - 1) * 5 + 1, 5)).as(s"m$j"))
     val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).persist()
-    val pairs = minhashPairs(s, d)
+    // bands/pairs from THIS sig (not minhashPairs(), which would build
+    // and persist a second identical signature pipeline — the shingle
+    // scan is the dominant cost and must run once)
+    val stackArgs = (0 until Seeds / BandSize).map { b =>
+      s"$b, md5(concat_ws(',', m${BandSize * b + 1}, m${BandSize * b + 2}, m${BandSize * b + 3}))"
+    }.mkString(", ")
+    val bands = sig.selectExpr("doc_id", s"stack(${Seeds / BandSize}, $stackArgs) AS (band, bk)")
+    val pairs = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bk")), Seq("band", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val matchExpr = (1 to Seeds).map(j => s"IF(a.m$j = b.m$j, 1, 0)").mkString(" + ")
     val est = pairs
       .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
