@@ -29,6 +29,7 @@ object SparkEntry {
     (RelMore5.queries, RelMore5.oracles),
     (RelMore6.queries, RelMore6.oracles),
     (RelMore7.queries, RelMore7.oracles),
+    (RelMore8.queries, RelMore8.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Round-4 continuation batch H: TPC-H Q18 (IN-subquery + HAVING),
+  * decile reporting, URL parsing, weighted shortest paths, and
+  * funnel time-to-convert statistics.
+  */
+object RelMore8 {
+
+  /** sql-tpch-q18 — large-volume customers: IN over a HAVING-filtered
+    * aggregate subquery, a 3-table join, top-k — SQL front door #5.
+    * Catalyst turns the IN-subquery into a left-semi join against the
+    * aggregated lineitem (one extra shuffle on orderkey, reused by the
+    * outer join via AQE exchange reuse); at 100 TB the HAVING
+    * pre-aggregation is what keeps the semi-join side small. */
+  val sqlTpchQ18: Q = (s, d) => {
+    customer(s, d).createOrReplaceTempView("customer")
+    orders(s, d).createOrReplaceTempView("orders")
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(sqlTpchQ18Sql)
+  }
+
+  val sqlTpchQ18Sql: String =
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+      |       CAST(o.o_orderdate AS DATE) AS orderdate,
+      |       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+      |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE),
+      |         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+      |ORDER BY totalprice DESC, o.o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** agg-decile-report — decile analysis: orders ranked into 10 equal
+    * buckets by price (ntile), then per-decile count, exact total, and
+    * share of grand revenue in integer micro-units. The classic
+    * warehouse concentration report ("top decile carries X% of
+    * revenue"); one window shuffle + one aggregate, grand total via a
+    * window over the aggregate, not a second scan. Scale note: a
+    * global ntile needs a total order (one partition holds the sort,
+    * like the documented SK pattern) — at 100 TB the same report uses
+    * approx_percentile decile BOUNDARIES + a bucket join, trading
+    * exact equal-width buckets for full parallelism. */
+  val aggDecileReport: Q = (s, d) => {
+    val w = Window.orderBy(col("cents").desc, col("o_orderkey"))
+    val deciled = orders(s, d)
+      .select(col("o_orderkey"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+      .withColumn("decile", ntile(10).over(w))
+    deciled.groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("c"))
+      .withColumn("share_micro",
+        floor(col("c") * lit(1000000L) / sum(col("c")).over(Window.partitionBy()))
+          .cast(LongType))
+      .select(col("decile").cast(IntegerType).as("decile"), col("n_orders"),
+        outNum(col("c") / 100).as("revenue"), col("share_micro"))
+      .orderBy("decile")
+  }
+
+  val aggDecileReportSql: String =
+    """WITH deciled AS (
+      |  SELECT o_orderkey,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |         ntile(10) OVER (ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+      |                         o_orderkey) AS decile
+      |  FROM orders),
+      |agg AS (
+      |  SELECT decile, count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS c
+      |  FROM deciled GROUP BY decile)
+      |SELECT CAST(decile AS INT) AS decile, n_orders,
+      |       CAST(c / 100 AS DOUBLE) AS revenue,
+      |       CAST(floor(c * 1000000 / sum(c) OVER ()) AS BIGINT) AS share_micro
+      |FROM agg
+      |ORDER BY decile""".stripMargin
+
+  /** func-url-suite — URL parsing: synthesize a deterministic URL per
+    * customer, then extract host / path / a query parameter with
+    * Spark's native parse_url (codegen'd). DuckDB has no URL parser —
+    * the twins are the equivalent anchored regexes, which pins the
+    * exact component grammar. The production use is dedup-url's
+    * canonicalization; this op exposes the component-level surface. */
+  val funcUrlSuite: Q = (s, d) =>
+    customer(s, d)
+      .select(col("c_custkey"),
+        concat(lit("https://shop"), col("c_custkey") % 5,
+          lit(".example.com/cat/"), lower(col("c_mktsegment")),
+          lit("/item?id="), col("c_custkey"),
+          lit("&ref=mail")).as("url"))
+      .select(col("c_custkey"), col("url"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'id')").as("param_id"),
+        expr("parse_url(url, 'PROTOCOL')").as("protocol"))
+      .orderBy("c_custkey")
+
+  val funcUrlSuiteSql: String =
+    """WITH u AS (
+      |  SELECT c_custkey,
+      |         'https://shop' || (c_custkey % 5) || '.example.com/cat/' ||
+      |         lower(c_mktsegment) || '/item?id=' || c_custkey || '&ref=mail' AS url
+      |  FROM customer)
+      |SELECT c_custkey, url,
+      |       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+      |       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+      |       regexp_extract(url, '\?([^#]*)', 1) AS query,
+      |       regexp_extract(url, '[?&]id=([^&#]*)', 1) AS param_id,
+      |       regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+      |FROM u
+      |ORDER BY c_custkey""".stripMargin
+
+  /** graph-shortest-path — weighted single-source shortest paths,
+    * 3 Bellman-Ford relaxation rounds over the part↔supplier graph
+    * (edge weight = the minimum observed line quantity, integer-exact):
+    * dist' = min(dist, min over in-edges of dist[src] + w). Each round
+    * is one join frontier×edges + one min-aggregate — the weighted
+    * generalization of graph-bfs, and the same bounded-iteration
+    * discipline as graph-pagerank (3 rounds ≈ diameter of interest;
+    * convergence detection would add a driver-side count per round).
+    * Oracle: the identical three relaxations as chained CTEs. */
+  val graphShortestPath: Q = (s, d) => {
+    val e1 = lineitem(s, d)
+      .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      .agg(min(col("l_quantity").cast(LongType)).as("w"))
+    val edges = e1.unionAll(
+      e1.select(col("dst").as("src"), col("src").as("dst"), col("w"))).persist()
+    var dist = s.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row("s1", 0L)),
+      new StructType().add("node", StringType).add("dist", LongType))
+    for (_ <- 1 to 3) {
+      val relaxed = dist.join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .persist()
+    }
+    dist.orderBy("node")
+  }
+
+  val graphShortestPathSql: String =
+    """WITH e1 AS (
+      |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+      |         CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |edges AS (SELECT src, dst, w FROM e1 UNION ALL SELECT dst, src, w FROM e1),
+      |d0 AS (SELECT 's1' AS node, CAST(0 AS BIGINT) AS dist),
+      |d1 AS (
+      |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+      |    SELECT node, dist FROM d0
+      |    UNION ALL
+      |    SELECT e.dst, d0.dist + e.w FROM d0 JOIN edges e ON e.src = d0.node)
+      |  GROUP BY node),
+      |d2 AS (
+      |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+      |    SELECT node, dist FROM d1
+      |    UNION ALL
+      |    SELECT e.dst, d1.dist + e.w FROM d1 JOIN edges e ON e.src = d1.node)
+      |  GROUP BY node),
+      |d3 AS (
+      |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+      |    SELECT node, dist FROM d2
+      |    UNION ALL
+      |    SELECT e.dst, d2.dist + e.w FROM d2 JOIN edges e ON e.src = d2.node)
+      |  GROUP BY node)
+      |SELECT node, dist FROM d3
+      |ORDER BY node""".stripMargin
+
+  /** agg-time-to-convert — funnel latency distribution: per user, the
+    * exact seconds from first view to first subsequent purchase (the
+    * agg-funnel dependency chain), summarized per first-view hour as
+    * count / min / max / exact average in integer micro-units. Same
+    * single-scan shape as the rewritten agg-funnel — sorted per-type
+    * arrays resolve the sequential dependency without join chains. */
+  val aggTimeToConvert: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val perUser = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        array_sort(collect_list(when(col("event_type") === "purchase", col("ts")))).as("purchases"))
+      .withColumn("t_purchase", expr("get(filter(purchases, p -> p >= t_view), 0)"))
+      .filter(col("t_view").isNotNull && col("t_purchase").isNotNull)
+      .select(col("user_id"),
+        date_format(date_trunc("hour", col("t_view")), "yyyy-MM-dd HH").as("view_hour"),
+        (unix_timestamp(col("t_purchase")) - unix_timestamp(col("t_view"))).as("secs"))
+    perUser.groupBy("view_hour")
+      .agg(count(lit(1)).as("n_converts"),
+        min(col("secs")).as("min_secs"), max(col("secs")).as("max_secs"),
+        floor(sum(col("secs")) * lit(1000000L) / count(lit(1))).cast(LongType).as("avg_secs_micro"))
+      .orderBy("view_hour")
+  }
+
+  val aggTimeToConvertSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events),
+      |v AS (SELECT user_id, min(ts) AS t_view FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM ev e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+      |  GROUP BY e.user_id),
+      |conv AS (
+      |  SELECT v.user_id,
+      |         strftime(date_trunc('hour', v.t_view), '%Y-%m-%d %H') AS view_hour,
+      |         CAST(floor(epoch(p.t_purchase)) - floor(epoch(v.t_view)) AS BIGINT) AS secs
+      |  FROM v JOIN p ON p.user_id = v.user_id)
+      |SELECT view_hour, count(*) AS n_converts,
+      |       min(secs) AS min_secs, max(secs) AS max_secs,
+      |       CAST(floor(sum(secs) * 1000000 / count(*)) AS BIGINT) AS avg_secs_micro
+      |FROM conv
+      |GROUP BY view_hour
+      |ORDER BY view_hour""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "sql-tpch-q18" -> sqlTpchQ18,
+    "agg-decile-report" -> aggDecileReport,
+    "func-url-suite" -> funcUrlSuite,
+    "graph-shortest-path" -> graphShortestPath,
+    "agg-time-to-convert" -> aggTimeToConvert)
+
+  val oracles: Map[String, String] = Map(
+    "sql-tpch-q18" -> sqlTpchQ18Sql,
+    "agg-decile-report" -> aggDecileReportSql,
+    "func-url-suite" -> funcUrlSuiteSql,
+    "graph-shortest-path" -> graphShortestPathSql,
+    "agg-time-to-convert" -> aggTimeToConvertSql)
+}
