@@ -30,6 +30,7 @@ object SparkEntry {
     (RelMore6.queries, RelMore6.oracles),
     (RelMore7.queries, RelMore7.oracles),
     (RelMore8.queries, RelMore8.oracles),
+    (RelMore9.queries, RelMore9.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

@@ -437,8 +437,67 @@ object Ann {
        |FROM m
        |ORDER BY query_id""".stripMargin
 
+  /** emb-mrl-recall — Matryoshka truncation audit: retrieval with only
+    * the LEADING 16 of 64 dimensions (the MRL serving trick — 4× less
+    * compute and memory per query) scored against full-dimension exact
+    * top-3, per query, in integer micro-units. On MRL-trained
+    * embeddings this recall stays high; on non-MRL embeddings (like
+    * this synthetic corpus) it documents exactly what truncation
+    * costs — either way it is the measurement that decides whether the
+    * 4× cheaper index is safe to ship. Same broadcast-query shape as
+    * ann-topk-bruteforce, twice. */
+  val embMrlRecall: Q = (s, d) => {
+    val all = vecs(s, d)
+    def top3(vecCol: String => String, label: String): DataFrame = {
+      val q = all.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), expr(vecCol("v")).as("qv"))
+      val scored = broadcast(q).crossJoin(
+          all.select(col("vec_id"), expr(vecCol("v")).as("cv")))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(expr("cosine_similarity(qv, cv)"), 9).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc("cosine"), col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val full = top3(v => v, "full")
+    val trunc = top3(v => s"slice($v, 1, 16)", "mrl")
+    trunc.join(full.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_trunc"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_match"))
+      .select(col("query_id"), col("n_trunc"), col("n_match"),
+        floor(col("n_match") * lit(1000000L) / lit(3)).cast(LongType).as("recall_micro"))
+      .orderBy("query_id")
+  }
+
+  val embMrlRecallSql: String = {
+    def rankedSql(vec: String): String =
+      s"""SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${cosSql(s"q.$vec", s"c.$vec")} DESC, c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueries)
+         |WHERE rank <= 3""".stripMargin
+    s"""WITH fulltop AS (${rankedSql("embedding")}),
+       |trunctop AS (${rankedSql("embedding[1:16]")}),
+       |m AS (
+       |  SELECT t.query_id, count(*) AS n_trunc,
+       |         CAST(coalesce(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_match
+       |  FROM trunctop t
+       |  LEFT JOIN fulltop f ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+       |  GROUP BY t.query_id)
+       |SELECT query_id, n_trunc, n_match,
+       |       CAST(floor(n_match * 1000000 / 3) AS BIGINT) AS recall_micro
+       |FROM m
+       |ORDER BY query_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "ann-recall-measure" -> annRecallMeasure,
+    "emb-mrl-recall" -> embMrlRecall,
     "emb-norm-outliers" -> embNormOutliers,
     "emb-kmeans-assign" -> embKmeansAssign,
     "ann-topk-bruteforce" -> annTopkBruteforce,
@@ -449,6 +508,7 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "ann-recall-measure" -> annRecallMeasureSql,
+    "emb-mrl-recall" -> embMrlRecallSql,
     "emb-norm-outliers" -> embNormOutliersSql,
     "emb-kmeans-assign" -> embKmeansAssignSql,
     "ann-topk-bruteforce" -> annTopkBruteforceSql,

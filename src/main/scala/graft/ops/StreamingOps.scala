@@ -760,6 +760,114 @@ object StreamingOps {
     }
   }
 
+  /** Per-user processor for stream-tws-timers: counts events in a
+    * ValueState, re-arms an event-time timer at max(event time)+2h on
+    * every batch, emits ONLY from the expired-timer callback (then
+    * clears state, so later stale timers find nothing and stay
+    * silent). */
+  private class TimerCloseProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{ValueState, TTLConfig, TimerValues, ExpiredTimerInfo, OutputMode, TimeMode}
+    import org.apache.spark.sql.Encoders
+    @transient private var nState: ValueState[Long] = _
+    @transient private var armedAt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nState = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      armedAt = getHandle.getValueState[Long]("armedAt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+                                 timerValues: TimerValues): Iterator[(Long, Long)] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var maxMs = if (armedAt.exists()) armedAt.get() else 0L
+      rows.foreach { case (_, ts) => n += 1; maxMs = math.max(maxMs, ts.getTime) }
+      nState.update(n)
+      // re-arm: drop the previous timer so exactly one is pending
+      if (armedAt.exists()) getHandle.deleteTimer(armedAt.get() + 2L * 3600 * 1000)
+      getHandle.registerTimer(maxMs + 2L * 3600 * 1000)
+      armedAt.update(maxMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      if (nState.exists()) {
+        val n = nState.get()
+        nState.clear(); armedAt.clear()
+        Iterator.single((user, n))
+      } else Iterator.empty
+    }
+  }
+
+  /** stream-tws-timers — transformWithState with EVENT-TIME TIMERS
+    * (registerTimer / deleteTimer / handleExpiredTimer, TimeMode
+    * .EventTime): the new-API twin of stream-state-timeout. Each user
+    * re-arms a close timer 2h after its latest event; nothing emits
+    * until the watermark passes a timer, then the expired-timer
+    * callback flushes the final count and clears state. Two
+    * AvailableNow runs: run 1 arms every timer (sink stays empty),
+    * run 2's far-future sentinel advances the watermark and fires them
+    * all. RocksDB provider required by the API, restored afterwards. */
+  val streamTwsTimers: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = new java.io.File(Tables.tmp("tws-timer-src", d))
+      val sink = Tables.tmp("tws-timer-sink", d)
+      val ckpt = Tables.tmp("ckpt-tws-timer", d)
+      val stage = Tables.tmp("tws-timer-stage", d)
+      Seq(srcDir.getAbsolutePath, sink, ckpt, stage).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      srcDir.mkdirs()
+      val raw = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      def stageBatch(df: DataFrame, name: String): Unit = {
+        val tmpDir = s"$stage/$name"
+        df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
+        val part = new java.io.File(tmpDir).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        stageAtomically(part.getAbsolutePath, new java.io.File(srcDir, s"$name.parquet"))
+      }
+      val schema = new StructType()
+        .add("event_id", LongType).add("user_id", LongType).add("ts", LongType)
+      def runOnce(): Unit = {
+        val typed = s.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+          .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+          .withWatermark("event_ts", "1 hour")
+          .select(col("user_id"), col("event_ts")).as[(Long, java.sql.Timestamp)]
+        val closed = typed.groupByKey(_._1)
+          .transformWithState(new TimerCloseProcessor,
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "n_events")
+        val q = closed.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      stageBatch(raw, "a")
+      runOnce()
+      val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+      stageBatch(raw.limit(1).select(lit(-100L).as("event_id"),
+        lit(-1L).as("user_id"), lit(maxTs + 30L * 86400L * 1000000000L).as("ts")), "b")
+      runOnce()
+      s.read.parquet(sink).filter(col("user_id") >= 0).orderBy("user_id")
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+  }
+
+  val streamTwsTimersSql: String =
+    """SELECT user_id, count(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** stream-transform-with-state — the Spark 4 arbitrary-state API
     * (transformWithState, successor of map/flatMapGroupsWithState):
     * a StatefulProcessor with TWO composite state variables — a
@@ -886,6 +994,7 @@ object StreamingOps {
     "stream-transform-with-state" -> streamTransformWithState,
     "stream-state-timeout" -> streamStateTimeout,
     "stream-initial-state" -> streamInitialState,
+    "stream-tws-timers" -> streamTwsTimers,
     "stream-windowed-rollup" -> streamWindowedRollup,
     "stream-left-outer-join" -> streamLeftOuterJoin,
     "stream-flatmap-state" -> streamFlatmapState,
@@ -904,6 +1013,7 @@ object StreamingOps {
     "stream-transform-with-state" -> streamTransformWithStateSql,
     "stream-state-timeout" -> streamStateTimeoutSql,
     "stream-initial-state" -> streamInitialStateSql,
+    "stream-tws-timers" -> streamTwsTimersSql,
     "stream-windowed-rollup" -> streamWindowedRollupSql,
     "stream-left-outer-join" -> streamLeftOuterJoinSql,
     "stream-flatmap-state" -> streamFlatmapStateSql,
