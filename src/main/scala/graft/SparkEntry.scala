@@ -31,6 +31,7 @@ object SparkEntry {
     (RelMore7.queries, RelMore7.oracles),
     (RelMore8.queries, RelMore8.oracles),
     (RelMore9.queries, RelMore9.oracles),
+    (RelMore10.queries, RelMore10.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
