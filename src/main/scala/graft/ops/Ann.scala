@@ -495,8 +495,51 @@ object Ann {
        |ORDER BY query_id""".stripMargin
   }
 
+  /** ann-filtered-search — metadata-filtered vector search (the
+    * vector-DB "pre-filter" mode): top-3 cosine neighbors restricted
+    * to the query's OWN label. The filter composes into candidate
+    * generation (label equi-join BEFORE scoring), so work is
+    * |Q| × |label bucket|, not |Q| × |corpus| scored-then-discarded —
+    * post-filtering an unfiltered top-k is the classic recall bug this
+    * op's shape avoids (a top-3 after filtering ≠ filter of top-3). */
+  val annFilteredSearch: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
+    val all = embeddings(s, d).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label"), col("v").as("qv"))
+    val scored = broadcast(q).join(all, Seq("label"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        round(expr("cosine_similarity(qv, v)"), 9).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("query_id"), col("label"),
+        col("rank").cast(IntegerType).as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annFilteredSearchSql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cosine
+       |  FROM embeddings q
+       |  JOIN embeddings c ON c.label = q.label AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |ranked AS (
+       |  SELECT query_id, label, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, label, CAST(rank AS INT) AS rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann-recall-measure" -> annRecallMeasure,
+    "ann-filtered-search" -> annFilteredSearch,
     "emb-mrl-recall" -> embMrlRecall,
     "emb-norm-outliers" -> embNormOutliers,
     "emb-kmeans-assign" -> embKmeansAssign,
@@ -508,6 +551,7 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "ann-recall-measure" -> annRecallMeasureSql,
+    "ann-filtered-search" -> annFilteredSearchSql,
     "emb-mrl-recall" -> embMrlRecallSql,
     "emb-norm-outliers" -> embNormOutliersSql,
     "emb-kmeans-assign" -> embKmeansAssignSql,

@@ -107,12 +107,42 @@ object RelMore10 {
       |WHERE doc_id % 25 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** sql-tpch-q10 — returned-item reporting: which customers returned
+    * the most revenue in a quarter — 4-table join (customer, orders,
+    * lineitem filtered to returns, nation) + top-20, SQL front door
+    * #6. Nation broadcasts; the returnflag filter lands in
+    * PushedFilters so only the returned slice of lineitem leaves the
+    * scan. */
+  val sqlTpchQ10: Q = (s, d) => {
+    customer(s, d).createOrReplaceTempView("customer")
+    orders(s, d).createOrReplaceTempView("orders")
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    nation(s, d).createOrReplaceTempView("nation")
+    s.sql(sqlTpchQ10Sql)
+  }
+
+  val sqlTpchQ10Sql: String =
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+      |       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      |  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY revenue DESC, c.c_custkey
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sql-tpch-q10" -> sqlTpchQ10,
     "expr-uuid-name" -> exprUuidName,
     "agg-multi-distinct" -> aggMultiDistinct,
     "src-binaryfile" -> srcBinaryfile)
 
   val oracles: Map[String, String] = Map(
+    "sql-tpch-q10" -> sqlTpchQ10Sql,
     "expr-uuid-name" -> exprUuidNameSql,
     "agg-multi-distinct" -> aggMultiDistinctSql,
     "src-binaryfile" -> srcBinaryfileSql)

@@ -760,6 +760,76 @@ object StreamingOps {
     }
   }
 
+  /** Per-user processor for stream-tws-list-state: a bounded recent-ids
+    * buffer in ListState (append per row, trim via put) — the third
+    * state shape of the new API after ValueState and MapState. The
+    * buffer keeps the 3 LARGEST (ts, event_id) pairs so the result is
+    * order-independent under replay, not arrival-order-dependent. */
+  private class RecentIdsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), (Long, String)] {
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimerValues, OutputMode, TimeMode}
+    import org.apache.spark.sql.Encoders
+    @transient private var recent: ListState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[(Long, Long)](
+        "recent", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
+                                 timerValues: TimerValues): Iterator[(Long, String)] = {
+      rows.foreach { case (_, eid, ts) => recent.appendValue((ts, eid)) }
+      val top3 = (if (recent.exists()) recent.get().toSeq else Seq.empty)
+        .sortBy { case (ts, eid) => (-ts, -eid) }.take(3)
+      recent.put(top3.toArray) // trim: state stays bounded at 3 entries
+      Iterator.single((user, top3.map(_._2).mkString(",")))
+    }
+  }
+
+  /** stream-tws-list-state — transformWithState with LIST state (the
+    * third state shape after stream-transform-with-state's Map+Value):
+    * per user, the ids of its 3 latest events, the buffer trimmed to 3
+    * inside the processor on every batch so state NEVER grows with the
+    * stream — the bounded-recent-activity pattern every feed/session
+    * service runs. Ordering is (ts, event_id) descending: replay- and
+    * partition-order-independent. Oracle: the batch top-3-per-user
+    * window. */
+  val streamTwsListState: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val typed = streamEvents(s, d, withTs = true)
+        .select(col("user_id"), col("event_id"),
+          expr("(ts - pmod(ts, 1000)) div 1000").as("ts_us"))
+        .as[(Long, Long, Long)]
+      val snap = typed.groupByKey(_._1)
+        .transformWithState(new RecentIdsProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "latest3")
+      runToTable(s, snap, "stream_tws_list", d, mode = "update")
+        .orderBy("user_id")
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+  }
+
+  val streamTwsListStateSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rk
+      |  FROM events)
+      |SELECT user_id,
+      |       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rk) AS latest3
+      |FROM r WHERE rk <= 3
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** Per-user processor for stream-tws-timers: counts events in a
     * ValueState, re-arms an event-time timer at max(event time)+2h on
     * every batch, emits ONLY from the expired-timer callback (then
@@ -995,6 +1065,7 @@ object StreamingOps {
     "stream-state-timeout" -> streamStateTimeout,
     "stream-initial-state" -> streamInitialState,
     "stream-tws-timers" -> streamTwsTimers,
+    "stream-tws-list-state" -> streamTwsListState,
     "stream-windowed-rollup" -> streamWindowedRollup,
     "stream-left-outer-join" -> streamLeftOuterJoin,
     "stream-flatmap-state" -> streamFlatmapState,
@@ -1014,6 +1085,7 @@ object StreamingOps {
     "stream-state-timeout" -> streamStateTimeoutSql,
     "stream-initial-state" -> streamInitialStateSql,
     "stream-tws-timers" -> streamTwsTimersSql,
+    "stream-tws-list-state" -> streamTwsListStateSql,
     "stream-windowed-rollup" -> streamWindowedRollupSql,
     "stream-left-outer-join" -> streamLeftOuterJoinSql,
     "stream-flatmap-state" -> streamFlatmapStateSql,
