@@ -32,6 +32,7 @@ object SparkEntry {
     (RelMore8.queries, RelMore8.oracles),
     (RelMore9.queries, RelMore9.oracles),
     (RelMore10.queries, RelMore10.oracles),
+    (RelMore11.queries, RelMore11.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

@@ -1,0 +1,363 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Round-4 continuation batch L: the decorrelation-heavy TPC-H front
+  * doors (EXISTS / NOT EXISTS / NOT IN / scalar subqueries — the
+  * subquery shapes the reference's T-SQL QA scripts lean on, cf.
+  * 08_validacionsql.sql's EXISTS orphan checks), the MapType function
+  * surface, and two more iterative graph operators (triangle counting,
+  * hash-min connected components).
+  *
+  * The TPC-H columns our synthetic tables lack (l_shipmode,
+  * l_commitdate, c_phone, comment fields) are substituted with
+  * equivalent-shaped predicates on columns that exist — the point of
+  * each front door is its PLAN shape (semi/anti join, null-aware anti,
+  * scalar-subquery broadcast), not the retail semantics.
+  */
+object RelMore11 {
+
+  /** sql-tpch-q4 — order-priority checking: EXISTS decorrelates to a
+    * LEFT SEMI join (each order tested once, no row multiplication from
+    * its ~4 lineitems — a plain JOIN+DISTINCT would shuffle 4× the
+    * rows). The date filter lands in PushedFilters before the semi
+    * join's shuffle. l_commitdate < l_receiptdate (absent columns) →
+    * l_returnflag = 'R'. */
+  val sqlTpchQ4: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("orders")
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(sqlTpchQ4Sql)
+  }
+
+  val sqlTpchQ4Sql: String =
+    """SELECT o.o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_returnflag = 'R')
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
+  /** sql-tpch-q12 — shipping-class priority counts: one fact join, two
+    * conditional counts in a single grouping pass (count(CASE … END) —
+    * count skips NULL, both engines return BIGINT). l_shipmode (absent)
+    * → l_linestatus as the class column. */
+  val sqlTpchQ12: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("orders")
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(sqlTpchQ12Sql)
+  }
+
+  val sqlTpchQ12Sql: String =
+    """SELECT l.l_linestatus AS ship_class,
+      |       count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                  THEN 1 END) AS high_line_count,
+      |       count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                  THEN 1 END) AS low_line_count
+      |FROM orders o
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l.l_linestatus
+      |ORDER BY l.l_linestatus""".stripMargin
+
+  /** sql-tpch-q13 — customer order-count distribution: LEFT OUTER join
+    * (zero-order customers must appear with c_count 0) with an extra
+    * join-side predicate (the original's comment exclusion →
+    * priority <> '5-LOW'), then a second aggregation over the first's
+    * output. Two shuffles by construction — the inner GROUP BY keys on
+    * c_custkey (join key, so AQE can elide the exchange), the outer on
+    * the tiny c_count domain. */
+  val sqlTpchQ13: Q = (s, d) => {
+    customer(s, d).createOrReplaceTempView("customer")
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(sqlTpchQ13Sql)
+  }
+
+  val sqlTpchQ13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |      FROM customer c
+      |      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |                        AND o.o_orderpriority <> '5-LOW'
+      |      GROUP BY c.c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** sql-tpch-q14 — promo revenue share: the ratio is emitted as exact
+    * integer parts-per-million (numerator/denominator in 10^-4 currency
+    * micro-units via decimal, floor of a double division whose operands
+    * are exact below 2^53) — the floor-quantized exact-ratio discipline
+    * every share-style query here follows, because a bare double
+    * division's last ulp is engine lottery. */
+  val sqlTpchQ14: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    part(s, d).createOrReplaceTempView("part")
+    s.sql(sqlTpchQ14Sql)
+  }
+
+  val sqlTpchQ14Sql: String =
+    """WITH j AS (
+      |  SELECT CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+      |              * 10000 AS BIGINT) AS rev_u,
+      |         p.p_type
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |    AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00')
+      |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END) AS BIGINT) AS promo_rev_u,
+      |       CAST(sum(rev_u) AS BIGINT) AS total_rev_u,
+      |       CAST(floor(1000000.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END)
+      |                  / sum(rev_u)) AS BIGINT) AS promo_ppm
+      |FROM j""".stripMargin
+
+  /** sql-tpch-q16 — supplier-part variety report: NOT IN over a
+    * non-nullable key column plans as a null-aware anti join (Spark:
+    * BroadcastNestedLoopJoin degenerates to broadcast anti here because
+    * the subquery side is provably null-free), plus count(DISTINCT)
+    * per narrow group. The size IN-list prunes part BEFORE the join. */
+  val sqlTpchQ16: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    part(s, d).createOrReplaceTempView("part")
+    supplier(s, d).createOrReplaceTempView("supplier")
+    s.sql(sqlTpchQ16Sql)
+  }
+
+  val sqlTpchQ16Sql: String =
+    """SELECT p.p_brand, p.p_type, p.p_size,
+      |       count(DISTINCT l.l_suppkey) AS supplier_cnt
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand <> 'Brand#45'
+      |  AND p.p_type <> 'MEDIUM'
+      |  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                          WHERE s_acctbal < 0)
+      |GROUP BY p.p_brand, p.p_type, p.p_size
+      |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin
+
+  /** sql-tpch-q19 — disjunctive OR-of-ANDs pushdown: three brand ×
+    * size × quantity bands OR'd together. Catalyst extracts the
+    * common-join-key conjunct and pushes the per-side residuals of the
+    * disjunction into both scans (part: brand/size bands; lineitem:
+    * quantity envelope) — on 100 TB the quantity envelope alone drops
+    * most of the fact scan before the join. */
+  val sqlTpchQ19: Q = (s, d) => {
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    part(s, d).createOrReplaceTempView("part")
+    s.sql(sqlTpchQ19Sql)
+  }
+
+  val sqlTpchQ19Sql: String =
+    """SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+      |                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 20
+      |       AND l.l_quantity BETWEEN 1 AND 25)
+      |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+      |       AND l.l_quantity BETWEEN 10 AND 35)
+      |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 30
+      |       AND l.l_quantity BETWEEN 20 AND 45)""".stripMargin
+
+  /** sql-tpch-q22 — global-acquisition analysis: a scalar subquery
+    * threshold plus NOT EXISTS anti join. The avg comparison is kept
+    * EXACT by cross-multiplying integers (cents × count > cent-sum)
+    * instead of dividing — an avg threshold computed in doubles could
+    * flip boundary customers between engines. c_phone country code
+    * (absent) → c_nationkey % 5; the original's "no orders at all"
+    * anti join → "no orders since 1999" (same plan, but the testdata's
+    * fully-active customer base would make the stricter predicate
+    * vacuously empty). */
+  val sqlTpchQ22: Q = (s, d) => {
+    customer(s, d).createOrReplaceTempView("customer")
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(sqlTpchQ22Sql)
+  }
+
+  val sqlTpchQ22Sql: String =
+    """WITH pos AS (
+      |  SELECT CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS s,
+      |         count(*) AS n
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT CAST(c.c_nationkey % 5 AS INT) AS cntrycode,
+      |       count(*) AS numcust,
+      |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * (SELECT n FROM pos)
+      |      > (SELECT s FROM pos)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |GROUP BY CAST(c.c_nationkey % 5 AS INT)
+      |ORDER BY cntrycode""".stripMargin
+
+  /** func-map-suite — the MapType surface: literal map construction,
+    * element_at, size, map_keys (order UNSPECIFIED in Spark — always
+    * array_sort before exposing), transform_values / map_filter
+    * lambdas. All codegen'd builtins, no UDF. The oracle computes the
+    * same values straight from the columns — MAP never crosses the
+    * output boundary (engine map representations don't compare). */
+  val funcMapSuite: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_orderkey") % 100 === 0)
+      .withColumn("m", map(
+        lit("qty"), col("l_quantity"),
+        lit("disc"), col("l_discount"),
+        lit("tax"), col("l_tax")))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        element_at(col("m"), "qty").as("qty"),
+        size(col("m")).as("nkeys"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys_sorted"),
+        element_at(transform_values(col("m"), (_, v) => v * lit(2.0)), "qty").as("qty2"),
+        size(map_filter(col("m"), (_, v) => v < lit(0.05))).as("n_small"),
+        array_contains(map_keys(col("m")), "tax").as("has_tax"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val funcMapSuiteSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       l_quantity AS qty,
+      |       CAST(3 AS INT) AS nkeys,
+      |       'disc,qty,tax' AS keys_sorted,
+      |       l_quantity * 2.0 AS qty2,
+      |       CAST((CASE WHEN l_quantity < 0.05 THEN 1 ELSE 0 END)
+      |          + (CASE WHEN l_discount < 0.05 THEN 1 ELSE 0 END)
+      |          + (CASE WHEN l_tax      < 0.05 THEN 1 ELSE 0 END) AS INT) AS n_small,
+      |       TRUE AS has_tax
+      |FROM lineitem
+      |WHERE l_orderkey % 100 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** graph-triangle-count — triangle counting over the supplier
+    * co-occurrence graph (suppliers appearing in the same order, u<v
+    * canonical edges, orderkey%50 sample to bound density). The
+    * classic edge-edge-edge join: each wedge (e1,e2 sharing a node)
+    * probes the edge set for its closing edge. At 100 TB the edge list
+    * is hash-partitioned on u once and reused across both joins;
+    * degree-ordering (not needed at this density) would cap wedge
+    * fan-out on skewed graphs. */
+  val graphTriangleCount: Q = (s, d) => {
+    val sl = lineitem(s, d)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val e = sl.as("a").join(sl.as("b"), Seq("ok"))
+      .filter(col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v"))
+      .distinct()
+      .persist()
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e2.u") === col("e1.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    val tri = wedges.join(e.as("e3"),
+      col("x") === col("e3.u") && col("z") === col("e3.v"))
+    val nEdges = e.count()
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .withColumn("n_edges", lit(nEdges))
+  }
+
+  val graphTriangleCountSql: String =
+    """WITH sl AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |            FROM lineitem WHERE l_orderkey % 50 = 0),
+      |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+      |      FROM sl a JOIN sl b ON a.ok = b.ok AND a.sk < b.sk)
+      |SELECT count(*) AS n_triangles,
+      |       (SELECT count(*) FROM e) AS n_edges
+      |FROM e e1
+      |JOIN e e2 ON e2.u = e1.v
+      |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin
+
+  /** graph-cc-hashmin — connected components by hash-min label
+    * propagation (4 rounds) over the part↔part co-purchase graph
+    * (parts bought in the same order, orderkey%29 sample — the
+    * 100-supplier hub layer would weld everything into one component,
+    * so the graph is built on the 2000-part side where ~24 real
+    * components exist at sf0.01). Each round is ONE join +
+    * min-aggregate: label(v) ← min over {v} ∪ N(v) of the previous
+    * labels — self-loops in the edge list fold the "keep my own label"
+    * case into the same aggregate (no extra union branch). 4 rounds
+    * labels = components of radius ≤ 4 from their min-id node — the
+    * same bounded-round contract as graph-bfs; production CC iterates
+    * to fixpoint with a convergence check (count of changed labels)
+    * every round, checkpointing each ~20th. */
+  val graphCcHashmin: Q = (s, d) => {
+    val li = lineitem(s, d).filter(col("l_orderkey") % 29 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val nodes = li.select(col("pk").as("node")).distinct()
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .persist()
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to 4) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min("lbl").as("lbl"))
+    }
+    labels.groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(desc("n_nodes"), col("component"))
+      .limit(20)
+  }
+
+  val graphCcHashminSql: String = {
+    val iters = (1 to 4).map { i =>
+      s"""l$i AS (
+         |  SELECT e.dst AS node, min(p.lbl) AS lbl
+         |  FROM edges e JOIN l${i - 1} p ON p.node = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem WHERE l_orderkey % 29 = 0),
+       |pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+       |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |nodes AS (SELECT DISTINCT pk AS node FROM li),
+       |edges AS (SELECT u AS src, v AS dst FROM pairs
+       |          UNION SELECT v, u FROM pairs
+       |          UNION SELECT node, node FROM nodes),
+       |l0 AS (SELECT node, node AS lbl FROM nodes),
+       |$iters
+       |SELECT lbl AS component, count(*) AS n_nodes
+       |FROM l4
+       |GROUP BY lbl
+       |ORDER BY n_nodes DESC, component
+       |LIMIT 20""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sql-tpch-q4" -> sqlTpchQ4,
+    "sql-tpch-q12" -> sqlTpchQ12,
+    "sql-tpch-q13" -> sqlTpchQ13,
+    "sql-tpch-q14" -> sqlTpchQ14,
+    "sql-tpch-q16" -> sqlTpchQ16,
+    "sql-tpch-q19" -> sqlTpchQ19,
+    "sql-tpch-q22" -> sqlTpchQ22,
+    "func-map-suite" -> funcMapSuite,
+    "graph-triangle-count" -> graphTriangleCount,
+    "graph-cc-hashmin" -> graphCcHashmin)
+
+  val oracles: Map[String, String] = Map(
+    "sql-tpch-q4" -> sqlTpchQ4Sql,
+    "sql-tpch-q12" -> sqlTpchQ12Sql,
+    "sql-tpch-q13" -> sqlTpchQ13Sql,
+    "sql-tpch-q14" -> sqlTpchQ14Sql,
+    "sql-tpch-q16" -> sqlTpchQ16Sql,
+    "sql-tpch-q19" -> sqlTpchQ19Sql,
+    "sql-tpch-q22" -> sqlTpchQ22Sql,
+    "func-map-suite" -> funcMapSuiteSql,
+    "graph-triangle-count" -> graphTriangleCountSql,
+    "graph-cc-hashmin" -> graphCcHashminSql)
+}
