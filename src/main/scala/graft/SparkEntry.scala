@@ -33,6 +33,7 @@ object SparkEntry {
     (RelMore9.queries, RelMore9.oracles),
     (RelMore10.queries, RelMore10.oracles),
     (RelMore11.queries, RelMore11.oracles),
+    (RelMore12.queries, RelMore12.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
