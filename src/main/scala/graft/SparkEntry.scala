@@ -34,6 +34,7 @@ object SparkEntry {
     (RelMore10.queries, RelMore10.oracles),
     (RelMore11.queries, RelMore11.oracles),
     (RelMore12.queries, RelMore12.oracles),
+    (RelMore13.queries, RelMore13.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

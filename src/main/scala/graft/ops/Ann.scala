@@ -537,7 +537,92 @@ object Ann {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  /** ann-nprobe-curve — the IVF TUNING curve: recall@3 measured at
+    * nprobe ∈ {1,2,4} (how many nearest centroids each query probes).
+    * ann-recall-measure prices ONE configuration; this is the sweep
+    * that picks it — the recall-vs-compute frontier every IVF
+    * deployment sizes against before committing centroids/nprobe at
+    * 100 TB. One candidate-generation pass: each (query, neighbor)
+    * candidate carries the RANK of its bucket in the query's centroid
+    * ordering, so "nprobe = n" is a filter (cent_rank ≤ n), not a
+    * re-scoring — explode over the three n values shares the scored
+    * candidates. Denominator fixed at 3·|queries|. */
+  val annNprobeCurve: Q = (s, d) => {
+    val all = vecs(s, d)
+    val cent = all.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    val scoredCent = all.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("centroid_id"), cos("v", "cv").as("ccos"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("ccos"), col("centroid_id"))
+    val ranked = scoredCent
+      .withColumn("rn", row_number().over(wAssign)).persist()
+    val assign = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+    val qProbe = ranked.filter(col("vec_id") < NumQueries && col("rn") <= 4)
+      .select(col("vec_id").as("query_id"), col("centroid_id"),
+        col("rn").as("cent_rank"))
+    val av = all.join(assign, Seq("vec_id"))
+    val cands = broadcast(qProbe)
+      .join(av, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(all.select(col("vec_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .select(col("query_id"), col("cent_rank"),
+        col("vec_id").as("neighbor_id"), cos("qv", "v").as("cosine"))
+    val bf = annTopkBruteforce(s, d).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    val perProbe = cands
+      .withColumn("nprobe", explode(array(lit(1), lit(2), lit(4))))
+      .filter(col("cent_rank") <= col("nprobe"))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    perProbe.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .join(bf, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("nprobe")
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .select(col("nprobe"), col("n_hits"),
+        floor(col("n_hits") * lit(1000000L) / lit(3L * NumQueries)).cast(LongType)
+          .as("recall_micro"))
+      .orderBy("nprobe")
+  }
+
+  val annNprobeCurveSql: String =
+    s"""WITH cscore AS (
+       |  SELECT e.vec_id, c.vec_id AS centroid_id,
+       |         ${cosSql("e.embedding", "c.embedding")} AS ccos
+       |  FROM embeddings e JOIN embeddings c ON c.vec_id < $NumCentroids),
+       |crank AS (
+       |  SELECT vec_id, centroid_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+       |  FROM cscore),
+       |assign AS (SELECT vec_id, centroid_id FROM crank WHERE rn = 1),
+       |cands AS (
+       |  SELECT q.vec_id AS query_id, qc.rn AS cent_rank, e.vec_id AS neighbor_id,
+       |         ${cosSql("q.embedding", "e.embedding")} AS cosine
+       |  FROM embeddings q
+       |  JOIN crank qc ON qc.vec_id = q.vec_id AND qc.rn <= 4
+       |  JOIN assign ea ON ea.centroid_id = qc.centroid_id
+       |  JOIN embeddings e ON e.vec_id = ea.vec_id AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |bf AS (SELECT query_id, neighbor_id, 1 AS hit
+       |       FROM ($annTopkBruteforceSql) WHERE rank <= 3),
+       |pp AS (
+       |  SELECT np.nprobe, c.query_id, c.neighbor_id, c.cosine,
+       |         row_number() OVER (PARTITION BY np.nprobe, c.query_id
+       |                            ORDER BY c.cosine DESC, c.neighbor_id) AS rank
+       |  FROM cands c
+       |  JOIN (VALUES (1), (2), (4)) np(nprobe) ON c.cent_rank <= np.nprobe)
+       |SELECT pp.nprobe, CAST(coalesce(sum(b.hit), 0) AS BIGINT) AS n_hits,
+       |       CAST(floor(coalesce(sum(b.hit), 0) * 1000000 / ${3 * NumQueries}) AS BIGINT) AS recall_micro
+       |FROM pp
+       |LEFT JOIN bf b ON b.query_id = pp.query_id AND b.neighbor_id = pp.neighbor_id
+       |WHERE pp.rank <= 3
+       |GROUP BY pp.nprobe
+       |ORDER BY pp.nprobe""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ann-nprobe-curve" -> annNprobeCurve,
     "ann-recall-measure" -> annRecallMeasure,
     "ann-filtered-search" -> annFilteredSearch,
     "emb-mrl-recall" -> embMrlRecall,
@@ -550,6 +635,7 @@ object Ann {
     "emb-quantize" -> embQuantize)
 
   val oracles: Map[String, String] = Map(
+    "ann-nprobe-curve" -> annNprobeCurveSql,
     "ann-recall-measure" -> annRecallMeasureSql,
     "ann-filtered-search" -> annFilteredSearchSql,
     "emb-mrl-recall" -> embMrlRecallSql,
