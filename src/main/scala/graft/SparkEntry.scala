@@ -35,6 +35,7 @@ object SparkEntry {
     (RelMore11.queries, RelMore11.oracles),
     (RelMore12.queries, RelMore12.oracles),
     (RelMore13.queries, RelMore13.oracles),
+    (RelMore14.queries, RelMore14.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
