@@ -36,6 +36,7 @@ object SparkEntry {
     (RelMore12.queries, RelMore12.oracles),
     (RelMore13.queries, RelMore13.oracles),
     (RelMore14.queries, RelMore14.oracles),
+    (RelMore15.queries, RelMore15.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
