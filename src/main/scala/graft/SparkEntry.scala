@@ -37,6 +37,7 @@ object SparkEntry {
     (RelMore13.queries, RelMore13.oracles),
     (RelMore14.queries, RelMore14.oracles),
     (RelMore15.queries, RelMore15.oracles),
+    (RelMore16.queries, RelMore16.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
