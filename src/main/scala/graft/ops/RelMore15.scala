@@ -239,10 +239,18 @@ object RelMore15 {
     for (_ <- 1 to 3) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= 2).select(col("src").as("node"))
-      edges = edges
+      // each round reads `edges` TWICE (degree pass + semi join): persist
+      // and materialize per round, or the un-cached intermediate is
+      // recomputed 2^rounds times through the whole pair-building join
+      // (measured 10s -> ~2s at sf0.1). Same discipline as dedup-cluster.
+      val next = edges
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
+        .persist()
+      next.count() // materialize before dropping the parent's cache
+      edges.unpersist()
+      edges = next
     }
     edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_deg"))
