@@ -38,6 +38,7 @@ object SparkEntry {
     (RelMore14.queries, RelMore14.oracles),
     (RelMore15.queries, RelMore15.oracles),
     (RelMore16.queries, RelMore16.oracles),
+    (RelMore17.queries, RelMore17.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
