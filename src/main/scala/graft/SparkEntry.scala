@@ -39,6 +39,7 @@ object SparkEntry {
     (RelMore15.queries, RelMore15.oracles),
     (RelMore16.queries, RelMore16.oracles),
     (RelMore17.queries, RelMore17.oracles),
+    (RelMore18.queries, RelMore18.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
