@@ -40,6 +40,7 @@ object SparkEntry {
     (RelMore16.queries, RelMore16.oracles),
     (RelMore17.queries, RelMore17.oracles),
     (RelMore18.queries, RelMore18.oracles),
+    (RelMore19.queries, RelMore19.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

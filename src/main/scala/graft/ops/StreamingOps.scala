@@ -118,6 +118,35 @@ object StreamingOps {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** stream-sliding-window — OVERLAPPING event-time windows (2-hour
+    * width, 1-hour slide): every event belongs to exactly TWO windows,
+    * so state carries width/slide copies of each aggregate — the
+    * window-type matrix completion next to tumbling
+    * (stream-window-hourly) and session (stream-session-window)
+    * windows. Under AvailableNow complete-mode replay the result
+    * equals the batch union of both per-event window assignments,
+    * which is what the oracle spells. */
+  val streamSlidingWindow: Q = (s, d) => {
+    val agg = streamEvents(s, d, withTs = true)
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+    runToTable(s, agg, "stream_sliding_window", d).orderBy("window_start", "event_type")
+  }
+
+  val streamSlidingWindowSql: String =
+    """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type, count(*) AS n_events
+      |FROM (
+      |  SELECT event_type, date_trunc('hour', ts) AS ws FROM events
+      |  UNION ALL
+      |  SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
   /** stream-stateful-count — arbitrary stateful processing via
     * mapGroupsWithState (the KeyValueGroupedDataset custom-state API the
     * reference's batch world has no analogue for): per-user running
@@ -1076,6 +1105,7 @@ object StreamingOps {
     "stream-sink-files" -> streamSinkFiles,
     "stream-agg-counts" -> streamAggCounts,
     "stream-window-hourly" -> streamWindowHourly,
+    "stream-sliding-window" -> streamSlidingWindow,
     "stream-stateful-count" -> streamStatefulCount,
     "stream-dedup-ids" -> streamDedupIds,
     "stream-join-static" -> streamJoinStatic)
@@ -1096,6 +1126,7 @@ object StreamingOps {
     "stream-sink-files" -> streamSinkFilesSql,
     "stream-agg-counts" -> streamAggCountsSql,
     "stream-window-hourly" -> streamWindowHourlySql,
+    "stream-sliding-window" -> streamSlidingWindowSql,
     "stream-stateful-count" -> streamStatefulCountSql,
     "stream-dedup-ids" -> streamDedupIdsSql,
     "stream-join-static" -> streamJoinStaticSql)
