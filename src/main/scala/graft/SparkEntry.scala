@@ -41,6 +41,7 @@ object SparkEntry {
     (RelMore17.queries, RelMore17.oracles),
     (RelMore18.queries, RelMore18.oracles),
     (RelMore19.queries, RelMore19.oracles),
+    (RelMore20.queries, RelMore20.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
