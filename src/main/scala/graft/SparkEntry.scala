@@ -42,6 +42,7 @@ object SparkEntry {
     (RelMore18.queries, RelMore18.oracles),
     (RelMore19.queries, RelMore19.oracles),
     (RelMore20.queries, RelMore20.oracles),
+    (RelMore21.queries, RelMore21.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

@@ -621,7 +621,50 @@ object Ann {
        |GROUP BY pp.nprobe
        |ORDER BY pp.nprobe""".stripMargin
 
+  /** ann-cell-balance — IVF cell-population audit: vectors per
+    * centroid cell, plus the global max/min imbalance ratio repeated
+    * on each row. Unbalanced cells are the IVF failure mode (one hot
+    * cell = brute force again, empty cells = wasted centroids); this
+    * is the 30-second health check before trusting ann-ivf's latency
+    * at 100 TB, sibling of graph-degree-stats' skew pre-flight. */
+  val annCellBalance: Q = (s, d) => {
+    val all = vecs(s, d)
+    val cent = all.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("ccos"), col("centroid_id"))
+    val assign = all.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("centroid_id"), cos("v", "cv").as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+    val counts = assign.groupBy("centroid_id").agg(count(lit(1)).as("n_vecs"))
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("imbalance_ppm",
+        floor(max("n_vecs").over(wAll) * lit(1000000L) / min("n_vecs").over(wAll))
+          .cast(LongType))
+      .orderBy("centroid_id")
+  }
+
+  val annCellBalanceSql: String =
+    s"""WITH cscore AS (
+       |  SELECT e.vec_id, c.vec_id AS centroid_id,
+       |         ${cosSql("e.embedding", "c.embedding")} AS ccos
+       |  FROM embeddings e JOIN embeddings c ON c.vec_id < $NumCentroids),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+       |    FROM cscore) WHERE rn = 1),
+       |counts AS (SELECT centroid_id, count(*) AS n_vecs FROM assign GROUP BY centroid_id)
+       |SELECT centroid_id, n_vecs,
+       |       CAST(floor((SELECT max(n_vecs) FROM counts) * 1000000 /
+       |                  (SELECT min(n_vecs) FROM counts)) AS BIGINT) AS imbalance_ppm
+       |FROM counts
+       |ORDER BY centroid_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ann-cell-balance" -> annCellBalance,
     "ann-nprobe-curve" -> annNprobeCurve,
     "ann-recall-measure" -> annRecallMeasure,
     "ann-filtered-search" -> annFilteredSearch,
@@ -635,6 +678,7 @@ object Ann {
     "emb-quantize" -> embQuantize)
 
   val oracles: Map[String, String] = Map(
+    "ann-cell-balance" -> annCellBalanceSql,
     "ann-nprobe-curve" -> annNprobeCurveSql,
     "ann-recall-measure" -> annRecallMeasureSql,
     "ann-filtered-search" -> annFilteredSearchSql,
