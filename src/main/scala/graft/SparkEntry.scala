@@ -43,6 +43,7 @@ object SparkEntry {
     (RelMore19.queries, RelMore19.oracles),
     (RelMore20.queries, RelMore20.oracles),
     (RelMore21.queries, RelMore21.oracles),
+    (RelMore22.queries, RelMore22.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
