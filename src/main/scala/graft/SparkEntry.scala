@@ -44,6 +44,7 @@ object SparkEntry {
     (RelMore20.queries, RelMore20.oracles),
     (RelMore21.queries, RelMore21.oracles),
     (RelMore22.queries, RelMore22.oracles),
+    (RelMore23.queries, RelMore23.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
