@@ -45,6 +45,7 @@ object SparkEntry {
     (RelMore21.queries, RelMore21.oracles),
     (RelMore22.queries, RelMore22.oracles),
     (RelMore23.queries, RelMore23.oracles),
+    (RelMore24.queries, RelMore24.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
