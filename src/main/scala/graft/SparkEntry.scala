@@ -46,6 +46,7 @@ object SparkEntry {
     (RelMore22.queries, RelMore22.oracles),
     (RelMore23.queries, RelMore23.oracles),
     (RelMore24.queries, RelMore24.oracles),
+    (RelMore25.queries, RelMore25.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
