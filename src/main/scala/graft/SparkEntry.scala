@@ -47,6 +47,7 @@ object SparkEntry {
     (RelMore23.queries, RelMore23.oracles),
     (RelMore24.queries, RelMore24.oracles),
     (RelMore25.queries, RelMore25.oracles),
+    (RelMore26.queries, RelMore26.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
