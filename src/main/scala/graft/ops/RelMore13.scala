@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -82,11 +82,12 @@ object RelMore13 {
   /** agg-rfm-segmentation — the classic customer-value grid: recency /
     * frequency / monetary quartiles via ntile(4) with UNIQUE total
     * orders (tiebreak c_custkey — an ntile over a non-unique order is
-    * engine-dependent at the boundaries). The three global ntile
-    * windows are the documented single-partition caveat (same as
-    * agg-decile-report): at 100 TB you'd pre-compute the 3 quartile
-    * boundaries with approx_percentile and bucket by comparison —
-    * fully parallel, same segments modulo boundary ties. */
+    * engine-dependent at the boundaries). Each quartile is a
+    * PrefixScan two-pass rank (range partition + per-partition
+    * offsets) + the SQL-standard ntile-from-rank formula — three range
+    * exchanges and two equi-joins on the customer key, no
+    * single-partition window anywhere, bit-identical to the window
+    * oracle. */
   val aggRfmSegmentation: Q = (s, d) => {
     val base = orders(s, d)
       .groupBy("o_custkey")
@@ -94,13 +95,19 @@ object RelMore13 {
         max(col("o_orderdate").cast(DateType)).as("last_order"),
         count(lit(1)).as("frequency"),
         sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("monetary_cents"))
-    val wr = Window.orderBy(desc("last_order"), col("o_custkey"))
-    val wf = Window.orderBy(desc("frequency"), col("o_custkey"))
-    val wm = Window.orderBy(desc("monetary_cents"), col("o_custkey"))
+    def quartile(order: Seq[Column], name: String): DataFrame = {
+      val sc = graft.functions.PrefixScan.withRankCumSum(
+        base, order, None, rankName = "rn")
+      sc.df.select(col("o_custkey"),
+        graft.functions.PrefixScan.ntileFromRank(4, sc.n, col("rn")).as(name))
+    }
+    val r = quartile(Seq(desc("last_order"), col("o_custkey")), "r_score")
+    val f = quartile(Seq(desc("frequency"), col("o_custkey")), "f_score")
+    val m = quartile(Seq(desc("monetary_cents"), col("o_custkey")), "m_score")
     base
-      .withColumn("r_score", ntile(4).over(wr))
-      .withColumn("f_score", ntile(4).over(wf))
-      .withColumn("m_score", ntile(4).over(wm))
+      .join(r, Seq("o_custkey"))
+      .join(f, Seq("o_custkey"))
+      .join(m, Seq("o_custkey"))
       .select(col("o_custkey").as("c_custkey"),
         col("frequency"), col("monetary_cents"),
         col("r_score"), col("f_score"), col("m_score"),
@@ -286,13 +293,17 @@ object RelMore13 {
     * orderkey tiebreak), then per-bucket count/min/max in exact cents.
     * Equi-WIDTH histograms (agg-histogram) put 90% of skewed data in
     * one bin; equi-depth is what query optimizers and drift monitors
-    * actually store. Global-ntile caveat as agg-rfm-segmentation:
-    * at scale, approx_percentile boundaries + comparison bucketing. */
+    * actually store. Bucketing is the PrefixScan two-pass rank +
+    * ntile-from-rank formula — no single-partition window at order
+    * cardinality; agg-decile-approx is the approx_percentile-boundary
+    * sibling. */
   val aggEquidepthHistogram: Q = (s, d) => {
     val base = orders(s, d).select(col("o_orderkey"),
       expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
-    val w = Window.orderBy(col("cents"), col("o_orderkey"))
-    base.withColumn("bucket", ntile(10).over(w))
+    val sc = graft.functions.PrefixScan.withRankCumSum(
+      base, Seq(col("cents"), col("o_orderkey")), None, rankName = "rn")
+    sc.df.withColumn("bucket",
+        graft.functions.PrefixScan.ntileFromRank(10, sc.n, col("rn")))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         min("cents").as("min_cents"), max("cents").as("max_cents"))

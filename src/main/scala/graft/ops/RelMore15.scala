@@ -318,24 +318,24 @@ object RelMore15 {
     * prefix (by revenue rank) covering ≥80% of total revenue, with its
     * share of the customer base — the "how top-heavy is this business"
     * scalar behind every 80/20 claim. Threshold exact via cum·5 ≥
-    * total·4 in cents. Customer-cardinality global window (dimension
-    * scale); the fact-scale path pre-aggregates per customer first —
-    * which is exactly what the inner groupBy here is. */
+    * total·4 in cents. Rank AND running sum come from one PrefixScan
+    * two-pass (range partition + per-partition offsets); the grand
+    * totals fall out of its stats pass as literals — no
+    * single-partition window and no second scan, even at 100×
+    * customer cardinality. */
   val aggParetoPoint: Q = (s, d) => {
     val rev = orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("cents"))
-    val w = Window.orderBy(desc("cents"), col("o_custkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    val ranked = rev
-      .withColumn("rn", row_number().over(Window.orderBy(desc("cents"), col("o_custkey"))))
-      .withColumn("cum", sum("cents").over(w))
-      .withColumn("total", sum("cents").over(wAll))
-      .withColumn("n_cust", count(lit(1)).over(wAll))
+    val sc = graft.functions.PrefixScan.withRankCumSum(
+      rev, Seq(desc("cents"), col("o_custkey")), Some("cents"),
+      rankName = "rn", cumName = "cum")
+    val ranked = sc.df
+      .withColumn("total", lit(sc.total))
+      .withColumn("n_cust", lit(sc.n))
     ranked.filter(col("cum") * 5 >= col("total") * 4)
       .groupBy()
-      .agg(min("rn").as("n_to_80pct"),
+      .agg(min(col("rn").cast(IntegerType)).as("n_to_80pct"),
         min("n_cust").as("n_customers"),
         min(when(col("cum") * 5 >= col("total") * 4, col("cum"))).as("cum_cents_at_80"))
       .withColumn("cust_share_ppm",

@@ -16,18 +16,19 @@ object RelMore20 {
     * in deterministic id order, each shard holding ~20 KB by START
     * offset (a doc starting before the boundary belongs to the shard
     * even if it straddles it — the standard greedy pack). Per-shard
-    * manifest: doc count, byte total, id range. The running-sum window
-    * here is global (fine at manifest scale); the 100 TB path is the
-    * SurrogateKeys two-pass — per-partition byte totals to the driver
-    * (one long each), prefix offsets back — identical assignment,
-    * no single-partition window. Companion of text-pack-sequences one
-    * level up: tokens→sequences there, docs→shards here. */
+    * manifest: doc count, byte total, id range. The running sum is the
+    * PrefixScan two-pass — per-partition byte totals to the driver
+    * (one long each), prefix offsets stamped back in parallel —
+    * identical assignment to the window form the oracle keeps, no
+    * single-partition window at corpus scale. Companion of
+    * text-pack-sequences one level up: tokens→sequences there,
+    * docs→shards here. */
   val mmShardPack: Q = (s, d) => {
-    val w = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents(s, d)
       .select(col("doc_id"), col("n_chars"))
-      .withColumn("cum_end", sum("n_chars").over(w))
+      .transform(df => graft.functions.PrefixScan.withRankCumSum(
+        df, Seq(col("doc_id")), Some("n_chars"),
+        rankName = "rn", cumName = "cum_end").df)
       .withColumn("shard_id",
         floor((col("cum_end") - col("n_chars")) / lit(20000L)).cast(LongType))
       .groupBy("shard_id")

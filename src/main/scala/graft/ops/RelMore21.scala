@@ -94,9 +94,10 @@ object RelMore21 {
       .groupBy("o_custkey")
       .agg(expr("CAST(floor(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) / 100000.0) AS BIGINT)")
         .as("kd"))
-    val w = Window.orderBy("kd", "o_custkey")
-    rev
-      .withColumn("i", row_number().over(w).cast(LongType))
+    // rank via the PrefixScan two-pass — no single-partition window at
+    // customer cardinality; the formula below is a plain aggregate.
+    graft.functions.PrefixScan.withRankCumSum(
+        rev, Seq(col("kd"), col("o_custkey")), None, rankName = "i").df
       .groupBy()
       .agg(count(lit(1)).as("n"),
         sum("kd").as("sum_x"),

@@ -15,15 +15,20 @@ object RelMore23 {
   /** agg-lorenz-curve — the decile Lorenz curve behind agg-gini:
     * customers ranked by spend ascending, per decile the cumulative
     * share of customers and of revenue in exact floor-ppm — the
-    * "bottom 50% hold 11% of revenue" table. ntile over a unique
-    * total order; cumulative sums over the 10-row decile frame. */
+    * "bottom 50% hold 11% of revenue" table. The decile comes from a
+    * PrefixScan two-pass rank over the unique total order + the
+    * ntile-from-rank formula — no single-partition window at customer
+    * cardinality; the cumulative sums that remain run over the 10-row
+    * decile frame only. */
   val aggLorenzCurve: Q = (s, d) => {
     val rev = orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("cents"))
-    val w = Window.orderBy("cents", "o_custkey")
-    val deciles = rev
-      .withColumn("decile", ntile(10).over(w))
+    val sc = graft.functions.PrefixScan.withRankCumSum(
+      rev, Seq(col("cents"), col("o_custkey")), None, rankName = "rn")
+    val deciles = sc.df
+      .withColumn("decile",
+        graft.functions.PrefixScan.ntileFromRank(10, sc.n, col("rn")))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_cust"), sum("cents").as("cents"))
     val wCum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)

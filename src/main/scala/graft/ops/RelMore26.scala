@@ -17,11 +17,18 @@ object RelMore26 {
     * ranking metric must not). Ages ≥ 20 weeks contribute 0 (the
     * weight underflows the ppm grid). The leaderboard-score shape
     * behind "trending" rankings, reproducible in replay because the
-    * reference point is the corpus watermark, not now(). */
+    * reference point is the corpus watermark, not now().
+    *
+    * The watermark is a one-row scalar aggregate broadcast back onto
+    * the fact table (crossJoin(broadcast(...))): the raw event table
+    * never crosses a single partition, unlike the
+    * max().over(Window.partitionBy()) form which sorts the whole fact
+    * table into one task at scale. */
   val aggDecayScore: Q = (s, d) => {
-    val withAge = events(s, d)
-      .withColumn("max_us", max(unix_micros(col("ts"))).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val ev = events(s, d)
+    val watermark = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+    val withAge = ev
+      .crossJoin(broadcast(watermark))
       .withColumn("age_weeks",
         floor((col("max_us") - unix_micros(col("ts"))) / lit(604800000000L)).cast(IntegerType))
       .withColumn("wt",

@@ -46,18 +46,22 @@ object RelMore8 {
     * buckets by price (ntile), then per-decile count, exact total, and
     * share of grand revenue in integer micro-units. The classic
     * warehouse concentration report ("top decile carries X% of
-    * revenue"); one window shuffle + one aggregate, grand total via a
-    * window over the aggregate, not a second scan. Scale note: a
-    * global ntile needs a total order (one partition holds the sort,
-    * like the documented SK pattern) — at 100 TB the same report uses
-    * approx_percentile decile BOUNDARIES + a bucket join, trading
-    * exact equal-width buckets for full parallelism. */
+    * revenue"); grand total via a window over the 10-row aggregate,
+    * not a second scan. The ntile itself is NOT a global window: rank
+    * comes from the PrefixScan two-pass (range partition + per-
+    * partition offsets — no single-partition sort at fact scale) and
+    * the SQL-standard bucket formula reconstructs ntile(10) from
+    * (rank, N) exactly, so the oracle stays plain window SQL. The
+    * approximate sibling (agg-decile-approx) trades exact equal-depth
+    * buckets for approx_percentile boundaries + comparison bucketing. */
   val aggDecileReport: Q = (s, d) => {
-    val w = Window.orderBy(col("cents").desc, col("o_orderkey"))
-    val deciled = orders(s, d)
+    val base = orders(s, d)
       .select(col("o_orderkey"),
         (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
-      .withColumn("decile", ntile(10).over(w))
+    val scanned = graft.functions.PrefixScan.withRankCumSum(
+      base, Seq(col("cents").desc, col("o_orderkey")), None, rankName = "rn")
+    val deciled = scanned.df.withColumn("decile",
+      graft.functions.PrefixScan.ntileFromRank(10, scanned.n, col("rn")))
     deciled.groupBy("decile")
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("c"))
       .withColumn("share_micro",
