@@ -48,6 +48,7 @@ object SparkEntry {
     (RelMore24.queries, RelMore24.oracles),
     (RelMore25.queries, RelMore25.oracles),
     (RelMore26.queries, RelMore26.oracles),
+    (RelMore27.queries, RelMore27.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

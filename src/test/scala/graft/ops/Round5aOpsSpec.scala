@@ -86,6 +86,31 @@ class Round5aOpsSpec extends SparkTestBase {
     }
   }
 
+  test("agg-decile-approx: no window, no range exchange, buckets equi-depth") {
+    val df = run("agg-decile-approx")
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "approx bucketing must not sort")
+    // the only range exchange allowed is the final ORDER BY over the
+    // 10-row aggregate; the input frame itself must reach the
+    // aggregate through the broadcast bucket join, unsorted
+    assert(plan.toString.split("rangepartitioning").length <= 2,
+      "approx bucketing must not range-exchange the input frame")
+    assert(plan.toString.contains("BroadcastNestedLoopJoin"),
+      "boundaries must be broadcast onto the frame")
+    val rows = df.collect()
+    assert(rows.length == 10)
+    val n = rows.map(_.getLong(1)).sum
+    // exact regime at this scale: every bucket within 1 of N/10
+    assert(rows.forall(r => math.abs(r.getLong(1) - n / 10) <= 1))
+    // buckets tile the value range in order
+    val sorted = rows.sortBy(_.getInt(0))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2), "bucket ranges must not overlap")
+    }
+  }
+
   test("agg-decay-score broadcasts the watermark instead of a global window") {
     val plan = run("agg-decay-score").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
