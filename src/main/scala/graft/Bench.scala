@@ -26,29 +26,44 @@ object Bench {
     // JVM initialization that no steady-state deployment pays per query.
     spark.range(1000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").count().count()
+    // Two reps per query: `first` is comparable with r01-r04 single-rep
+    // history; `steady` (second rep, codegen compiled, OS page cache
+    // warm) is the regression-adjudication column — BENCH_HISTORY.md
+    // shows single-rep totals swing ±20-25% with host load, most of it
+    // first-run noise.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release every cache entry the query pinned (LSH signatures,
-      // shingle sets, SK inputs): persists must not leak across the
-      // session, and a later query must not silently reuse an earlier
-      // query's cached sub-plan — each timing pays its own cost
-      spark.catalog.clearCache()
-      name -> dt
+      def rep(): Double = {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release every cache entry the query pinned (LSH signatures,
+        // shingle sets, SK inputs): persists must not leak across the
+        // session, and a later rep/query must not silently reuse a
+        // cached sub-plan — each timing pays its own cost
+        spark.catalog.clearCache()
+        if (ok) dt else -1.0
+      }
+      val first = rep()
+      val steady = rep()
+      name -> (first, steady)
     }
     // Locale.ROOT formatting: the f interpolator uses the JVM default
     // locale, and a comma-decimal locale would emit invalid JSON.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def entries(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val fullQs = entries(results.toSeq.sortBy(_._1))
+    val firsts = results.map { case (k, (f, _)) => k -> f }
+    val steadies = results.map { case (k, (_, st)) => k -> st }
+    val total = if (firsts.nonEmpty) firsts.values.sum else 0.0
+    val totalSteady = if (steadies.nonEmpty) steadies.values.sum else 0.0
+    val fullQs = entries(firsts.toSeq.sortBy(_._1))
+    val fullSteady = entries(steadies.toSeq.sortBy(_._1))
     // Stdout line: slowest-first entries until the 1500-char budget —
     // headroom for the driver's 2000-char tail window minus sbt's
     // trailing "[success] Total time" line and the JSON envelope.
     val budget = 1500
-    val slowFirst = results.toSeq.sortBy(-_._2)
+    val slowFirst = firsts.toSeq.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2 // braces
     slowFirst.foreach { case (k, v) =>
@@ -67,9 +82,9 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         new java.io.File(System.getProperty("user.dir"), defaultName).getPath))
     val fullLine =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","nqueries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"value_steady":${num(totalSteady)},"unit":"sec","nqueries":${results.size},"reps":2,"queries":$fullQs,"queries_steady":$fullSteady,"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","nqueries":${results.size},"queries":$headline,"queries_file":"${benchFile.getAbsolutePath}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"value_steady":${num(totalSteady)},"unit":"sec","nqueries":${results.size},"reps":2,"queries":$headline,"queries_file":"${benchFile.getAbsolutePath}","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(benchFile.toPath, fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist $benchFile: $e")

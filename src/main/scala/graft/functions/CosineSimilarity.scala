@@ -83,14 +83,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
-  /** Register as SQL function `cosine_similarity` in the session (idempotent);
-    * usable from expr("cosine_similarity(a, b)"). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity",
-      exprs => {
-        require(exprs.length == 2, "cosine_similarity takes exactly 2 arguments")
-        CosineSimilarity(exprs.head, exprs(1))
-      },
-      "built-in")
+  /** Register as SQL function `cosine_similarity` in the session —
+    * truly idempotent: re-registering an existing name would log a
+    * "replaced a previously registered function" warning per call, so
+    * the existence check keeps repeated op invocations (Verify/Bench
+    * run hundreds in one session) silent. Usable from
+    * expr("cosine_similarity(a, b)"). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity")
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
+        "cosine_similarity",
+        exprs => {
+          require(exprs.length == 2, "cosine_similarity takes exactly 2 arguments")
+          CosineSimilarity(exprs.head, exprs(1))
+        },
+        "built-in")
+  }
 }

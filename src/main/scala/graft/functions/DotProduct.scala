@@ -77,16 +77,21 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  /** Per-session SQL registration (idempotent), mirroring
-    * CosineSimilarity.register. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product",
-      exprs => {
-        require(exprs.length == 2, "dot_product takes exactly 2 arguments")
-        DotProduct(exprs.head, exprs(1))
-      },
-      "built-in")
+  /** Per-session SQL registration (truly idempotent — existence check
+    * avoids per-call "replaced a previously registered function"
+    * warnings), mirroring CosineSimilarity.register. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product")
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
+        "dot_product",
+        exprs => {
+          require(exprs.length == 2, "dot_product takes exactly 2 arguments")
+          DotProduct(exprs.head, exprs(1))
+        },
+        "built-in")
+  }
 }
 
 /** Optimizer rule: rewrite the interpreted higher-order-function dot

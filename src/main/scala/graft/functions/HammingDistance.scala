@@ -70,13 +70,18 @@ case class HammingDistance(left: Expression, right: Expression)
 }
 
 object HammingDistance {
-  /** Register as SQL function `hamming_distance` (idempotent). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hamming_distance",
-      exprs => {
-        require(exprs.length == 2, "hamming_distance takes exactly 2 arguments")
-        HammingDistance(exprs.head, exprs(1))
-      },
-      "built-in")
+  /** Register as SQL function `hamming_distance` (truly idempotent —
+    * existence check avoids per-call replacement warnings). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("hamming_distance")
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
+        "hamming_distance",
+        exprs => {
+          require(exprs.length == 2, "hamming_distance takes exactly 2 arguments")
+          HammingDistance(exprs.head, exprs(1))
+        },
+        "built-in")
+  }
 }

@@ -94,7 +94,10 @@ object Ann {
       .orderBy(desc("ccos"), col("centroid_id"))
     // persist: the assignment feeds both the query side and the bucket
     // side of the probe join — without it the centroid-scoring pass
-    // (|corpus| × |centroids| cosine evals) runs twice
+    // (|corpus| × |centroids| cosine evals) runs twice. Lifecycle: the
+    // cache must outlive the returned lazy plan, so release belongs to
+    // the caller — Verify/Bench clearCache() after materializing each
+    // query; other callers pay at most a recompute if they don't.
     val assign = scoredCent
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)

@@ -82,13 +82,20 @@ object RelMore10 {
     val dir = new java.io.File(tmp("src-binaryfile", d))
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
     dir.mkdirs()
-    val docs = documents(s, d).filter(col("doc_id") % 25 === 0)
-      .select(col("doc_id"), col("text")).collect()
-    docs.foreach { r =>
-      java.nio.file.Files.write(
-        new java.io.File(dir, f"doc_${r.getLong(0)}%06d.bin").toPath,
-        r.getString(1).getBytes("UTF-8"))
-    }
+    // Executor-side staging: each partition writes its own files (no
+    // driver collect — rows never funnel through one JVM heap). Local
+    // mode shares one filesystem; on a real cluster the same writer
+    // targets shared/object storage.
+    val dirPath = dir.getAbsolutePath
+    documents(s, d).filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("text"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            new java.io.File(dirPath, f"doc_${r.getLong(0)}%06d.bin").toPath,
+            r.getString(1).getBytes("UTF-8"))
+        }
+      }
     s.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin")
       .load(dir.getAbsolutePath)

@@ -15,12 +15,19 @@ object RelMore24 {
     * materializes a derived relation columnar-in-memory
     * (InMemoryRelation, asserted in the spec) and every later
     * reference scans the cache, not the lake. The access pattern that
-    * makes a dashboard's 20 tiles cost one lake scan; UNCACHE frees it
-    * deterministically at the end so repeated Verify runs don't
-    * accumulate executor memory. */
+    * makes a dashboard's 20 tiles cost one lake scan. The cache must
+    * stay alive in the RETURNED plan (consumers and the spec scan the
+    * InMemoryRelation), so release is the caller's: Verify/Bench
+    * clearCache() after materializing each query, and the leading
+    * UNCACHE here frees any table a previous invocation of this op
+    * left behind in other sessions. */
   val sqlCacheTable: Q = (s, d) => {
     orders(s, d).createOrReplaceTempView("orders")
     s.sql("UNCACHE TABLE IF EXISTS graft_cached_rev")
+    // CACHE TABLE ... AS creates a temp view and cannot replace an
+    // existing one — drop it so the op is re-runnable in one session
+    // (Bench runs every query twice)
+    s.sql("DROP VIEW IF EXISTS graft_cached_rev")
     s.sql(
       """CACHE TABLE graft_cached_rev AS
         |SELECT o_orderstatus, o_orderpriority,

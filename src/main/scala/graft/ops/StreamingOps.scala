@@ -76,6 +76,18 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Update-mode memory sinks append one row per touched key per
+    // micro-batch, so the read-back table is only the final state if
+    // ALL input landed in one data batch (true today: single staged
+    // file, no maxFilesPerTrigger). Make that invariant explicit —
+    // a future multi-file staging or trigger limit must fail loudly
+    // here instead of silently duplicating keys.
+    if (mode == "update") {
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"$name: update-mode memory sink consumed $dataBatches data micro-batches; " +
+          "the single-batch invariant is violated and per-key rows would duplicate")
+    }
     s.table(name)
   }
 
