@@ -49,6 +49,7 @@ object SparkEntry {
     (RelMore25.queries, RelMore25.oracles),
     (RelMore26.queries, RelMore26.oracles),
     (RelMore27.queries, RelMore27.oracles),
+    (RelMore28.queries, RelMore28.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
