@@ -50,6 +50,7 @@ object SparkEntry {
     (RelMore26.queries, RelMore26.oracles),
     (RelMore27.queries, RelMore27.oracles),
     (RelMore28.queries, RelMore28.oracles),
+    (RelMore29.queries, RelMore29.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
