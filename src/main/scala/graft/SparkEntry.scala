@@ -51,6 +51,7 @@ object SparkEntry {
     (RelMore27.queries, RelMore27.oracles),
     (RelMore28.queries, RelMore28.oracles),
     (RelMore29.queries, RelMore29.oracles),
+    (RelMore30.queries, RelMore30.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
