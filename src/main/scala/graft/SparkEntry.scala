@@ -52,6 +52,7 @@ object SparkEntry {
     (RelMore28.queries, RelMore28.oracles),
     (RelMore29.queries, RelMore29.oracles),
     (RelMore30.queries, RelMore30.oracles),
+    (RelMore31.queries, RelMore31.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
