@@ -53,6 +53,7 @@ object SparkEntry {
     (RelMore29.queries, RelMore29.oracles),
     (RelMore30.queries, RelMore30.oracles),
     (RelMore31.queries, RelMore31.oracles),
+    (RelMore32.queries, RelMore32.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
