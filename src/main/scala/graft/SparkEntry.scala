@@ -54,6 +54,7 @@ object SparkEntry {
     (RelMore30.queries, RelMore30.oracles),
     (RelMore31.queries, RelMore31.oracles),
     (RelMore32.queries, RelMore32.oracles),
+    (RelMore33.queries, RelMore33.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

@@ -1101,7 +1101,82 @@ object StreamingOps {
       | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR
       |ORDER BY user_id, event_id_a, event_id_b""".stripMargin
 
+  /** stream-dedup-within-watermark — Spark 3.5+'s
+    * dropDuplicatesWithinWatermark: exact dedup whose state EXPIRES
+    * once the watermark passes a key's event time, where plain
+    * dropDuplicates keeps every key forever (the state-store OOM that
+    * kills long-running dedup streams — at 100 TB/day the unbounded
+    * version is simply not deployable). The contract: duplicates are
+    * only guaranteed caught while they arrive within the watermark
+    * delay of the first sighting — exactly the at-least-once
+    * redelivery window of real transports, which redeliver in seconds,
+    * not days. The staged source lands the same file twice (every
+    * event exactly duplicated, identical timestamps → trivially inside
+    * the delay), so the deduped aggregate equals the batch DISTINCT. */
+  val streamDedupWithinWatermark: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = new java.io.File(Tables.tmp("stream-src-dupwm", d))
+    srcDir.mkdirs()
+    Seq("events_a.parquet", "events_b.parquet").foreach { n =>
+      stageAtomically(s"$d/events.parquet", new java.io.File(srcDir, n))
+    }
+    val schema = new StructType()
+      .add("event_id", LongType).add("event_type", StringType).add("ts", LongType)
+    val deduped = s.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(s, deduped, "stream_dedup_within_wm", d).orderBy("event_type")
+  }
+
+  val streamDedupWithinWatermarkSql: String =
+    """SELECT event_type, count(*) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** stream-multi-batch — multi-micro-batch replay correctness:
+    * maxFilesPerTrigger=1 forces AvailableNow to process three staged
+    * files as THREE micro-batches, and the complete-mode aggregate
+    * must still equal one batch pass over the union — the incremental-
+    * state contract that every other op in this file gets to sidestep
+    * by single-file staging (runToTable's update-mode guard documents
+    * why that shortcut is load-bearing). This op is the positive
+    * control: state carried across batch boundaries, counts and sums
+    * accumulated incrementally, equal to the 3× batch answer. In
+    * production the trigger limit is the backfill throttle (bounded
+    * state growth per batch, checkpoint after each), so replaying a
+    * month of landed files neither OOMs nor skews results. */
+  val streamMultiBatch: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = new java.io.File(Tables.tmp("stream-src-multi", d))
+    srcDir.mkdirs()
+    Seq("events_a.parquet", "events_b.parquet", "events_c.parquet").foreach { n =>
+      stageAtomically(s"$d/events.parquet", new java.io.File(srcDir, n))
+    }
+    val schema = new StructType()
+      .add("event_id", LongType).add("event_type", StringType).add("value", DoubleType)
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        outNum(sum(dec2(col("value")))).as("total_value"))
+    runToTable(s, agg, "stream_multi_batch", d).orderBy("event_type")
+  }
+
+  val streamMultiBatchSql: String =
+    """SELECT event_type, CAST(count(*) * 3 AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 3 AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream-dedup-within-watermark" -> streamDedupWithinWatermark,
+    "stream-multi-batch" -> streamMultiBatch,
     "stream-transform-with-state" -> streamTransformWithState,
     "stream-state-timeout" -> streamStateTimeout,
     "stream-initial-state" -> streamInitialState,
@@ -1123,6 +1198,8 @@ object StreamingOps {
     "stream-join-static" -> streamJoinStatic)
 
   val oracles: Map[String, String] = Map(
+    "stream-dedup-within-watermark" -> streamDedupWithinWatermarkSql,
+    "stream-multi-batch" -> streamMultiBatchSql,
     "stream-transform-with-state" -> streamTransformWithStateSql,
     "stream-state-timeout" -> streamStateTimeoutSql,
     "stream-initial-state" -> streamInitialStateSql,
