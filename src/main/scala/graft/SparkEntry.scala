@@ -55,6 +55,7 @@ object SparkEntry {
     (RelMore31.queries, RelMore31.oracles),
     (RelMore32.queries, RelMore32.oracles),
     (RelMore33.queries, RelMore33.oracles),
+    (RelMore34.queries, RelMore34.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
