@@ -56,6 +56,7 @@ object SparkEntry {
     (RelMore32.queries, RelMore32.oracles),
     (RelMore33.queries, RelMore33.oracles),
     (RelMore34.queries, RelMore34.oracles),
+    (RelMore35.queries, RelMore35.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
