@@ -57,6 +57,7 @@ object SparkEntry {
     (RelMore33.queries, RelMore33.oracles),
     (RelMore34.queries, RelMore34.oracles),
     (RelMore35.queries, RelMore35.oracles),
+    (RelMore36.queries, RelMore36.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
