@@ -58,6 +58,7 @@ object SparkEntry {
     (RelMore34.queries, RelMore34.oracles),
     (RelMore35.queries, RelMore35.oracles),
     (RelMore36.queries, RelMore36.oracles),
+    (RelMore37.queries, RelMore37.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
