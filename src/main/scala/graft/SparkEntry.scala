@@ -59,6 +59,7 @@ object SparkEntry {
     (RelMore35.queries, RelMore35.oracles),
     (RelMore36.queries, RelMore36.oracles),
     (RelMore37.queries, RelMore37.oracles),
+    (RelMore38.queries, RelMore38.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
