@@ -137,7 +137,7 @@ object RelMore37 {
     * operators). */
   private def mortonExpr(bx: String, by: String): String =
     (0 until 8).map { b =>
-      val p = (1L << b).toDouble
+      val p = s"${1L << b}e0"
       s"(CAST(floor($bx / $p) AS BIGINT) % 2) * ${1L << (2 * b + 1)} + " +
         s"(CAST(floor($by / $p) AS BIGINT) % 2) * ${1L << (2 * b)}"
     }.mkString("(", " + ", ")")
@@ -161,14 +161,16 @@ object RelMore37 {
     val mm = li.agg(min("x").as("xmn"), max("x").as("xmx"),
       min("y").as("ymn"), max("y").as("ymx"))
     val g = li.crossJoin(broadcast(mm)).selectExpr(
-      s"CAST(floor((x - xmn) * $Cells.0 / (xmx - xmn + 1)) AS BIGINT) AS gx",
-      s"CAST(floor((y - ymn) * $Cells.0 / (ymx - ymn + 1)) AS BIGINT) AS gy")
+      s"CAST(floor((x - xmn) * ${Cells}e0 / (xmx - xmn + 1)) AS BIGINT) AS gx",
+      s"CAST(floor((y - ymn) * ${Cells}e0 / (ymx - ymn + 1)) AS BIGINT) AS gy")
+    // one scan for both layouts: each row explodes into its (layout,
+    // file_id) pair, instead of a union of two full re-scans
     val both = g.selectExpr("gx", "gy",
-        s"CAST(floor(${mortonExpr("gx", "gy")} / ${Cells * Cells / NFiles}.0) AS BIGINT) AS file_id")
-      .select(lit("zorder").as("layout"), col("file_id"), col("gx"), col("gy"))
-      .union(g.selectExpr("gx", "gy",
-          s"CAST(floor(gx / ${Cells / NFiles}.0) AS BIGINT) AS file_id")
-        .select(lit("linear").as("layout"), col("file_id"), col("gx"), col("gy")))
+        "explode(array(" +
+          s"struct('zorder' AS layout, CAST(floor(${mortonExpr("gx", "gy")} / ${Cells * Cells / NFiles}e0) AS BIGINT) AS file_id), " +
+          s"struct('linear' AS layout, CAST(floor(gx / ${Cells / NFiles}e0) AS BIGINT) AS file_id))) AS lf")
+      .select(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"),
+        col("gx"), col("gy"))
     both.groupBy("layout", "file_id")
       .agg(count(lit(1)).as("n_rows"),
         min("gx").as("gx_min"), max("gx").as("gx_max"),
@@ -182,17 +184,17 @@ object RelMore37 {
     s"""WITH pts AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
        |mm AS (SELECT min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx FROM pts),
        |g AS (
-       |  SELECT CAST(floor((x - xmn) * $Cells.0 / (xmx - xmn + 1)) AS BIGINT) AS gx,
-       |         CAST(floor((y - ymn) * $Cells.0 / (ymx - ymn + 1)) AS BIGINT) AS gy
+       |  SELECT CAST(floor((x - xmn) * ${Cells}e0 / (xmx - xmn + 1)) AS BIGINT) AS gx,
+       |         CAST(floor((y - ymn) * ${Cells}e0 / (ymx - ymn + 1)) AS BIGINT) AS gy
        |  FROM pts, mm),
        |lay AS (
        |  SELECT 'zorder' AS layout,
-       |         CAST(floor(${mortonExpr("gx", "gy")} / ${Cells * Cells / NFiles}.0) AS BIGINT) AS file_id,
+       |         CAST(floor(${mortonExpr("gx", "gy")} / ${Cells * Cells / NFiles}e0) AS BIGINT) AS file_id,
        |         gx, gy
        |  FROM g
        |  UNION ALL
        |  SELECT 'linear' AS layout,
-       |         CAST(floor(gx / ${Cells / NFiles}.0) AS BIGINT) AS file_id, gx, gy
+       |         CAST(floor(gx / ${Cells / NFiles}e0) AS BIGINT) AS file_id, gx, gy
        |  FROM g)
        |SELECT layout, file_id, count(*) AS n_rows,
        |       min(gx) AS gx_min, max(gx) AS gx_max, max(gx) - min(gx) AS gx_span,
