@@ -60,6 +60,7 @@ object SparkEntry {
     (RelMore36.queries, RelMore36.oracles),
     (RelMore37.queries, RelMore37.oracles),
     (RelMore38.queries, RelMore38.oracles),
+    (RelMore39.queries, RelMore39.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
