@@ -102,7 +102,7 @@ object Ann {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"))
-      .persist()
+      .sharedCache()
     val av = all.join(assign, Seq("vec_id"))
     val q = av.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("centroid_id"))
@@ -559,7 +559,7 @@ object Ann {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(desc("ccos"), col("centroid_id"))
     val ranked = scoredCent
-      .withColumn("rn", row_number().over(wAssign)).persist()
+      .withColumn("rn", row_number().over(wAssign)).sharedCache()
     val assign = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"))
     val qProbe = ranked.filter(col("vec_id") < NumQueries && col("rn") <= 4)

@@ -48,7 +48,7 @@ object GraphOps {
     // single (src, dst, deg) relation against the rank vector instead of
     // re-running the 3-way join every iteration. r/deg stays the same
     // per-row double division, so the oracle's arithmetic is unchanged.
-    val edgesDeg = edges.join(deg, "src").persist()
+    val edgesDeg = edges.join(deg, "src").sharedCache()
     // |V| = deg's row count (deg is one row per distinct src already —
     // re-distincting the larger joined relation would pay an extra
     // shuffle for the same number); mirrors the oracle's count over deg
@@ -110,7 +110,7 @@ object GraphOps {
     val edges = li.select(col("pn").as("src"), col("sn").as("dst"))
       .unionAll(li.select(col("sn").as("src"), col("pn").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesDeg = edges.join(deg, "src").persist()
+    val edgesDeg = edges.join(deg, "src").sharedCache()
     val n = deg.count().toDouble
     def step(prev: DataFrame): DataFrame = edgesDeg
       .join(prev.withColumnRenamed("node", "src"), "src")

@@ -310,7 +310,7 @@ object RelExtra {
       .write.mode(SaveMode.Overwrite).parquet(base)
     // persist: the change set feeds both the anti-join probe and the
     // union branch — one source scan instead of three
-    val changes = all.filter(col("o_orderkey") % 10 === 0).persist()
+    val changes = all.filter(col("o_orderkey") % 10 === 0).sharedCache()
     val merged = s.read.parquet(base)
       .join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
       .unionByName(changes)
@@ -341,7 +341,7 @@ object RelExtra {
     val sess = events(s, d).filter(col("user_id").isNotNull)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
-      .persist()
+      .sharedCache()
     val bounds = sess.agg(min(col("s_start")).as("mn"), max(col("s_end")).as("mx"))
     val windows = bounds.select(explode(expr(
       s"sequence(timestamp_seconds(floor(unix_timestamp(mn) / $bucket) * $bucket), mx, interval 6 hours)")).as("w_start"))

@@ -252,7 +252,7 @@ object RelMore11 {
       .filter(col("a.sk") < col("b.sk"))
       .select(col("a.sk").as("u"), col("b.sk").as("v"))
       .distinct()
-      .persist()
+      .sharedCache()
     val wedges = e.as("e1")
       .join(e.as("e2"), col("e2.u") === col("e1.v"))
       .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
@@ -299,7 +299,7 @@ object RelMore11 {
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
       .union(pairs.select(col("v").as("src"), col("u").as("dst")))
       .union(nodes.select(col("node").as("src"), col("node").as("dst")))
-      .persist()
+      .sharedCache()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to 4) {
       labels = edges

@@ -143,7 +143,7 @@ object RelMore13 {
   val aggBasketAffinity: Q = (s, d) => {
     val op = lineitem(s, d).filter(col("l_orderkey") % 10 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct().persist()
+      .distinct().sharedCache()
     val nOrders = op.select("ok").distinct().count()
     val partN = op.groupBy("pk").agg(count(lit(1)).as("n"))
     val pairs = op.as("a").join(op.as("b"), Seq("ok"))

@@ -257,6 +257,15 @@ object RelMore28 {
       .select(col("doc_id"), col("n_tokens"),
         floor(col("sc") * lit(1000000000L) / (col("n_tokens") * col("t")))
           .cast(LongType).as("score_q"))
+    // EXACTNESS PRECONDITION: accuracy=1e6 makes approx_percentile exact
+    // while n_docs < 1e6 AND both engines agree on the discrete-percentile
+    // rank convention; grading this against DuckDB quantile_disc by hash
+    // relies on it. If the documents fixture ever grows past the accuracy
+    // (or a boundary tie appears), this assertion fails LOUDLY here
+    // instead of surfacing as a mystery hash mismatch downstream.
+    require(documents(s, d).count() < 1000000L,
+      "text-quality-buckets: fixture outgrew approx_percentile accuracy=1e6; " +
+        "raise the accuracy or switch the oracle to a sketch-tolerant compare")
     val bounds = perdoc.agg(
       expr("approx_percentile(score_q, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3), 1000000)").as("bounds"))
     perdoc.crossJoin(broadcast(bounds))

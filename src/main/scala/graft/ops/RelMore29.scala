@@ -25,14 +25,12 @@ object RelMore29 {
     * pow(0.5, k) floats — keep both engines bit-aligned (same discipline
     * as agg-decay-score). One shuffle on the customer key. */
   val winEwma: Q = (s, d) => {
-    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
     val base = orders(s, d).filter(col("o_custkey") % 97 === 0)
       .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
-      .withColumn("od", col("od")) // date-typed output (timestamp-free)
     val lags = (0 to 7).map { k =>
-      val lc = if (k == 0) col("cents") else lag(col("cents"), k).over(
-        Window.partitionBy("o_custkey").orderBy("od", "o_orderkey"))
+      val lc = if (k == 0) col("cents") else lag(col("cents"), k).over(w)
       (lc, 1L << (7 - k))
     }
     val num = lags.map { case (lc, wt) => coalesce(lc * lit(wt), lit(0L)) }.reduce(_ + _)
@@ -247,13 +245,25 @@ object RelMore29 {
     * that pair. The merge table IS the tokenizer artifact. Each round's
     * argmax is a 1-row broadcast back onto the |vocab|-bounded word
     * table; rounds are bounded like the graph ops (production: ~30k
-    * merges with the same per-round shape, checkpointing the word table
-    * every ~100th). Both engines replace non-overlapping left-to-right,
-    * which is exactly greedy BPE application. */
+    * merges with the same per-round shape). The word table is
+    * localCheckpoint'ed after the corpus collapse and after every
+    * rewrite — the RelMore39 graph-scc discipline — so round r plans
+    * against a constant-size LogicalRDD leaf instead of replaying the
+    * corpus explode plus all r-1 prior rewrites (lineage replay is
+    * quadratic in merge count; at 30k merges it is fatal). On a real
+    * cluster use checkpoint(reliable dir) for the same truncation plus
+    * fault tolerance. Both engines replace non-overlapping
+    * left-to-right, which is exactly greedy BPE application. */
+  /** Word-length cap shared by the Spark filter regex AND the oracle's
+    * pair-position range (`unnest(range(1, BpeMaxWordLen))`): the range
+    * bound is only sufficient BECAUSE the regex caps words at this many
+    * chars, so the two must move together (also used by RelMore30's
+    * text-tokenizer-apply, the inference half of the same trainer). */
+  private[ops] val BpeMaxWordLen = 12
   val textBpeMerge: Q = (s, d) => {
     var words = documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("word"))
-      .filter(col("word").rlike("^[a-z]{2,12}$"))
+      .filter(col("word").rlike(s"^[a-z]{2,$BpeMaxWordLen}$$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(
         concat(lit(" "),
@@ -261,6 +271,7 @@ object RelMore29 {
           lit(" ")).as("toks"),
         col("freq"))
       .groupBy("toks").agg(sum("freq").as("freq"))
+      .localCheckpoint()
     var merges = Seq.empty[DataFrame]
     for (r <- 1 to 3) {
       val pairs = words
@@ -271,16 +282,20 @@ object RelMore29 {
         .select(col("freq"), explode(col("ps")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("freq").as("pair_freq"))
+      // best is 1 row: checkpointing it pins the round's argmax so the
+      // final union of merge rows re-plans 3 leaf scans, not 3 pair aggs.
       val best = pairs
         .orderBy(desc("pair_freq"), col("l"), col("r")).limit(1)
         .select(lit(r).as("round"), col("l"), col("r"),
           concat(col("l"), col("r")).as("merged"), col("pair_freq"))
+        .localCheckpoint()
       merges = merges :+ best
       words = words.crossJoin(broadcast(best.select(col("l"), col("r"))))
         .select(
           expr("replace(toks, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ')").as("toks"),
           col("freq"))
         .groupBy("toks").agg(sum("freq").as("freq"))
+        .localCheckpoint()
     }
     merges.reduce(_ union _).orderBy("round")
   }
@@ -290,7 +305,7 @@ object RelMore29 {
       s"""$out AS (
          |  SELECT tk[i] AS l, tk[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS pair_freq
          |  FROM (SELECT string_split(trim(toks), ' ') AS tk, freq FROM $src),
-         |       (SELECT unnest(range(1, 12)) AS i)
+         |       (SELECT unnest(range(1, $BpeMaxWordLen)) AS i)
          |  WHERE i + 1 <= len(tk)
          |  GROUP BY 1, 2)""".stripMargin
     val rounds = (1 to 3).map { r =>
@@ -307,7 +322,7 @@ object RelMore29 {
     s"""WITH wf AS (
        |  SELECT word, count(*) AS freq FROM (
        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
-       |  WHERE regexp_full_match(word, '[a-z]{2,12}')
+       |  WHERE regexp_full_match(word, '[a-z]{2,$BpeMaxWordLen}')
        |  GROUP BY 1),
        |w0 AS (
        |  SELECT ' ' || array_to_string(

@@ -163,7 +163,7 @@ object RelMore3 {
     * corpus²), and the per-doc hash is one narrow scan pass. */
   val mmBlockhashDedup: Q = (s, d) => {
     graft.functions.HammingDistance.register(s)
-    val ph = blockhashDf(s, d).persist()
+    val ph = blockhashDf(s, d).sharedCache()
     val chunkArgs = (0 until 8).map(c =>
       s"$c, substring(phash, ${c * 8 + 1}, 8)").mkString(", ")
     val chunks = ph.selectExpr("doc_id", s"stack(8, $chunkArgs) AS (chunk_idx, chunk)")

@@ -201,7 +201,7 @@ object RelMore30 {
   val textTokenizerApply: Q = (s, d) => {
     var words = documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("word"))
-      .filter(col("word").rlike("^[a-z]{2,12}$"))
+      .filter(col("word").rlike(s"^[a-z]{2,${RelMore29.BpeMaxWordLen}}$$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(
         concat(lit(" "),
@@ -209,6 +209,12 @@ object RelMore30 {
           lit(" ")).as("toks"),
         col("freq"))
       .groupBy("toks").agg(sum("freq").as("freq"))
+      // localCheckpoint after the corpus collapse and after every rewrite
+      // (RelMore39 graph-scc discipline): each merge round plans against a
+      // constant-size LogicalRDD leaf instead of replaying the corpus
+      // explode plus all prior rewrites — lineage replay is quadratic in
+      // merge count, fatal at a production ~30k-merge train.
+      .localCheckpoint()
     for (_ <- 1 to 3) {
       val best = words
         .select(col("freq"), expr(
@@ -225,6 +231,7 @@ object RelMore30 {
           expr("replace(toks, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ')").as("toks"),
           col("freq"))
         .groupBy("toks").agg(sum("freq").as("freq"))
+        .localCheckpoint()
     }
     words
       .select(explode(split(trim(col("toks")), " ")).as("token"), col("freq"))
@@ -238,7 +245,7 @@ object RelMore30 {
       s"""$out AS (
          |  SELECT tk[i] AS l, tk[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS pair_freq
          |  FROM (SELECT string_split(trim(toks), ' ') AS tk, freq FROM $src),
-         |       (SELECT unnest(range(1, 12)) AS i)
+         |       (SELECT unnest(range(1, ${RelMore29.BpeMaxWordLen})) AS i)
          |  WHERE i + 1 <= len(tk)
          |  GROUP BY 1, 2)""".stripMargin
     val rounds = (1 to 3).map { r =>
@@ -254,7 +261,7 @@ object RelMore30 {
     s"""WITH wf AS (
        |  SELECT word, count(*) AS freq FROM (
        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
-       |  WHERE regexp_full_match(word, '[a-z]{2,12}')
+       |  WHERE regexp_full_match(word, '[a-z]{2,${RelMore29.BpeMaxWordLen}}')
        |  GROUP BY 1),
        |w0 AS (
        |  SELECT ' ' || array_to_string(

@@ -85,22 +85,19 @@ object RelMore34 {
     * honestly — ⇒ no coarse quantizer will help and the exact grid
     * join (dedup-embedding-cosine) is the only correct tool. Counting
     * the misses instead of hoping, same discipline as
-    * ann-recall-measure. Ground truth top-20 via TakeOrdered (bounded
-    * heap, never a pair-scale global window); at corpus scale the
-    * truth pass itself is the block-partitioned exact grid. */
+    * ann-recall-measure. Ground truth top-20 comes from the
+    * block-partitioned exact grid join (dedup-embedding-cosine's
+    * kernel): every pair scored exactly once in a bounded-memory cell
+    * task, shuffle volume B×|corpus| — never an unsampled corpus²
+    * cross join, which would be a scale-killer as the truth pass. */
   val dedupIvfRecall: Q = (s, d) => {
     graft.functions.CosineSimilarity.register(s)
     val all = embeddings(s, d)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val a = all.select(col("vec_id").as("va"), col("v").as("xa"))
-    val b = all.select(col("vec_id").as("vb"), col("v").as("xb"))
     val wTop = Window.orderBy(desc("cosine"), col("va"), col("vb"))
-    val truth = a.crossJoin(b)
-      .filter(col("va") < col("vb"))
-      .select(col("va"), col("vb"),
-        round(expr("cosine_similarity(xa, xb)"), 9).as("cosine"))
-      .orderBy(desc("cosine"), col("va"), col("vb")).limit(20)
+    val truth = TextDedup.dedupEmbeddingCosine(s, d)
+      .select(col("vec_a").as("va"), col("vec_b").as("vb"), col("cosine"))
       .withColumn("rk", row_number().over(wTop))
     // same quantizer as dedup-semantic-ivf: first-8-vector seeding
     val cent = all.filter(col("vec_id") < 8)

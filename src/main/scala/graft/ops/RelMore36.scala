@@ -93,9 +93,8 @@ object RelMore36 {
     s"""WITH chunks AS (
        |  SELECT doc_id, source, length(text) AS len,
        |         i AS chunk_idx, substring(text, i * $ChunkBytes + 1, $ChunkBytes) AS chunk
-       |  FROM documents,
-       |       (SELECT unnest(range(0, 100)) AS i) ix
-       |  WHERE i < ceil(length(text) / $ChunkBytes.0)),
+       |  FROM documents, LATERAL (
+       |    SELECT unnest(range(0, CAST(ceil(length(text) / $ChunkBytes.0) AS BIGINT))) AS i) ix),
        |reasm AS (
        |  SELECT doc_id, source, len, count(*) AS n_chunks,
        |         string_agg(chunk, '' ORDER BY chunk_idx) AS reassembled

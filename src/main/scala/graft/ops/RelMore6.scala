@@ -27,7 +27,7 @@ object RelMore6 {
     val e1 = lineitem(s, d)
       .select(concat(lit("s"), col("l_suppkey")).as("src"),
         concat(lit("p"), col("l_partkey")).as("dst")).distinct()
-    val edges = e1.unionAll(e1.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    val edges = e1.unionAll(e1.select(col("dst").as("src"), col("src").as("dst"))).sharedCache()
     var visited = s.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row("s1", 0)),
       new StructType().add("node", StringType).add("lvl", IntegerType))
@@ -36,7 +36,7 @@ object RelMore6 {
       frontier = frontier.join(edges, frontier("node") === edges("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node").as("v"), Seq("node"), "left_anti")
-        .persist()
+        .sharedCache()
       visited = visited.unionAll(frontier.withColumn("lvl", lit(lvl)))
     }
     visited.orderBy("lvl", "node")

@@ -139,7 +139,7 @@ object RelMore8 {
         concat(lit("p"), col("l_partkey")).as("dst"))
       .agg(min(col("l_quantity").cast(LongType)).as("w"))
     val edges = e1.unionAll(
-      e1.select(col("dst").as("src"), col("src").as("dst"), col("w"))).persist()
+      e1.select(col("dst").as("src"), col("src").as("dst"), col("w"))).sharedCache()
     var dist = s.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row("s1", 0L)),
       new StructType().add("node", StringType).add("dist", LongType))
@@ -148,7 +148,7 @@ object RelMore8 {
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .persist()
+        .sharedCache()
     }
     dist.orderBy("node")
   }

@@ -81,6 +81,22 @@ object Tables {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Cache a frame whose LAST consumer is the plan this op RETURNS.
+    *
+    * Query builders are lazy: the persisted frame is materialized (and
+    * its cache reused by every diamond branch) only when the CALLER
+    * runs an action on the returned DataFrame — so a paired unpersist
+    * cannot live inside the builder; it would unmark the cache before
+    * anything populated it. Ownership therefore passes to the session:
+    * the caller releases the entry (Verify and Bench clearCache()
+    * after every query), and LRU eviction bounds worst-case growth.
+    * Use `.persist()` directly ONLY with a paired `.unpersist()` after
+    * the last in-builder consumer (the iterative-loop discipline of
+    * RelMore15 k-core / TextDedup dedup-cluster / PrefixScan). */
+  implicit class SharedCacheOps(private val df: DataFrame) {
+    def sharedCache(): DataFrame = df.persist()
+  }
+
   /** Scratch dir for sink round trips, namespaced by op name, dataset
     * dir AND the JVM pid — two interleaved runs must never share a
     * path, whether at different scale factors (a Bench at sf0.1

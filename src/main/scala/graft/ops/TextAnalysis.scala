@@ -286,7 +286,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w) - 5), i -> concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4]))")).as("g"))
       .select(col("doc_id"), substring(md5(col("g")), 1, 16).as("g"))
-      .distinct().persist()
+      .distinct().sharedCache()
     val evalGrams = grams.filter(col("doc_id") % 20 === 0).select("g").distinct()
     grams.filter(col("doc_id") % 20 =!= 0)
       .join(broadcast(evalGrams), Seq("g"))
@@ -322,7 +322,7 @@ object TextAnalysis {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("c"))
-      .persist()
+      .sharedCache()
     val ranked = counts.select(col("c"),
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("c").desc, col("word"))).as("rn"))
@@ -493,7 +493,7 @@ object TextAnalysis {
     val dw = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
-      .distinct().persist()
+      .distinct().sharedCache()
     val df = dw.groupBy("word").agg(count(lit(1)).as("df"))
     dw.join(df, Seq("word"))
       .groupBy("doc_id")
@@ -745,7 +745,7 @@ object TextAnalysis {
         "transform(sequence(0, greatest(size(w) - 16, 0), 8), " +
           "i -> array_join(slice(w, i + 1, 16), ' '))")).as("win"))
       .select(col("doc_id"), substring(md5(col("win")), 1, 16).as("wh"))
-      .persist()
+      .sharedCache()
     val df = wins.distinct().groupBy("wh")
       .agg(count(lit(1)).as("ndocs"))
     wins.join(df, Seq("wh"))
@@ -785,7 +785,7 @@ object TextAnalysis {
     // the per-source totals
     val toks = documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-      .persist()
+      .sharedCache()
     val cnts = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
     val tot = toks.groupBy("source").agg(count(lit(1)).as("n_tokens"))
     cnts.join(tot, Seq("source"))
@@ -905,7 +905,7 @@ object TextAnalysis {
         "transform(sequence(1, size(w) - 1), " +
           "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .persist() // feeds both the bigram and the left-marginal counts
+      .sharedCache() // feeds both the bigram and the left-marginal counts
     val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
     val lefts = pairs.groupBy("a").agg(count(lit(1)).as("left_cnt"))
     big.join(lefts, Seq("a"))

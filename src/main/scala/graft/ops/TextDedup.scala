@@ -84,7 +84,7 @@ object TextDedup {
       concat(md5(col("sh")), md5(concat(lit("#"), col("sh")))).as("h"))
     val minCols = (1 to Seeds).map(j =>
       min(substring(col("h"), (j - 1) * 5 + 1, 5)).as(s"m$j"))
-    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).persist()
+    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).sharedCache()
     // one stack() generator emits all bands in a single pass over the
     // cached signature — a 4-way union would scan the cache once per
     // band and carry 4 branch plans through every consumer's codegen
@@ -152,7 +152,7 @@ object TextDedup {
       concat(md5(col("sh")), md5(concat(lit("#"), col("sh")))).as("h"))
     val minCols = (1 to Seeds).map(j =>
       min(substring(col("h"), (j - 1) * 5 + 1, 5)).as(s"m$j"))
-    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).persist()
+    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).sharedCache()
     // bands/pairs from THIS sig (not minhashPairs(), which would build
     // and persist a second identical signature pipeline — the shingle
     // scan is the dominant cost and must run once)
@@ -171,7 +171,7 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), expr(matchExpr).cast(LongType).as("matches"))
     // exact distinct-shingle Jaccard, candidates only
     val sets = shingles(s, d)
-      .select(col("doc_id"), substring(md5(col("sh")), 1, 16).as("k")).distinct().persist()
+      .select(col("doc_id"), substring(md5(col("sh")), 1, 16).as("k")).distinct().sharedCache()
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sets.as("sa")
       .join(sets.as("sb"), col("sa.k") === col("sb.k") && col("sa.doc_id") < col("sb.doc_id"))
@@ -291,7 +291,7 @@ object TextDedup {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .repartition(col("v"))
-      .persist()
+      .sharedCache()
     // bucket-min initialization: every bucket is a clique of the pair
     // graph, so labeling each member with its bucket's min doc_id (min
     // over a doc's buckets) performs a whole propagation round — over
@@ -305,7 +305,7 @@ object TextDedup {
       .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("n"))
       .filter(col("n") >= 2)
     var cached = bands.join(bucketMin, Seq("band", "bk"))
-      .groupBy("doc_id").agg(min(col("bmin")).as("cluster_id")).persist()
+      .groupBy("doc_id").agg(min(col("bmin")).as("cluster_id")).sharedCache()
     var labels = cached
     var converged = false
     var iter = 0
@@ -429,7 +429,7 @@ object TextDedup {
     graft.functions.HammingDistance.register(s)
     // persist: the fingerprint table feeds 4 chunk projections and two
     // verify-join sides
-    val sh = simhashDf(s, d).persist()
+    val sh = simhashDf(s, d).sharedCache()
     // one stack() pass over the cached fingerprints, not a 4-way union
     // (same reasoning as the LSH band table)
     val chunkArgs = (0 until 4).map(c =>
@@ -479,10 +479,10 @@ object TextDedup {
     // re-executions of the split/explode/digest pipeline without it
     val sh = shingles(s, d)
       .select(col("doc_id"), substring(md5(col("sh")), 1, 16).as("sh"))
-      .distinct().persist()
+      .distinct().sharedCache()
     val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxDf).select("sh")
-    val fs = sh.join(keep, Seq("sh")).persist()
+    val fs = sh.join(keep, Seq("sh")).sharedCache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = fs.as("a")
       .join(fs.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
