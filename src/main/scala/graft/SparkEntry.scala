@@ -61,6 +61,7 @@ object SparkEntry {
     (RelMore37.queries, RelMore37.oracles),
     (RelMore38.queries, RelMore38.oracles),
     (RelMore39.queries, RelMore39.oracles),
+    (RelMore40.queries, RelMore40.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
