@@ -62,6 +62,7 @@ object SparkEntry {
     (RelMore38.queries, RelMore38.oracles),
     (RelMore39.queries, RelMore39.oracles),
     (RelMore40.queries, RelMore40.oracles),
+    (RelMore41.queries, RelMore41.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
