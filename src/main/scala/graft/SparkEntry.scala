@@ -63,6 +63,7 @@ object SparkEntry {
     (RelMore39.queries, RelMore39.oracles),
     (RelMore40.queries, RelMore40.oracles),
     (RelMore41.queries, RelMore41.oracles),
+    (RelMore42.queries, RelMore42.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Round-6 batch C: matrix-free PCA power iteration, the corpus dataset
+  * card, and the partition-layout advisor. */
+object RelMore42 {
+
+  /** emb-power-iteration — top right-singular-vector of the embedding
+    * matrix by matrix-free power iteration: v ← Xᵀ(Xv), L∞-normalized,
+    * 3 rounds. This is the 100 TB PCA primitive: X never materializes —
+    * each round is two linear passes over the long-form corpus
+    * (a |corpus|-keyed partial-agg for s = Xv, then a dim-keyed
+    * partial-agg for u = Xᵀs), both map-side combinable, with the
+    * 64-row v broadcast. All arithmetic is integer: components quantize
+    * to milli, the s vector rescales by 2⁻²⁰-style integer division
+    * (div truncates toward zero in BOTH engines — verified), and L∞
+    * normalization is (|u|·10⁶ div max|u|) with the sign reapplied, so
+    * every engine computes bit-identical vectors with no float-sum
+    * order dependence. v is localCheckpoint'ed per round (graph-scc
+    * discipline) — without it round r replans rounds 1..r-1.
+    * Overflow headroom: |mq| ≤ 600 (embeddings are unit-ish floats),
+    * so u ≤ |corpus|·600·38400 — safe past 10⁸ rows; beyond that,
+    * rescale s by |corpus| first (same div discipline). */
+  val embPowerIteration: Q = (s, d) => {
+    val m = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("k", "x")))
+      .select(col("vec_id"), col("k"),
+        floor(col("x").cast(DoubleType) * lit(1000.0) + lit(0.5)).cast(LongType).as("mq"))
+      .sharedCache() // 2 scans/round x 3 rounds share one materialization
+    var v: DataFrame = s.range(64)
+      .select(col("id").cast(IntegerType).as("k"), lit(1000000L).as("vq"))
+    for (_ <- 1 to 3) {
+      val sv = m.join(broadcast(v), Seq("k"))
+        .groupBy("vec_id").agg(sum(col("mq") * col("vq")).as("sraw"))
+        .select(col("vec_id"), expr("sraw div 1000000").as("sq"))
+      val u = m.join(sv, Seq("vec_id"))
+        .groupBy("k").agg(sum(col("mq") * col("sq")).as("u"))
+      val mx = u.agg(max(abs(col("u"))).as("mx"))
+      v = u.crossJoin(broadcast(mx))
+        .select(col("k"), expr(
+          "CASE WHEN u < 0 THEN -((-u * 1000000) div mx)" +
+            " ELSE (u * 1000000) div mx END").as("vq"))
+        .localCheckpoint()
+    }
+    v.select(col("k").cast(LongType).as("k"), col("vq")).orderBy("k")
+  }
+
+  val embPowerIterationSql: String = {
+    def round(i: Int, prev: String): String =
+      s"""s$i AS (
+         |  SELECT m.vec_id, CAST(sum(m.mq * v.vq) AS BIGINT) // 1000000 AS sq
+         |  FROM m JOIN $prev v USING (k) GROUP BY 1),
+         |u$i AS (
+         |  SELECT m.k, CAST(sum(m.mq * s$i.sq) AS BIGINT) AS u
+         |  FROM m JOIN s$i USING (vec_id) GROUP BY 1),
+         |x$i AS (SELECT max(abs(u)) AS mx FROM u$i),
+         |v$i AS (
+         |  SELECT k, CASE WHEN u < 0 THEN -((-u * 1000000) // mx)
+         |                 ELSE (u * 1000000) // mx END AS vq
+         |  FROM u$i, x$i)""".stripMargin
+    s"""WITH m AS (
+       |  SELECT vec_id,
+       |         unnest(range(0, len(embedding))) AS k,
+       |         CAST(floor(unnest(list_transform(embedding,
+       |                    x -> CAST(x AS DOUBLE))) * 1000 + 0.5) AS BIGINT) AS mq
+       |  FROM embeddings),
+       |v0 AS (SELECT unnest(range(0, 64)) AS k, CAST(1000000 AS BIGINT) AS vq),
+       |${round(1, "v0")},
+       |${round(2, "v1")},
+       |${round(3, "v2")}
+       |SELECT CAST(k AS BIGINT) AS k, vq FROM v3 ORDER BY k""".stripMargin
+  }
+
+  /** text-dataset-card — the one-row corpus summary every training-data
+    * release ships with: volume, token mass, duplication, shortness,
+    * language and source fan-out. One linear scan computes the per-doc
+    * fields; the only shuffle is the exact-dup hash groupBy (keyed on
+    * md5 — dedup-exact's shape). All ratios are integer ppm/milli via
+    * div, so the card is bit-stable across engines and partitionings —
+    * it is the artifact you diff between corpus versions, so it must
+    * never wobble in the last decimal. */
+  val textDatasetCard: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+      length(col("text")).cast(LongType).as("len"),
+      md5(col("text")).as("h"))
+    val dup = docs.groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_dups"))
+    docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        sum(when(col("len") < 200, 1L).otherwise(0L)).as("n_short"))
+      .crossJoin(broadcast(dup))
+      .select(col("n_docs"), col("total_tokens"),
+        expr("(total_tokens * 1000) div n_docs").as("mean_tokens_milli"),
+        col("n_langs"), col("n_sources"),
+        expr("(n_dups * 1000000) div n_docs").as("exact_dup_ppm"),
+        expr("(n_short * 1000000) div n_docs").as("short_doc_ppm"))
+  }
+
+  val textDatasetCardSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |         CAST(length(text) AS BIGINT) AS len, md5(text) AS h
+      |  FROM documents),
+      |dup AS (
+      |  SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_dups
+      |  FROM (SELECT h, count(*) AS c FROM docs GROUP BY h)),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |         CAST(sum(CASE WHEN len < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+      |  FROM docs)
+      |SELECT n_docs, total_tokens,
+      |       (total_tokens * 1000) // n_docs AS mean_tokens_milli,
+      |       n_langs, n_sources,
+      |       (n_dups * 1000000) // n_docs AS exact_dup_ppm,
+      |       (n_short * 1000000) // n_docs AS short_doc_ppm
+      |FROM stats, dup""".stripMargin
+
+  /** layout-partition-advisor — the pre-write planner for a partitioned
+    * table: for each candidate partition key, the partition count, the
+    * min/max bucket population, the max/avg skew in ppm, and a verdict
+    * (TOO_FEW fans out less than a cluster's write parallelism;
+    * TOO_SMALL produces small-file partitions; SKEWED means one writer
+    * task owns >4× its share — the straggler that dominates a 100 TB
+    * write). Choosing the partition column BEFORE the first write is
+    * the cheapest layout decision a lakehouse makes; this op is that
+    * decision as a query. Each candidate is one groupBy (count per
+    * bucket, map-side combinable) over the fact — three linear scans
+    * total, no joins. */
+  val layoutPartitionAdvisor: Q = (s, d) => {
+    def cand(name: String, key: Column): DataFrame =
+      orders(s, d).select(key.cast(StringType).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_partitions"),
+          min("c").as("min_rows"), max("c").as("max_rows"),
+          sum("c").as("total"))
+        .select(lit(name).as("candidate"), col("n_partitions"),
+          col("min_rows"), col("max_rows"),
+          expr("(max_rows * n_partitions * 1000000) div total").as("skew_ppm"),
+          expr("CASE WHEN n_partitions < 8 THEN 'TOO_FEW'" +
+            " WHEN total div n_partitions < 100 THEN 'TOO_SMALL'" +
+            " WHEN max_rows * n_partitions > 4 * total THEN 'SKEWED'" +
+            " ELSE 'OK' END").as("verdict"))
+    cand("order_month", substring(col("o_orderdate").cast(StringType), 1, 7))
+      .unionAll(cand("order_priority", col("o_orderpriority")))
+      .unionAll(cand("custkey_mod64", col("o_custkey") % 64))
+      .orderBy("candidate")
+  }
+
+  val layoutPartitionAdvisorSql: String = {
+    def cand(name: String, key: String): String =
+      s"""SELECT '$name' AS candidate,
+         |       CAST(count(*) AS BIGINT) AS n_partitions,
+         |       CAST(min(c) AS BIGINT) AS min_rows,
+         |       CAST(max(c) AS BIGINT) AS max_rows,
+         |       (CAST(max(c) AS BIGINT) * count(*) * 1000000) // CAST(sum(c) AS BIGINT) AS skew_ppm,
+         |       CASE WHEN count(*) < 8 THEN 'TOO_FEW'
+         |            WHEN CAST(sum(c) AS BIGINT) // count(*) < 100 THEN 'TOO_SMALL'
+         |            WHEN CAST(max(c) AS BIGINT) * count(*) > 4 * CAST(sum(c) AS BIGINT) THEN 'SKEWED'
+         |            ELSE 'OK' END AS verdict
+         |FROM (SELECT $key AS pk, count(*) AS c FROM orders GROUP BY 1)""".stripMargin
+    s"""SELECT * FROM (
+       |${cand("order_month", "substring(CAST(o_orderdate AS VARCHAR), 1, 7)")}
+       |UNION ALL
+       |${cand("order_priority", "o_orderpriority")}
+       |UNION ALL
+       |${cand("custkey_mod64", "CAST(o_custkey % 64 AS VARCHAR)")}
+       |) ORDER BY candidate""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "emb-power-iteration" -> embPowerIteration,
+    "text-dataset-card" -> textDatasetCard,
+    "layout-partition-advisor" -> layoutPartitionAdvisor)
+
+  val oracles: Map[String, String] = Map(
+    "emb-power-iteration" -> embPowerIterationSql,
+    "text-dataset-card" -> textDatasetCardSql,
+    "layout-partition-advisor" -> layoutPartitionAdvisorSql)
+}
