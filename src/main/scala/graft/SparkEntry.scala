@@ -64,6 +64,7 @@ object SparkEntry {
     (RelMore40.queries, RelMore40.oracles),
     (RelMore41.queries, RelMore41.oracles),
     (RelMore42.queries, RelMore42.oracles),
+    (RelMore43.queries, RelMore43.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
