@@ -65,6 +65,7 @@ object SparkEntry {
     (RelMore41.queries, RelMore41.oracles),
     (RelMore42.queries, RelMore42.oracles),
     (RelMore43.queries, RelMore43.oracles),
+    (RelMore44.queries, RelMore44.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
