@@ -66,6 +66,7 @@ object SparkEntry {
     (RelMore42.queries, RelMore42.oracles),
     (RelMore43.queries, RelMore43.oracles),
     (RelMore44.queries, RelMore44.oracles),
+    (RelMore45.queries, RelMore45.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
