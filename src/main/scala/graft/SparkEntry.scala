@@ -67,6 +67,7 @@ object SparkEntry {
     (RelMore43.queries, RelMore43.oracles),
     (RelMore44.queries, RelMore44.oracles),
     (RelMore45.queries, RelMore45.oracles),
+    (RelMore46.queries, RelMore46.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
