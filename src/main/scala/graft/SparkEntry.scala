@@ -68,6 +68,7 @@ object SparkEntry {
     (RelMore44.queries, RelMore44.oracles),
     (RelMore45.queries, RelMore45.oracles),
     (RelMore46.queries, RelMore46.oracles),
+    (RelMore47.queries, RelMore47.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
