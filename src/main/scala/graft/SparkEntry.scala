@@ -69,6 +69,7 @@ object SparkEntry {
     (RelMore45.queries, RelMore45.oracles),
     (RelMore46.queries, RelMore46.oracles),
     (RelMore47.queries, RelMore47.oracles),
+    (RelMore48.queries, RelMore48.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
