@@ -137,12 +137,15 @@ object RelMore48 {
     * fact — the Kimball pattern that avoids materializing a dim per
     * role. Output: items by order-year × shipping-lag bucket (ship
     * year − order year), proving both role joins resolve independently
-    * against the SAME generated dim. The dim is broadcast twice — two
+    * against the SAME generated dim (sized 1995–2001 to cover the
+    * fixture's full date span — a role join against an under-sized
+    * dim silently drops facts, the bug the spec's conservation check
+    * would catch). The dim is broadcast twice — two
     * broadcast hash joins; the only shuffle is the fact equi-join on
     * the order key. */
   val joinRolePlayingDates: Q = (s, d) => {
     val dimDate = s.range(1).select(
-      explode(expr("sequence(to_date('1992-01-01'), to_date('1998-12-31'), interval 1 day)")).as("dv"))
+      explode(expr("sequence(to_date('1995-01-01'), to_date('2001-12-31'), interval 1 day)")).as("dv"))
       .select(col("dv"), year(col("dv")).as("yr"))
     val fact = lineitem(s, d)
       .select(col("l_orderkey").as("ok"), to_date(col("l_shipdate")).as("sd"))
@@ -159,7 +162,7 @@ object RelMore48 {
   val joinRolePlayingDatesSql: String =
     """WITH dim AS (
       |  SELECT CAST(dv AS DATE) AS dv, CAST(year(dv) AS INT) AS yr
-      |  FROM (SELECT unnest(generate_series(DATE '1992-01-01', DATE '1998-12-31', INTERVAL 1 DAY)) AS dv)),
+      |  FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY)) AS dv)),
       |fact AS (
       |  SELECT CAST(o.o_orderdate AS DATE) AS od, CAST(l.l_shipdate AS DATE) AS sd
       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
