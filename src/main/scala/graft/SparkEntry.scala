@@ -70,6 +70,7 @@ object SparkEntry {
     (RelMore46.queries, RelMore46.oracles),
     (RelMore47.queries, RelMore47.oracles),
     (RelMore48.queries, RelMore48.oracles),
+    (RelMore49.queries, RelMore49.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
