@@ -71,6 +71,7 @@ object SparkEntry {
     (RelMore47.queries, RelMore47.oracles),
     (RelMore48.queries, RelMore48.oracles),
     (RelMore49.queries, RelMore49.oracles),
+    (RelMore50.queries, RelMore50.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

@@ -79,7 +79,7 @@ object RelMore40 {
         expr(s"(${hex4("chh")} % 9 - 4) * $CentScale" +
           s" + (${hex4("nhh")} % $NoiseSpan) - ${(NoiseSpan - 1) / 2}").as("cm"))
 
-  private val compsSql: String =
+  private[ops] val compsSql: String =
     s"""ids AS (SELECT unnest(range(0, $NVecs)) AS vec_id),
        |ks AS (SELECT unnest(range(0, $Dims)) AS k),
        |comps AS (
@@ -89,14 +89,14 @@ object RelMore40 {
        |  FROM ids, ks)""".stripMargin
 
   /** Vectors as double arrays (milli → /1000.0), labels attached. */
-  private def cvecs(s: SparkSession): DataFrame = {
+  private[ops] def cvecs(s: SparkSession): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     comps(s).groupBy("vec_id", "label")
       .agg(expr("transform(array_sort(collect_list(struct(k, cm)))," +
         " p -> CAST(p.cm AS DOUBLE) / 1000.0)").as("v"))
   }
 
-  private val cvecsSql: String =
+  private[ops] val cvecsSql: String =
     s"""cvecs AS (
        |  SELECT vec_id, any_value(label) AS label,
        |         list(CAST(cm AS DOUBLE) / 1000.0 ORDER BY k) AS v
