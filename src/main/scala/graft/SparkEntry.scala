@@ -72,6 +72,7 @@ object SparkEntry {
     (RelMore48.queries, RelMore48.oracles),
     (RelMore49.queries, RelMore49.oracles),
     (RelMore50.queries, RelMore50.oracles),
+    (RelMore51.queries, RelMore51.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

@@ -20,7 +20,7 @@ object TextAnalysis {
     * real-world version swaps in character-n-gram frequency profiles;
     * the plumbing (score → argmax with deterministic tie-break) is
     * identical. */
-  private val Markers = Seq(
+  private[ops] val Markers = Seq(
     "en" -> "the", "es" -> "data", "de" -> "join", "fr" -> "filter", "zh" -> "spark")
 
   /** text-langid — predicted language = argmax over per-language marker
