@@ -73,6 +73,7 @@ object SparkEntry {
     (RelMore49.queries, RelMore49.oracles),
     (RelMore50.queries, RelMore50.oracles),
     (RelMore51.queries, RelMore51.oracles),
+    (RelMore52.queries, RelMore52.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
