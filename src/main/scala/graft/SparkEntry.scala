@@ -74,6 +74,7 @@ object SparkEntry {
     (RelMore50.queries, RelMore50.oracles),
     (RelMore51.queries, RelMore51.oracles),
     (RelMore52.queries, RelMore52.oracles),
+    (RelMore53.queries, RelMore53.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
