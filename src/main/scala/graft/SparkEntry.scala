@@ -75,6 +75,7 @@ object SparkEntry {
     (RelMore51.queries, RelMore51.oracles),
     (RelMore52.queries, RelMore52.oracles),
     (RelMore53.queries, RelMore53.oracles),
+    (RelMore54.queries, RelMore54.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
