@@ -91,9 +91,9 @@ object RelMore52 {
   /** dedup-eval-prf — MinHash-LSH dedup graded as a CLASSIFIER:
     * predictions = LSH candidates whose 12-slot signature estimate is
     * ≥ 0.5; truth = pairs whose EXACT distinct-shingle Jaccard is
-    * ≥ 0.5 (computed on the shared-shingle inverted index — pairs with
-    * no shared shingle have J = 0 and cannot be truth, so the index
-    * bounds the truth pass without missing positives). TP/FP/FN and
+    * ≥ 0.5 (computed on a df-capped shared-shingle inverted index —
+    * pairs with no shared non-stop shingle cannot be truth; the cap
+    * bounds the self-join, see inline comment). TP/FP/FN and
     * integer-milli precision/recall/F1 — the one-row eval card that
     * says whether the sketch config ships, companion of
     * dedup-minhash-estimate (per-pair error) and dedup-banding-curve
@@ -124,9 +124,24 @@ object RelMore52 {
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .filter(expr(matchExpr) >= Seeds / 2)
       .select("doc_a", "doc_b")
-    // truth: exact distinct-shingle Jaccard >= 0.5 via inverted index
-    val dsh = hashed.select(col("doc_id"), substring(col("h"), 1, 16).as("k")).distinct()
-      .sharedCache()
+    // truth: exact distinct-shingle Jaccard >= 0.5 over the df-capped
+    // shingle vocabulary. The cap is the stop-shingle cut
+    // (dedup-containment's RelMore18 discipline): a shingle shared by
+    // >MaxDf docs carries no near-dup signal but emits df² pairs in the
+    // inverted-index self-join — uncapped, one hot shingle makes the
+    // truth pass quadratic (this op was the slowest in the r6 bench at
+    // 56 s for exactly that reason). With the cap, each key emits at
+    // most MaxDf² pairs, so the join is Σ min(df,MaxDf)² — linear-ish in
+    // corpus size at any scale. Semantics: truth Jaccard is over
+    // non-stop shingles (mirrored in the oracle); a pair can shift
+    // only if its similarity rides on shingles that >MaxDf docs share,
+    // which is boilerplate, not near-duplication.
+    val MaxDf = 50
+    val dshAll = hashed.select(col("doc_id"), substring(col("h"), 1, 16).as("k")).distinct()
+    val dsh = dshAll.join(
+        dshAll.groupBy("k").agg(count(lit(1)).as("kdf")).filter(col("kdf") <= MaxDf),
+        Seq("k"))
+      .select("doc_id", "k").sharedCache()
     val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val truth = dsh.select(col("doc_id").as("doc_a"), col("k"))
       .join(dsh.select(col("doc_id").as("doc_b"), col("k")), Seq("k"))
@@ -178,7 +193,10 @@ object RelMore52 {
        |  SELECT c.doc_a, c.doc_b
        |  FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
        |  WHERE ($matches) >= 6),
-       |dsh AS (SELECT DISTINCT doc_id, substring(h, 1, 16) AS k FROM hashed),
+       |dsh_all AS (SELECT DISTINCT doc_id, substring(h, 1, 16) AS k FROM hashed),
+       |kdf AS (SELECT k, count(*) AS kdf FROM dsh_all GROUP BY k),
+       |dsh AS (SELECT dsh_all.doc_id, dsh_all.k
+       |        FROM dsh_all JOIN kdf ON kdf.k = dsh_all.k AND kdf.kdf <= 50),
        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dsh GROUP BY doc_id),
        |truth AS (
        |  SELECT i.doc_a, i.doc_b FROM (

@@ -52,13 +52,32 @@ object StreamingOps {
     // the copy is cheap relative to the query (checkpoints are wiped per
     // run, so replay always starts from the staged file as it is now)
     stageAtomically(s"$d/events.parquet", staged)
-    val base = new StructType()
-      .add("event_id", LongType).add("user_id", LongType)
-      .add("event_type", StringType).add("value", DoubleType)
-    val schema = if (withTs) base.add("ts", LongType) else base
+    // Derive the stream schema from the staged file instead of hard-coding
+    // the ts encoding: the fixture has shipped both int64-nanos and
+    // timestamp[us], and an explicit LongType schema over micros data does
+    // not throw — it silently collapses all timestamps 1000× (Jan 2024 →
+    // 43 minutes of 1970), which detonates every event-time window.
+    val inferred = s.read.parquet(staged.getAbsolutePath).schema
+    val schema = if (withTs) inferred
+                 else StructType(inferred.filterNot(_.name == "ts"))
     val df = s.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
-    if (withTs) df.withColumn("event_ts",
-      expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")) else df
+    if (withTs) {
+      val out = Tables.normalizeEventTs(df.withColumn("event_ts", col("ts")), "event_ts")
+        .drop("ts")
+      // Sanity tripwire on the staged file (batch-side, cheap single-row
+      // scan): a unit drift that survives the dtype dispatch would shift
+      // timestamps by ~1000× — catch it before it produces plausible but
+      // wrong windows.
+      val probe = Tables.normalizeEventTs(
+        s.read.parquet(staged.getAbsolutePath).limit(1)).select(col("ts")).collect()
+      probe.headOption.map(_.getTimestamp(0)).foreach { t0 =>
+        require(t0.after(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")) &&
+          t0.before(java.sql.Timestamp.valueOf("2100-01-01 00:00:00")),
+          s"events.ts sanity check failed: first ts=$t0 is outside " +
+            "[2000,2100) — probable timestamp-unit drift in the fixture encoding")
+      }
+      out
+    } else df
   }
 
   private def runToTable(s: SparkSession, agg: DataFrame, name: String,
@@ -315,14 +334,16 @@ object StreamingOps {
     Seq("events_a.parquet", "events_b.parquet").foreach { n =>
       stageAtomically(s"$d/events.parquet", new java.io.File(srcDir, n))
     }
-    val schema = new StructType()
-      .add("event_id", LongType).add("user_id", LongType)
-      .add("event_type", StringType).add("value", DoubleType)
-      .add("ts", LongType)
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir.getAbsolutePath)
-      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    // schema inferred from the staged file, not hard-coded: the fixture's
+    // ts encoding has drifted before (int64-nanos vs timestamp[us]) and a
+    // wrong explicit LongType silently collapses all event times 1000×
+    val inferred = s.read.parquet(
+      new java.io.File(srcDir, "events_a.parquet").getAbsolutePath).schema
+    val stream = Tables.normalizeEventTs(
+      s.readStream.schema(inferred)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.getAbsolutePath)
+        .withColumn("event_ts", col("ts")), "event_ts")
       .drop("ts")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("event_ts").desc, col("event_id").desc)
@@ -437,7 +458,7 @@ object StreamingOps {
     Seq(srcDir.getAbsolutePath, sink, ckpt, stage).foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     srcDir.mkdirs()
-    val raw = t(s, d, "events").select(col("event_id"), col("event_type"), col("ts"))
+    val raw = eventsTsNanos(s, d).select(col("event_id"), col("event_type"), col("ts"))
     val isEarlyOnTime = expr(
       "timestamp_micros((ts - pmod(ts, 1000)) div 1000) < timestamp'2024-01-20 00:00:00'") &&
       col("event_id") % 5 =!= 0
@@ -543,7 +564,7 @@ object StreamingOps {
     dirs.foreach { f =>
       org.apache.commons.io.FileUtils.deleteQuietly(f); f.mkdirs()
     }
-    val raw = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val raw = eventsTsNanos(s, d).select(col("event_id"), col("user_id"), col("ts"))
     def stageSide(even: Boolean, dir: java.io.File, name: String): Unit = {
       val tmpDir = s"$stage/$name"
       raw.filter(if (even) col("event_id") % 2 === 0 else col("event_id") % 2 === 1)
@@ -594,7 +615,7 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // historical partition → initial state (a batch KeyValueGroupedDataset)
-    val hist = t(s, d, "events").filter(col("event_id") % 3 === 0)
+    val hist = eventsTsNanos(s, d).filter(col("event_id") % 3 === 0)
       .groupBy("user_id").agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("n")).as[(Long, Long)]
       .groupByKey(_._1).mapValues(_._2)
@@ -603,7 +624,7 @@ object StreamingOps {
     org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
     srcDir.mkdirs()
     val stage = Tables.tmp("init-state-stage", d)
-    val rest = t(s, d, "events").filter(col("event_id") % 3 =!= 0)
+    val rest = eventsTsNanos(s, d).filter(col("event_id") % 3 =!= 0)
       .select(col("event_id"), col("user_id"))
     rest.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
     val part = new java.io.File(stage).listFiles()
@@ -648,7 +669,7 @@ object StreamingOps {
     Seq(srcDir.getAbsolutePath, sink, ckpt, stage).foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     srcDir.mkdirs()
-    val raw = t(s, d, "events").select(col("event_id"), col("ts"))
+    val raw = eventsTsNanos(s, d).select(col("event_id"), col("ts"))
     def stageBatch(df: DataFrame, name: String): Unit = {
       val tmpDir = s"$stage/$name"
       df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
@@ -717,7 +738,7 @@ object StreamingOps {
     Seq(srcDir.getAbsolutePath, sink, ckpt, stage).foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     srcDir.mkdirs()
-    val raw = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val raw = eventsTsNanos(s, d).select(col("event_id"), col("user_id"), col("ts"))
     def stageBatch(df: DataFrame, name: String): Unit = {
       val tmpDir = s"$stage/$name"
       df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
@@ -843,7 +864,7 @@ object StreamingOps {
     try {
       val typed = streamEvents(s, d, withTs = true)
         .select(col("user_id"), col("event_id"),
-          expr("(ts - pmod(ts, 1000)) div 1000").as("ts_us"))
+          unix_micros(col("event_ts")).as("ts_us"))
         .as[(Long, Long, Long)]
       val snap = typed.groupByKey(_._1)
         .transformWithState(new RecentIdsProcessor,
@@ -934,7 +955,7 @@ object StreamingOps {
       Seq(srcDir.getAbsolutePath, sink, ckpt, stage).foreach(p =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
       srcDir.mkdirs()
-      val raw = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val raw = eventsTsNanos(s, d).select(col("event_id"), col("user_id"), col("ts"))
       def stageBatch(df: DataFrame, name: String): Unit = {
         val tmpDir = s"$stage/$name"
         df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
@@ -1046,7 +1067,7 @@ object StreamingOps {
     (dirs.map(_.getAbsolutePath) ++ Seq(sink, ckpt, stage)).foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     dirs.foreach(_.mkdirs())
-    val raw = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val raw = eventsTsNanos(s, d).select(col("event_id"), col("user_id"), col("ts"))
     def stageInto(df: DataFrame, dir: java.io.File, name: String): Unit = {
       val tmpDir = s"$stage/$name"
       df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
@@ -1120,10 +1141,15 @@ object StreamingOps {
     Seq("events_a.parquet", "events_b.parquet").foreach { n =>
       stageAtomically(s"$d/events.parquet", new java.io.File(srcDir, n))
     }
-    val schema = new StructType()
-      .add("event_id", LongType).add("event_type", StringType).add("ts", LongType)
-    val deduped = s.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
-      .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    // inferred schema + dtype-dispatched conversion: see streamForeachUpsert
+    val inferred = s.read.parquet(
+      new java.io.File(srcDir, "events_a.parquet").getAbsolutePath).schema
+    val deduped = Tables.normalizeEventTs(
+      s.readStream.schema(StructType(inferred.filter(f =>
+          Seq("event_id", "event_type", "ts").contains(f.name))))
+        .parquet(srcDir.getAbsolutePath)
+        .withColumn("event_ts", col("ts")), "event_ts")
+      .drop("ts")
       .withWatermark("event_ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy("event_type")

@@ -29,18 +29,58 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Read it as a long (legacy conf) and
-    * convert to a microsecond TimestampType — the truncation every oracle
-    * compensates for with date_trunc('microseconds', ts). */
+  /** events.ts parquet encoding has drifted between fixture generations:
+    * INT64 TIMESTAMP(NANOS) (which Spark 4 rejects outright,
+    * PARQUET_TYPE_ILLEGAL, hence the nanosAsLong legacy conf + manual
+    * conversion) vs plain timestamp[us] (which reads natively). Dispatch
+    * on the dtype Spark actually inferred so either encoding yields the
+    * same microsecond TimestampType frame — hard-coding one encoding cost
+    * us 55 queries when the fixture was regenerated. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // floor division, not `div` (truncate-toward-zero): DuckDB's
-    // date_trunc('microseconds') floors, and the two disagree by 1µs on
-    // pre-epoch timestamps with sub-µs nanos
-    t(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    normalizeEventTs(t(s, d, "events"))
   }
+
+  /** Normalize an events-shaped frame so `ts` is microsecond
+    * TimestampType regardless of the parquet encoding it arrived in.
+    * LongType = legacy nanos-as-long; NTZ = timestamp[us] without tz
+    * (instant-identical under the UTC session timezone every entrypoint
+    * sets); TimestampType passes through. Anything else is an encoding
+    * we have not audited — fail loudly rather than compute garbage. */
+  /** Batch-read events with `ts` normalized to a LONG OF EPOCH NANOS
+    * regardless of parquet encoding. The staged-stream ops re-stage
+    * events through scratch parquet with an explicit LongType `ts`
+    * schema and convert via `timestamp_micros((ts - pmod(ts,1000)) div
+    * 1000)` — nanos-long is the representation all of that arithmetic
+    * (including the `+30 days in nanos` sentinel offsets) assumes, so
+    * normalize here once instead of per-op. micros→nanos (×1000) cannot
+    * overflow Long for any timestamp this side of year 2262. */
+  def eventsTsNanos(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType            => raw
+      case TimestampType       => raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts has unaudited parquet encoding $other")
+    }
+  }
+
+  def normalizeEventTs(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema(c).dataType match {
+      case LongType =>
+        // floor division, not `div` (truncate-toward-zero): DuckDB's
+        // date_trunc('microseconds') floors, and the two disagree by 1µs
+        // on pre-epoch timestamps with sub-µs nanos
+        df.withColumn(c, expr(s"timestamp_micros(($c - pmod($c, 1000)) div 1000)"))
+      case _: TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case TimestampType       => df
+      case other => throw new IllegalStateException(
+        s"events.$c has unaudited parquet encoding $other; expected " +
+          "int64-nanos (LongType via nanosAsLong), timestamp[us] NTZ, or timestamp")
+    }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
