@@ -49,10 +49,12 @@ object GraphOps {
     // re-running the 3-way join every iteration. r/deg stays the same
     // per-row double division, so the oracle's arithmetic is unchanged.
     val edgesDeg = edges.join(deg, "src").sharedCache()
-    // |V| = deg's row count (deg is one row per distinct src already —
-    // re-distincting the larger joined relation would pay an extra
-    // shuffle for the same number); mirrors the oracle's count over deg
-    val n = deg.count().toDouble
+    // |V| via countDistinct over the CACHED join: one action both
+    // materializes the cache and yields n, where deg.count() would run
+    // the full edges+deg build a second time outside the cache (the
+    // join is 1:n on src, so distinct-src over it equals deg's row
+    // count; mirrors the oracle's count over deg)
+    val n = edgesDeg.select(countDistinct(col("src"))).head().getLong(0).toDouble
     var ranks = deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
     // the loop stays LAZY: at a fixed 5 iterations the whole chain is one
     // action whose 5 aggregate stages each run exactly once (per-stage
@@ -111,7 +113,8 @@ object GraphOps {
       .unionAll(li.select(col("sn").as("src"), col("pn").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "src").sharedCache()
-    val n = deg.count().toDouble
+    // same single-action cache-materialize + |V| as graph-pagerank
+    val n = edgesDeg.select(countDistinct(col("src"))).head().getLong(0).toDouble
     def step(prev: DataFrame): DataFrame = edgesDeg
       .join(prev.withColumnRenamed("node", "src"), "src")
       .groupBy(col("dst"))
