@@ -76,6 +76,7 @@ object SparkEntry {
     (RelMore52.queries, RelMore52.oracles),
     (RelMore53.queries, RelMore53.oracles),
     (RelMore54.queries, RelMore54.oracles),
+    (RelMore55.queries, RelMore55.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

@@ -140,14 +140,24 @@ object RelMore3 {
   // bytes (decode is the stubbed step, as in mm-decode-stub); with a
   // real image decoder the same plan hashes luma blocks.
 
+  // One split into a per-char array, then O(blockLen) slice+fold per
+  // block. The obvious ascii(substring(text, pos, 1)) per byte is
+  // O(n²) per document — UTF8String.substring walks code points from
+  // the string start for every extraction, which made this the
+  // slowest non-iterative op in the bench (6.4s steady at sf0.1).
+  // The filter drops the zero-width artifacts Java regex split can
+  // emit at the boundaries, so indexing matches the oracle's
+  // 1-based character positions exactly.
   private val blockSumsExpr =
     "transform(sequence(1, 64), j -> aggregate(" +
-      "sequence(1, CAST((j*n) DIV 64 - ((j-1)*n) DIV 64 AS INT)), 0L, " +
-      "(a, i) -> a + ascii(substring(text, CAST(((j-1)*n) DIV 64 AS INT) + i, 1))))"
+      "slice(chars, CAST(((j-1)*n) DIV 64 AS INT) + 1, " +
+      "CAST((j*n) DIV 64 - ((j-1)*n) DIV 64 AS INT)), 0L, " +
+      "(a, c) -> a + ascii(c)))"
 
   private def blockhashDf(s: SparkSession, d: String): DataFrame =
     documents(s, d).filter(length(col("text")) >= 64)
       .select(col("doc_id"), col("text"), length(col("text")).cast(LongType).as("n"))
+      .withColumn("chars", expr("filter(split(text, ''), c -> c <> '')"))
       .withColumn("bsums", expr(blockSumsExpr))
       .withColumn("total", expr("aggregate(bsums, 0L, (a, x) -> a + x)"))
       .select(col("doc_id"), expr(
