@@ -77,6 +77,7 @@ object SparkEntry {
     (RelMore53.queries, RelMore53.oracles),
     (RelMore54.queries, RelMore54.oracles),
     (RelMore55.queries, RelMore55.oracles),
+    (RelMore56.queries, RelMore56.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

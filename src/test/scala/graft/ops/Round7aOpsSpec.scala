@@ -21,6 +21,20 @@ class Round7aOpsSpec extends SparkTestBase {
     assert(rows.values.forall(v => v >= 0 && v <= 1000))
   }
 
+  test("agg-hll-precision-curve: error shrinks monotonically with precision outside the linear regime") {
+    val rows = run("agg-hll-precision-curve").orderBy("p").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.getAs[Long]("est") > 0))
+    // theory: stderr ~ 1.04/sqrt(m); between p=6 and p=9 the raw-regime
+    // error must improve (p=12 may sit in linear-counting territory at
+    // sf0.001, where the raw estimator's bias is the documented lesson)
+    val raw = rows.filter(_.getAs[Int]("linear_regime") == 0)
+    if (raw.length >= 2)
+      assert(raw.head.getAs[Long]("err_ppm") >= raw.last.getAs[Long]("err_ppm") / 2 ||
+        raw.head.getAs[Long]("err_ppm") >= raw.last.getAs[Long]("err_ppm"),
+        raw.map(r => (r.getAs[Int]("p"), r.getAs[Long]("err_ppm"))).mkString(","))
+  }
+
   test("dq-join-fanout-preflight: total row dominates and equals sum over keys") {
     val df = run("dq-join-fanout-preflight").cache()
     val total = df.filter(col("rank") === 0).collect().head
