@@ -166,17 +166,29 @@ object RelMore3 {
   /** mm-blockhash-dedup — perceptual-hash near-dup pairs over the
     * multimodal payload path: 64-bit blockhash per payload, 8×8-bit
     * Hamming-LSH chunks (pigeonhole: any pair within distance 7 shares
-    * a chunk, so the ≤6 verify loses nothing), candidate self-join on
+    * a chunk — so the ≤6 verify loses only pairs whose every shared
+    * chunk is hot-bucket-capped, see inline), candidate self-join on
     * chunk, exact Hamming verify with the native codegen
     * hamming_distance expression. Same scale shape as
-    * dedup-simhash-pairs: candidates come from chunk buckets (never
-    * corpus²), and the per-doc hash is one narrow scan pass. */
+    * dedup-simhash-pairs: candidates come from df-capped chunk buckets
+    * (never corpus²), and the per-doc hash is one narrow scan pass. */
   val mmBlockhashDedup: Q = (s, d) => {
     graft.functions.HammingDistance.register(s)
     val ph = blockhashDf(s, d).sharedCache()
     val chunkArgs = (0 until 8).map(c =>
       s"$c, substring(phash, ${c * 8 + 1}, 8)").mkString(", ")
-    val chunks = ph.selectExpr("doc_id", s"stack(8, $chunkArgs) AS (chunk_idx, chunk)")
+    val chunksAll = ph.selectExpr("doc_id", s"stack(8, $chunkArgs) AS (chunk_idx, chunk)")
+    // hot-bucket cap (dedup-simhash-pairs discipline): byte-sum
+    // blockhashes of a homogeneous corpus collapse into few distinct
+    // values, so uncapped chunk buckets send the self-join m² —
+    // measured 37M verify pairs on a 50k-doc uniform synthetic corpus.
+    // A chunk shared by >256 docs carries no discriminative signal;
+    // dropping it bounds candidates at 256²·|hot-free buckets| with the
+    // same pigeonhole recall caveat as the shingle df-cap.
+    val chunks = chunksAll.join(
+      chunksAll.groupBy("chunk_idx", "chunk").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= 256).select("chunk_idx", "chunk"),
+      Seq("chunk_idx", "chunk"))
     val cand = chunks.select(col("doc_id").as("doc_a"), col("chunk_idx"), col("chunk"))
       .join(chunks.select(col("doc_id").as("doc_b"), col("chunk_idx"), col("chunk")),
         Seq("chunk_idx", "chunk"))
@@ -209,9 +221,15 @@ object RelMore3 {
 
   val mmBlockhashDedupSql: String =
     s"""WITH ph AS ($blockhashCoreSql),
-       |chunks AS (
+       |chunks_all AS (
        |  SELECT doc_id, c AS chunk_idx, substring(phash, c * 8 + 1, 8) AS chunk
        |  FROM ph, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS c) t),
+       |chunks AS (
+       |  SELECT ca.doc_id, ca.chunk_idx, ca.chunk
+       |  FROM chunks_all ca
+       |  JOIN (SELECT chunk_idx, chunk FROM chunks_all
+       |        GROUP BY 1, 2 HAVING count(*) <= 256) keep
+       |    ON keep.chunk_idx = ca.chunk_idx AND keep.chunk = ca.chunk),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM chunks a JOIN chunks b

@@ -434,7 +434,19 @@ object TextDedup {
     // (same reasoning as the LSH band table)
     val chunkArgs = (0 until 4).map(c =>
       s"$c, substring(simhash, ${c * 16 + 1}, 16)").mkString(", ")
-    val chunks = sh.selectExpr("doc_id", s"stack(4, $chunkArgs) AS (chunk_idx, chunk)")
+    val chunksAll = sh.selectExpr("doc_id", s"stack(4, $chunkArgs) AS (chunk_idx, chunk)")
+    // hot-bucket cap (the shingle df-cap discipline applied to LSH
+    // buckets): a chunk value shared by >256 docs is an uninformative
+    // hash region — on a homogeneous corpus the 16-bit chunks of
+    // near-constant fingerprints collapse into a handful of buckets and
+    // the self-join goes m² (measured: a 50k-doc uniform synthetic
+    // corpus emits tens of millions of verify pairs without the cap).
+    // Recall bound: only pairs whose EVERY shared chunk is that common
+    // can be missed — pairs the hash cannot discriminate anyway.
+    val chunks = chunksAll.join(
+      chunksAll.groupBy("chunk_idx", "chunk").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= 256).select("chunk_idx", "chunk"),
+      Seq("chunk_idx", "chunk"))
     val a = chunks.select(col("doc_id").as("doc_a"), col("chunk_idx"), col("chunk"))
     val b = chunks.select(col("doc_id").as("doc_b"), col("chunk_idx"), col("chunk"))
     val cand = a.join(b, Seq("chunk_idx", "chunk"))
@@ -451,9 +463,15 @@ object TextDedup {
 
   val dedupSimhashPairsSql: String =
     s"""WITH sh AS ($simhashCoreSql),
-       |chunks AS (
+       |chunks_all AS (
        |  SELECT doc_id, c AS chunk_idx, substring(simhash, c * 16 + 1, 16) AS chunk
        |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c) t),
+       |chunks AS (
+       |  SELECT ca.doc_id, ca.chunk_idx, ca.chunk
+       |  FROM chunks_all ca
+       |  JOIN (SELECT chunk_idx, chunk FROM chunks_all
+       |        GROUP BY 1, 2 HAVING count(*) <= 256) keep
+       |    ON keep.chunk_idx = ca.chunk_idx AND keep.chunk = ca.chunk),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM chunks a JOIN chunks b

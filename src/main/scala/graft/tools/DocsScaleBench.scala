@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * (sf0.1 ≈ 5k docs) proves correctness; this proves the shapes hold
   * when the corpus is 100× that.
   *
-  * Usage: runMain graft.tools.DocsScaleBench [nDocs] [workDir]
+  * Usage: runMain graft.tools.DocsScaleBench [nDocs] [workDir] [q1,q2,...]
   */
 object DocsScaleBench {
 
@@ -56,8 +56,9 @@ object DocsScaleBench {
     }
     println(s"[docs-scale] corpus rows: ${spark.read.parquet(s"$work/documents.parquet").count()}")
 
-    Seq("dedup-exact", "dedup-simhash", "dedup-minhash-lsh", "dedup-cluster",
-      "dedup-incremental", "text-repetition", "text-contamination").foreach { q =>
+    args.lift(2).map(_.split(",").toSeq).getOrElse(
+      Seq("dedup-exact", "dedup-simhash", "dedup-minhash-lsh", "dedup-cluster",
+        "dedup-incremental", "text-repetition", "text-contamination")).foreach { q =>
       timed(q) {
         val n = graft.SparkEntry.queries(q)(spark, work).count()
         print(s"[docs-scale]   rows=$n ")
