@@ -388,20 +388,59 @@ object StreamingOps {
     * user hash — no global state. A session's window end is exclusive
     * (last event + gap), so a gap of EXACTLY SessionGapMin starts a new
     * session; the oracle's lag-diff breaks on >= gap to pin the same
-    * boundary rule. Complete mode under AvailableNow replay emits every
-    * session, making the result batch-equivalent. */
+    * boundary rule. Watermark + APPEND mode + file sink (the
+    * streamLateDrop two-run choreography, sentinel closes everything
+    * real): closed sessions are EMITTED AND EVICTED as the watermark
+    * passes them, so state only ever holds open sessions and the sink
+    * is distributed files — the previous complete-mode/memory-sink
+    * form kept every session in state and collected them all to the
+    * driver, which measured fine at 100k sessions and never finished
+    * at 10M (EventsScaleBench). The sentinel's own session never
+    * closes and is filtered by user_id at read-back. */
   private val SessionGapMin = 10
 
   val streamSessionWindow: Q = (s, d) => {
-    val agg = streamEvents(s, d, withTs = true)
-      .groupBy(session_window(col("event_ts"), s"$SessionGapMin minutes"),
-        col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"),
-        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-          .as("session_start"),
-        col("n_events"))
-    runToTable(s, agg, "stream_session_window", d)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = new java.io.File(Tables.tmp("sess-win-src", d))
+    val sink = Tables.tmp("sess-win-sink", d)
+    val ckpt = Tables.tmp("ckpt-sess-win", d)
+    val stage = Tables.tmp("sess-win-stage", d)
+    Seq(srcDir.getAbsolutePath, sink, ckpt, stage).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    srcDir.mkdirs()
+    val raw = eventsTsNanos(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    def stageBatch(df: DataFrame, name: String): Unit = {
+      val tmpDir = s"$stage/$name"
+      df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
+      val part = new java.io.File(tmpDir).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      stageAtomically(part.getAbsolutePath, new java.io.File(srcDir, s"$name.parquet"))
+    }
+    val schema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType).add("ts", LongType)
+    def runOnce(): Unit = {
+      val agg = s.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+        .withColumn("event_ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+        .withWatermark("event_ts", "1 minute")
+        .groupBy(session_window(col("event_ts"), s"$SessionGapMin minutes"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          col("n_events"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    stageBatch(raw, "a")
+    runOnce()
+    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    stageBatch(raw.limit(1).select(lit(-100L).as("event_id"),
+      lit(-1L).as("user_id"), lit(maxTs + 30L * 86400L * 1000000000L).as("ts")), "b")
+    runOnce()
+    s.read.parquet(sink).filter(col("user_id") >= 0)
       .orderBy("user_id", "session_start")
   }
 
