@@ -38,6 +38,24 @@ object StreamingOps {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Scope a state-partition count to one streaming execution. The number
+    * of state stores a stateful query creates is frozen at checkpoint
+    * creation from spark.sql.shuffle.partitions, and EVERY micro-batch
+    * pays one state-store commit (snapshot/delta file + fsync) per
+    * partition per stateful operator — for a join that is 4 stores per
+    * partition. State partitions must therefore be sized to the stateful
+    * KEY CARDINALITY of the stream, not to the session default: at this
+    * fixture's volume (≤100k events) 32 partitions is pure commit
+    * overhead, while a 100 TB/day deployment of the same topology would
+    * raise the number with cluster size. The session value is restored
+    * in a finally so batch queries are untouched. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, old)
+  }
+
   private def streamEvents(s: SparkSession, d: String, withTs: Boolean): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource wants a directory to monitor: stage the single
@@ -112,7 +130,7 @@ object StreamingOps {
 
   /** stream-agg-counts — streaming groupBy over the event stream,
     * AvailableNow replay: per-type counts and exact decimal totals. */
-  val streamAggCounts: Q = (s, d) => {
+  val streamAggCounts: Q = (s, d) => withStatePartitions(s, 4) {
     val agg = streamEvents(s, d, withTs = false)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
@@ -131,7 +149,7 @@ object StreamingOps {
     * watermark (the late-data contract a live pipeline needs; under
     * AvailableNow replay in complete mode every window is emitted, so
     * the result equals the batch date_trunc aggregation). */
-  val streamWindowHourly: Q = (s, d) => {
+  val streamWindowHourly: Q = (s, d) => withStatePartitions(s, 4) {
     val agg = streamEvents(s, d, withTs = true)
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
@@ -157,7 +175,7 @@ object StreamingOps {
     * windows. Under AvailableNow complete-mode replay the result
     * equals the batch union of both per-event window assignments,
     * which is what the oracle spells. */
-  val streamSlidingWindow: Q = (s, d) => {
+  val streamSlidingWindow: Q = (s, d) => withStatePartitions(s, 4) {
     val agg = streamEvents(s, d, withTs = true)
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "2 hours", "1 hour"), col("event_type"))
@@ -185,7 +203,7 @@ object StreamingOps {
     * state merge is order-independent; AvailableNow replay makes the
     * final state equal the batch aggregate, which is what the oracle
     * checks. */
-  val streamStatefulCount: Q = (s, d) => {
+  val streamStatefulCount: Q = (s, d) => withStatePartitions(s, 4) {
     import s.implicits._
     import org.apache.spark.sql.streaming.GroupState
     import org.apache.spark.sql.streaming.GroupStateTimeout
@@ -219,7 +237,7 @@ object StreamingOps {
     * the id column). The events file is staged TWICE into the source dir
     * so the stream genuinely carries duplicates; the dedup state must
     * collapse them back to the batch per-type counts. */
-  val streamDedupIds: Q = (s, d) => {
+  val streamDedupIds: Q = (s, d) => withStatePartitions(s, 4) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = new java.io.File(Tables.tmp("stream-src-dup", d))
     srcDir.mkdirs()
@@ -250,7 +268,7 @@ object StreamingOps {
     * under AvailableNow replay it equals the batch join, which is what
     * the oracle checks. The dim side is dimension-sized → Catalyst
     * broadcasts it into each micro-batch. */
-  val streamJoinStatic: Q = (s, d) => {
+  val streamJoinStatic: Q = (s, d) => withStatePartitions(s, 4) {
     val dim = customer(s, d).select(
       col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
     val agg = streamEvents(s, d, withTs = false)
@@ -278,7 +296,7 @@ object StreamingOps {
     * aggregates; AvailableNow replay makes it equal the batch query.
     * Sink + checkpoint are wiped per run so the replay is
     * deterministic regardless of prior state. */
-  val streamSinkFiles: Q = (s, d) => {
+  val streamSinkFiles: Q = (s, d) => withStatePartitions(s, 4) {
     val sink = Tables.tmp("stream-sink-files", d)
     val ckpt = Tables.tmp("ckpt-stream-sink-files", d)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
@@ -323,7 +341,7 @@ object StreamingOps {
     * Each merge writes the new generation to a sibling dir before
     * swapping it in — the read of the current generation and the
     * overwrite never race. */
-  val streamForeachUpsert: Q = (s, d) => {
+  val streamForeachUpsert: Q = (s, d) => withStatePartitions(s, 4) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val target = new java.io.File(Tables.tmp("stream-upsert-target", d))
     val ckpt = Tables.tmp("ckpt-stream-upsert", d)
@@ -399,7 +417,7 @@ object StreamingOps {
     * closes and is filtered by user_id at read-back. */
   private val SessionGapMin = 10
 
-  val streamSessionWindow: Q = (s, d) => {
+  val streamSessionWindow: Q = (s, d) => withStatePartitions(s, 4) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = new java.io.File(Tables.tmp("sess-win-src", d))
     val sink = Tables.tmp("sess-win-sink", d)
@@ -488,7 +506,7 @@ object StreamingOps {
     * max event time truncated to MILLISECONDS). The file sink
     * accumulates across both runs with exactly-once file commits, so
     * the read-back is the union of both runs' emissions. */
-  val streamLateDrop: Q = (s, d) => {
+  val streamLateDrop: Q = (s, d) => withStatePartitions(s, 4) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = new java.io.File(Tables.tmp("stream-late-src", d))
     val sink = Tables.tmp("stream-late-sink", d)
@@ -561,7 +579,7 @@ object StreamingOps {
     * sink consumes). State is a per-user Map[event_type → count], an
     * order-free merge; AvailableNow replay makes the final snapshot
     * equal the batch per-(user, type) counts. */
-  val streamFlatmapState: Q = (s, d) => {
+  val streamFlatmapState: Q = (s, d) => withStatePartitions(s, 4) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val typed = streamEvents(s, d, withTs = false)
@@ -596,7 +614,7 @@ object StreamingOps {
     * emitted matches equal the batch interval join, which is what the
     * oracle checks. Inner join + append mode: matches emit as both
     * sides arrive. */
-  val streamStreamJoin: Q = (s, d) => {
+  val streamStreamJoin: Q = (s, d) => withStatePartitions(s, 4) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = Tables.tmp("ss-join-stage", d)
     val dirs = Seq("a", "b").map(n => new java.io.File(Tables.tmp(s"ss-join-src-$n", d)))
@@ -649,7 +667,7 @@ object StreamingOps {
     * i.e. a pipeline restart from a compacted snapshot loses nothing.
     * At 100 TB this is how stateful jobs bootstrap without replaying
     * the full history through the stream. */
-  val streamInitialState: Q = (s, d) => {
+  val streamInitialState: Q = (s, d) => withStatePartitions(s, 4) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -699,7 +717,7 @@ object StreamingOps {
     * day stays open), run 2's far-future sentinel closes everything
     * real. The sentinel's own windows stay open and are never emitted
     * — no filtering needed beyond the read-back. */
-  val streamWindowedRollup: Q = (s, d) => {
+  val streamWindowedRollup: Q = (s, d) => withStatePartitions(s, 4) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = new java.io.File(Tables.tmp("wroll-src", d))
     val sink = Tables.tmp("wroll-sink", d)
@@ -766,7 +784,7 @@ object StreamingOps {
     * session-close-and-release pattern: at 100 TB/day state size is
     * |open sessions|, not |users ever seen|. Oracle: the batch per-user
     * counts (every session closes once the stream drains). */
-  val streamStateTimeout: Q = (s, d) => {
+  val streamStateTimeout: Q = (s, d) => withStatePartitions(s, 4) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -893,7 +911,7 @@ object StreamingOps {
     * service runs. Ordering is (ts, event_id) descending: replay- and
     * partition-order-independent. Oracle: the batch top-3-per-user
     * window. */
-  val streamTwsListState: Q = (s, d) => {
+  val streamTwsListState: Q = (s, d) => withStatePartitions(s, 4) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -978,7 +996,7 @@ object StreamingOps {
     * AvailableNow runs: run 1 arms every timer (sink stays empty),
     * run 2's far-future sentinel advances the watermark and fires them
     * all. RocksDB provider required by the API, restored afterwards. */
-  val streamTwsTimers: Q = (s, d) => {
+  val streamTwsTimers: Q = (s, d) => withStatePartitions(s, 4) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1049,7 +1067,7 @@ object StreamingOps {
     * snapshot equal the batch per-(user, type) counts joined with the
     * per-user max. The provider conf is restored after the run so the
     * legacy-API ops keep exercising the default HDFS-backed store. */
-  val streamTransformWithState: Q = (s, d) => {
+  val streamTransformWithState: Q = (s, d) => withStatePartitions(s, 4) {
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -1097,7 +1115,7 @@ object StreamingOps {
     * engine null-ordering). The file sink accumulates across runs, so
     * the read-back is matches ∪ expired-unmatched = the batch LEFT
     * JOIN, which is what the oracle checks. */
-  val streamLeftOuterJoin: Q = (s, d) => {
+  val streamLeftOuterJoin: Q = (s, d) => withStatePartitions(s, 4) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = Tables.tmp("ss-loj-stage", d)
     val sink = Tables.tmp("ss-loj-sink", d)
@@ -1173,7 +1191,7 @@ object StreamingOps {
     * not days. The staged source lands the same file twice (every
     * event exactly duplicated, identical timestamps → trivially inside
     * the delay), so the deduped aggregate equals the batch DISTINCT. */
-  val streamDedupWithinWatermark: Q = (s, d) => {
+  val streamDedupWithinWatermark: Q = (s, d) => withStatePartitions(s, 4) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = new java.io.File(Tables.tmp("stream-src-dupwm", d))
     srcDir.mkdirs()
@@ -1214,7 +1232,7 @@ object StreamingOps {
     * production the trigger limit is the backfill throttle (bounded
     * state growth per batch, checkpoint after each), so replaying a
     * month of landed files neither OOMs nor skews results. */
-  val streamMultiBatch: Q = (s, d) => {
+  val streamMultiBatch: Q = (s, d) => withStatePartitions(s, 4) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = new java.io.File(Tables.tmp("stream-src-multi", d))
     srcDir.mkdirs()
