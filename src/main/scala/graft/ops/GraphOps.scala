@@ -30,6 +30,23 @@ object GraphOps {
         concat(lit("s"), col("l_suppkey")).as("sn"))
       .distinct()
 
+  /** Long-keyed variant of the same bipartite graph: part nodes on the
+    * even integers (2·partkey), supplier nodes on the odd (2·suppkey+1).
+    * Iterative ops hash-join and hash-aggregate on these 8-byte keys —
+    * string keys pay UTF8String hashing + comparison on EVERY probe of
+    * every iteration, pure overhead when the 'p'/'s' labels are only
+    * needed in the final projection. [[longNodeToStr]] maps back. */
+  private def bipartitePairsLong(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select((col("l_partkey") * 2).as("pn"),
+        (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct()
+
+  /** Inverse of the even/odd encoding above, applied once at output. */
+  private def longNodeToStr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(when(c % 2 === 0, lit("p")).otherwise(lit("s")),
+      (c / 2).cast("long").cast("string"))
+
   /** graph-pagerank — 5 damped PageRank iterations (d = 0.85) over the
     * undirected part↔supplier bipartite graph from lineitem's distinct
     * (partkey, suppkey) pairs. Undirected edges mean no dangling mass.
@@ -39,22 +56,22 @@ object GraphOps {
     * ranks to 8 dp after EVERY iteration — both engines then carry
     * bit-identical ranks into the next step, so the noise cannot
     * compound across iterations. */
-  val graphPagerank: Q = (s, d) => {
-    val li = bipartitePairs(s, d)
+  val graphPagerank: Q = (s, d) => withShufflePartitions(s, 8) {
+    val li = bipartitePairsLong(s, d)
     val edges = li.select(col("pn").as("src"), col("sn").as("dst"))
       .unionAll(li.select(col("sn").as("src"), col("pn").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).sharedCache()
+    // |V| from the CACHED degree table: one cheap action (distinct pairs +
+    // union + one agg) both materializes deg and yields n. The fat
+    // edges⋈deg join below stays LAZY — its cache fills during the main
+    // action's first iteration stage and is reused by the other four, so
+    // no separate materialization action ever scans it.
+    val n = deg.count().toDouble
     // fold the degree into the edge list ONCE — the loop then joins a
     // single (src, dst, deg) relation against the rank vector instead of
     // re-running the 3-way join every iteration. r/deg stays the same
     // per-row double division, so the oracle's arithmetic is unchanged.
     val edgesDeg = edges.join(deg, "src").sharedCache()
-    // |V| via countDistinct over the CACHED join: one action both
-    // materializes the cache and yields n, where deg.count() would run
-    // the full edges+deg build a second time outside the cache (the
-    // join is 1:n on src, so distinct-src over it equals deg's row
-    // count; mirrors the oracle's count over deg)
-    val n = edgesDeg.select(countDistinct(col("src"))).head().getLong(0).toDouble
     var ranks = deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
     // the loop stays LAZY: at a fixed 5 iterations the whole chain is one
     // action whose 5 aggregate stages each run exactly once (per-stage
@@ -70,7 +87,13 @@ object GraphOps {
         .agg(round(lit(0.15 / n) + lit(0.85) * sum(col("r") / col("deg")), 8).as("r"))
         .select(col("dst").as("node"), col("r"))
     }
-    ranks.select(col("node"), col("r").as("pagerank")).orderBy("node")
+    // materialize the loop INSIDE the partition scope (see
+    // withShufflePartitions: the count() outside it would replan at the
+    // session's 32); the final 21k-row sort runs on the cached result
+    val out = ranks.select(longNodeToStr(col("node")).as("node"),
+      col("r").as("pagerank")).sharedCache()
+    out.count()
+    out.orderBy("node")
   }
 
   val graphPagerankSql: String = {
@@ -107,14 +130,14 @@ object GraphOps {
     * quantized. This is the restartability contract long iterative
     * jobs need at 100 TB: checkpoint every ~20 rounds, resume from
     * the last cut after preemption, bit-identical to never failing. */
-  val graphPagerankResume: Q = (s, d) => {
-    val li = bipartitePairs(s, d)
+  val graphPagerankResume: Q = (s, d) => withShufflePartitions(s, 8) {
+    val li = bipartitePairsLong(s, d)
     val edges = li.select(col("pn").as("src"), col("sn").as("dst"))
       .unionAll(li.select(col("sn").as("src"), col("pn").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // same lazy-fat-join + cached-deg |V| discipline as graph-pagerank
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).sharedCache()
+    val n = deg.count().toDouble
     val edgesDeg = edges.join(deg, "src").sharedCache()
-    // same single-action cache-materialize + |V| as graph-pagerank
-    val n = edgesDeg.select(countDistinct(col("src"))).head().getLong(0).toDouble
     def step(prev: DataFrame): DataFrame = edgesDeg
       .join(prev.withColumnRenamed("node", "src"), "src")
       .groupBy(col("dst"))
@@ -126,7 +149,10 @@ object GraphOps {
     ranks.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(cut)
     var resumed = s.read.parquet(cut) // lineage severed: the restart point
     for (_ <- 4 to 5) resumed = step(resumed)
-    resumed.select(col("node"), col("r").as("pagerank")).orderBy("node")
+    val out = resumed.select(longNodeToStr(col("node")).as("node"),
+      col("r").as("pagerank")).sharedCache()
+    out.count()
+    out.orderBy("node")
   }
 
   /** graph-degree-stats — degree distribution of the same bipartite

@@ -49,12 +49,8 @@ object StreamingOps {
     * overhead, while a 100 TB/day deployment of the same topology would
     * raise the number with cluster size. The session value is restored
     * in a finally so batch queries are untouched. */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try f finally s.conf.set(key, old)
-  }
+  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T =
+    Tables.withShufflePartitions(s, n)(f)
 
   private def streamEvents(s: SparkSession, d: String, withTs: Boolean): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

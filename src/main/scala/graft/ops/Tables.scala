@@ -137,6 +137,31 @@ object Tables {
     def sharedCache(): DataFrame = df.persist()
   }
 
+  /** Scope a shuffle-partition count to one query build+execution and
+    * restore the session value in a finally. Deep iterative plans
+    * (pagerank, BFS, k-core: 5-40 chained join+agg stages) pay
+    * per-stage task-scheduling and codegen overhead PROPORTIONAL to
+    * the partition count, while AQE's reducer-side coalescing cannot
+    * shrink the map-side task count — so iterative ops size the
+    * partition count to their per-iteration shuffle volume instead of
+    * inheriting the session default. At 100 TB the same dial turns the
+    * other way: |E|/target-partition-bytes partitions, set here, not
+    * globally. Safe under the sequential Verify/Bench execution model
+    * (one query builds+runs at a time on the session).
+    *
+    * The partition count is read from the session conf at PHYSICAL
+    * PLANNING time, not at DataFrame construction — a lazy plan built
+    * in this scope but executed after it inherits the restored value.
+    * Callers must therefore run the actions they want resized INSIDE
+    * the scope (streaming: awaitTermination; batch iterative ops:
+    * sharedCache + count the loop output, return the cached frame). */
+  def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, old)
+  }
+
   /** Scratch dir for sink round trips, namespaced by op name, dataset
     * dir AND the JVM pid — two interleaved runs must never share a
     * path, whether at different scale factors (a Bench at sf0.1

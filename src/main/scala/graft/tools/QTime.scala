@@ -22,7 +22,11 @@ object QTime {
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-        println(f"[qtime] $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        val dt = (System.nanoTime() - t0) / 1e9
+        // mirror Bench: drop cache entries the query pinned so each rep
+        // pays its own cost (otherwise sharedCache survivors flatter rep2)
+        spark.catalog.clearCache()
+        println(f"[qtime] $name rep$r: $dt%.2f s ($n rows)")
       }
     }
     spark.stop()
