@@ -287,7 +287,7 @@ object RelMore11 {
     * same bounded-round contract as graph-bfs; production CC iterates
     * to fixpoint with a convergence check (count of changed labels)
     * every round, checkpointing each ~20th. */
-  val graphCcHashmin: Q = (s, d) => {
+  val graphCcHashmin: Q = (s, d) => withShufflePartitions(s, 8) {
     val li = lineitem(s, d).filter(col("l_orderkey") % 29 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -307,10 +307,13 @@ object RelMore11 {
         .groupBy(col("dst").as("node"))
         .agg(min("lbl").as("lbl"))
     }
-    labels.groupBy(col("lbl").as("component"))
+    val out = labels.groupBy(col("lbl").as("component"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(desc("n_nodes"), col("component"))
       .limit(20)
+      .sharedCache()
+    out.count() // materialize the hash-min rounds inside the partition scope
+    out
   }
 
   val graphCcHashminSql: String = {

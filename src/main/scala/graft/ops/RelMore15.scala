@@ -225,7 +225,7 @@ object RelMore15 {
     * discipline as dedup-cluster). The 2-core is where community
     * structure lives — degree-1 tendrils are noise for triangle/
     * density analytics. */
-  val graphKcore: Q = (s, d) => {
+  val graphKcore: Q = (s, d) => withShufflePartitions(s, 8) {
     val li = lineitem(s, d).filter(col("l_orderkey") % 29 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -252,9 +252,11 @@ object RelMore15 {
       edges.unpersist()
       edges = next
     }
-    edges.groupBy(col("src").as("node"))
+    val out = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_deg"))
-      .orderBy("node")
+      .sharedCache()
+    out.count() // materialize inside the partition scope
+    out.orderBy("node")
   }
 
   val graphKcoreSql: String = {

@@ -74,7 +74,7 @@ object RelMore29 {
     * hash-min CC (which welds every reachable node to one min), LPA
     * finds DENSE regions — the part-bundle structure merchandising
     * actually wants. */
-  val graphLabelPropagation: Q = (s, d) => {
+  val graphLabelPropagation: Q = (s, d) => withShufflePartitions(s, 8) {
     val li = lineitem(s, d).filter(col("l_orderkey") % 29 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -103,6 +103,11 @@ object RelMore29 {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(desc("n_nodes"), col("community"))
       .limit(20)
+      .sharedCache()
+    // materialize inside the partition scope BEFORE releasing the edge
+    // cache — the previous unpersist-then-return unmarked the cache while
+    // the plan was still lazy, so every iteration re-ran the pair build
+    out.count()
     edges.unpersist()
     out
   }

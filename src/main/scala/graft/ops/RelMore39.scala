@@ -25,7 +25,7 @@ object RelMore39 {
     * member. Each doubling round is one self-join shuffle keyed on the
     * frontier column — the log-depth plan a 1000-executor cluster
     * wants, vs |V| rounds of naive BFS propagation. */
-  val graphScc: Q = (s, d) => {
+  val graphScc: Q = (s, d) => withShufflePartitions(s, 8) {
     val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val c = customer(s, d).select(col("c_custkey"), col("c_nationkey").as("src"))

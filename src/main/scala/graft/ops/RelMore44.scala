@@ -86,7 +86,7 @@ object RelMore44 {
     * vectors are |V|-sized, edges shuffle on their own keys — the same
     * plan graph-pagerank runs. Output: top-10 authorities and top-10
     * hubs with deterministic id tiebreaks. */
-  val graphHits: Q = (s, d) => {
+  val graphHits: Q = (s, d) => withShufflePartitions(s, 8) {
     import org.apache.spark.sql.expressions.Window
     val edges = lineitem(s, d)
       .select(col("l_suppkey").as("supp"), col("l_partkey").as("part"))

@@ -22,7 +22,7 @@ object RelMore46 {
     * d_c² div 4m first). Shapes: one edge scan per partition for the
     * intra count (labels broadcast-joined onto both endpoints), one
     * |V|-sized degree aggregate. */
-  val graphModularity: Q = (s, d) => {
+  val graphModularity: Q = (s, d) => withShufflePartitions(s, 8) {
     val li = lineitem(s, d).filter(col("l_orderkey") % 29 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -63,9 +63,11 @@ object RelMore46 {
           expr("(sdsq * 1000000) div (4 * m * m)").as("expected_ppm"),
           expr("(intra * 1000000) div m - (sdsq * 1000000) div (4 * m * m)").as("modularity_ppm"))
     }
-    score("hashmin4", labels.select(col("node"), col("lbl").as("c")))
+    val out = score("hashmin4", labels.select(col("node"), col("lbl").as("c")))
       .unionAll(score("mod8", nodes.select(col("node"), (col("node") % 8).as("c"))))
-      .orderBy("partition")
+      .sharedCache()
+    out.count() // materialize the scoring joins inside the partition scope
+    out.orderBy("partition")
   }
 
   val graphModularitySql: String = {

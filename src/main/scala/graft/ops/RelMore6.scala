@@ -23,7 +23,7 @@ object RelMore6 {
     * oracle spells the same per-level DISTINCT frontiers as explicit
     * CTEs). Edge list persisted once, reused all rounds — same
     * discipline as graph-pagerank. */
-  val graphBfs: Q = (s, d) => {
+  val graphBfs: Q = (s, d) => withShufflePartitions(s, 8) {
     val e1 = lineitem(s, d)
       .select(concat(lit("s"), col("l_suppkey")).as("src"),
         concat(lit("p"), col("l_partkey")).as("dst")).distinct()
@@ -39,7 +39,11 @@ object RelMore6 {
         .sharedCache()
       visited = visited.unionAll(frontier.withColumn("lvl", lit(lvl)))
     }
-    visited.orderBy("lvl", "node")
+    // materialize the level joins inside the partition scope (see
+    // Tables.withShufflePartitions); the final small sort runs on cache
+    val out = visited.sharedCache()
+    out.count()
+    out.orderBy("lvl", "node")
   }
 
   val graphBfsSql: String =

@@ -133,7 +133,7 @@ object RelMore8 {
     * discipline as graph-pagerank (3 rounds ≈ diameter of interest;
     * convergence detection would add a driver-side count per round).
     * Oracle: the identical three relaxations as chained CTEs. */
-  val graphShortestPath: Q = (s, d) => {
+  val graphShortestPath: Q = (s, d) => withShufflePartitions(s, 8) {
     val e1 = lineitem(s, d)
       .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
         concat(lit("p"), col("l_partkey")).as("dst"))
@@ -150,6 +150,7 @@ object RelMore8 {
         .groupBy("node").agg(min(col("dist")).as("dist"))
         .sharedCache()
     }
+    dist.count() // materialize the relax rounds inside the partition scope
     dist.orderBy("node")
   }
 
