@@ -78,6 +78,7 @@ object SparkEntry {
     (RelMore54.queries, RelMore54.oracles),
     (RelMore55.queries, RelMore55.oracles),
     (RelMore56.queries, RelMore56.oracles),
+    (RelMore57.queries, RelMore57.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
