@@ -79,6 +79,7 @@ object SparkEntry {
     (RelMore55.queries, RelMore55.oracles),
     (RelMore56.queries, RelMore56.oracles),
     (RelMore57.queries, RelMore57.oracles),
+    (RelMore58.queries, RelMore58.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
