@@ -80,6 +80,7 @@ object SparkEntry {
     (RelMore56.queries, RelMore56.oracles),
     (RelMore57.queries, RelMore57.oracles),
     (RelMore58.queries, RelMore58.oracles),
+    (RelMore59.queries, RelMore59.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
