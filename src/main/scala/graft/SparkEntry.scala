@@ -81,6 +81,7 @@ object SparkEntry {
     (RelMore57.queries, RelMore57.oracles),
     (RelMore58.queries, RelMore58.oracles),
     (RelMore59.queries, RelMore59.oracles),
+    (RelMore60.queries, RelMore60.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
