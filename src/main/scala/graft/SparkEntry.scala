@@ -82,6 +82,7 @@ object SparkEntry {
     (RelMore58.queries, RelMore58.oracles),
     (RelMore59.queries, RelMore59.oracles),
     (RelMore60.queries, RelMore60.oracles),
+    (RelMore61.queries, RelMore61.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
