@@ -83,6 +83,7 @@ object SparkEntry {
     (RelMore59.queries, RelMore59.oracles),
     (RelMore60.queries, RelMore60.oracles),
     (RelMore61.queries, RelMore61.oracles),
+    (RelMore62.queries, RelMore62.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

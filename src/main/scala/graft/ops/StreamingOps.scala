@@ -1253,7 +1253,68 @@ object StreamingOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** stream-incremental-etl — the incremental-batch contract that
+    * production file-landing ETL rests on: run 1 processes shard A
+    * through a stateless transform into a file sink; shard B lands;
+    * run 2 against the SAME checkpoint processes ONLY B (the offset
+    * log is the increment tracker — no reprocessing, no dedup pass).
+    * The graded rollup over the sink equals one batch pass over A∪B;
+    * any reprocessing would double A's contribution and break the
+    * checksum. This is stream-multi-batch's sibling: that op proves
+    * state carries ACROSS micro-batches in one run, this one proves
+    * offsets carry across RUNS — the restart-shaped half of
+    * exactly-once. */
+  val streamIncrementalEtl: Q = (s, d) => withStatePartitions(s, 4) {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = Tables.tmp("ss-inc-stage", d)
+    val srcDir = new java.io.File(Tables.tmp("ss-inc-src", d))
+    val sink = Tables.tmp("ss-inc-sink", d)
+    val ckpt = Tables.tmp("ckpt-ss-inc", d)
+    Seq(srcDir.getAbsolutePath, sink, ckpt, stage).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    srcDir.mkdirs()
+    val raw = eventsTsNanos(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    def stageInto(df: DataFrame, name: String): Unit = {
+      val tmpDir = s"$stage/$name"
+      df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
+      val part = new java.io.File(tmpDir).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      stageAtomically(part.getAbsolutePath, new java.io.File(srcDir, s"$name.parquet"))
+    }
+    val schema = new StructType()
+      .add("event_id", LongType).add("event_type", StringType).add("value", DoubleType)
+    def runOnce(): Unit = {
+      val q = s.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    stageInto(raw.filter(col("event_id") % 2 === 0), "a")
+    runOnce()
+    stageInto(raw.filter(col("event_id") % 2 === 1), "b")
+    runOnce()
+    s.read.parquet(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents_sum"),
+        // xor-style order-free id checksum: doubles on reprocessing
+        sum(col("event_id")).as("id_sum"))
+      .orderBy("event_type")
+  }
+
+  val streamIncrementalEtlSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_sum,
+      |       CAST(sum(event_id) AS BIGINT) AS id_sum
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream-incremental-etl" -> streamIncrementalEtl,
     "stream-dedup-within-watermark" -> streamDedupWithinWatermark,
     "stream-multi-batch" -> streamMultiBatch,
     "stream-transform-with-state" -> streamTransformWithState,
@@ -1277,6 +1338,7 @@ object StreamingOps {
     "stream-join-static" -> streamJoinStatic)
 
   val oracles: Map[String, String] = Map(
+    "stream-incremental-etl" -> streamIncrementalEtlSql,
     "stream-dedup-within-watermark" -> streamDedupWithinWatermarkSql,
     "stream-multi-batch" -> streamMultiBatchSql,
     "stream-transform-with-state" -> streamTransformWithStateSql,
