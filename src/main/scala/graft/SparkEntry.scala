@@ -84,6 +84,7 @@ object SparkEntry {
     (RelMore60.queries, RelMore60.oracles),
     (RelMore61.queries, RelMore61.oracles),
     (RelMore62.queries, RelMore62.oracles),
+    (RelMore63.queries, RelMore63.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
