@@ -85,6 +85,7 @@ object SparkEntry {
     (RelMore61.queries, RelMore61.oracles),
     (RelMore62.queries, RelMore62.oracles),
     (RelMore63.queries, RelMore63.oracles),
+    (RelMore64.queries, RelMore64.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
