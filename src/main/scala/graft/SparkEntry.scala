@@ -86,6 +86,7 @@ object SparkEntry {
     (RelMore62.queries, RelMore62.oracles),
     (RelMore63.queries, RelMore63.oracles),
     (RelMore64.queries, RelMore64.oracles),
+    (RelMore65.queries, RelMore65.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
