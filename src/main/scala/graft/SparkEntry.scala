@@ -87,6 +87,7 @@ object SparkEntry {
     (RelMore63.queries, RelMore63.oracles),
     (RelMore64.queries, RelMore64.oracles),
     (RelMore65.queries, RelMore65.oracles),
+    (RelMore66.queries, RelMore66.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
