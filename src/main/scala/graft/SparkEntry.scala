@@ -88,6 +88,7 @@ object SparkEntry {
     (RelMore64.queries, RelMore64.oracles),
     (RelMore65.queries, RelMore65.oracles),
     (RelMore66.queries, RelMore66.oracles),
+    (RelMore67.queries, RelMore67.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

@@ -1313,7 +1313,58 @@ object StreamingOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** stream-dead-letter — the dead-letter-queue topology: one
+    * foreachBatch pass routes each micro-batch into a MAIN sink and a
+    * QUARANTINE sink by a validity predicate (here: payload key k < 80
+    * and non-negative value — standing in for schema-version and range
+    * checks), so bad records are preserved for replay instead of
+    * crashing the stream or being dropped. The batch is persisted
+    * before the two filtered writes — one source read, two sinks, the
+    * invariant that makes the split affordable at scale. Graded as
+    * per-(sink, event_type) counts: quarantine + main must partition
+    * the stream exactly. */
+  val streamDeadLetter: Q = (s, d) => withStatePartitions(s, 4) {
+    val main = Tables.tmp("stream-dlq-main", d)
+    val dlq = Tables.tmp("stream-dlq-quarantine", d)
+    val ckpt = Tables.tmp("ckpt-stream-dlq", d)
+    Seq(main, dlq, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val stream = streamEvents(s, d, withTs = false)
+      .withColumn("valid",
+        get_json_object(col("props"), "$.k").cast(IntegerType) < 80 &&
+          col("value") >= 0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        batch.filter(col("valid")).drop("valid")
+          .write.mode("append").parquet(main)
+        batch.filter(!col("valid")).drop("valid")
+          .write.mode("append").parquet(dlq)
+        batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val readBack = (dir: String, label: String) =>
+      s.read.parquet(dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n")).withColumn("sink", lit(label))
+    readBack(main, "main").unionByName(readBack(dlq, "quarantine"))
+      .select("sink", "event_type", "n")
+      .orderBy("sink", "event_type")
+  }
+
+  val streamDeadLetterSql: String =
+    """SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) < 80
+      |            AND value >= 0 THEN 'main' ELSE 'quarantine' END AS sink,
+      |       event_type, count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY sink, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "stream-dead-letter" -> streamDeadLetter,
     "stream-incremental-etl" -> streamIncrementalEtl,
     "stream-dedup-within-watermark" -> streamDedupWithinWatermark,
     "stream-multi-batch" -> streamMultiBatch,
@@ -1338,6 +1389,7 @@ object StreamingOps {
     "stream-join-static" -> streamJoinStatic)
 
   val oracles: Map[String, String] = Map(
+    "stream-dead-letter" -> streamDeadLetterSql,
     "stream-incremental-etl" -> streamIncrementalEtlSql,
     "stream-dedup-within-watermark" -> streamDedupWithinWatermarkSql,
     "stream-multi-batch" -> streamMultiBatchSql,
