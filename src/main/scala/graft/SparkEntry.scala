@@ -89,6 +89,7 @@ object SparkEntry {
     (RelMore65.queries, RelMore65.oracles),
     (RelMore66.queries, RelMore66.oracles),
     (RelMore67.queries, RelMore67.oracles),
+    (RelMore68.queries, RelMore68.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
