@@ -90,6 +90,7 @@ object SparkEntry {
     (RelMore66.queries, RelMore66.oracles),
     (RelMore67.queries, RelMore67.oracles),
     (RelMore68.queries, RelMore68.oracles),
+    (RelMore69.queries, RelMore69.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
