@@ -91,6 +91,7 @@ object SparkEntry {
     (RelMore67.queries, RelMore67.oracles),
     (RelMore68.queries, RelMore68.oracles),
     (RelMore69.queries, RelMore69.oracles),
+    (RelMore70.queries, RelMore70.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
