@@ -92,6 +92,7 @@ object SparkEntry {
     (RelMore68.queries, RelMore68.oracles),
     (RelMore69.queries, RelMore69.oracles),
     (RelMore70.queries, RelMore70.oracles),
+    (RelMore71.queries, RelMore71.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
