@@ -93,6 +93,7 @@ object SparkEntry {
     (RelMore69.queries, RelMore69.oracles),
     (RelMore70.queries, RelMore70.oracles),
     (RelMore71.queries, RelMore71.oracles),
+    (RelMore72.queries, RelMore72.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
