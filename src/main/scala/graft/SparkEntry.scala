@@ -94,6 +94,7 @@ object SparkEntry {
     (RelMore70.queries, RelMore70.oracles),
     (RelMore71.queries, RelMore71.oracles),
     (RelMore72.queries, RelMore72.oracles),
+    (RelMore73.queries, RelMore73.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
