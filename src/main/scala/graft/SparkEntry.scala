@@ -95,6 +95,7 @@ object SparkEntry {
     (RelMore71.queries, RelMore71.oracles),
     (RelMore72.queries, RelMore72.oracles),
     (RelMore73.queries, RelMore73.oracles),
+    (RelMore74.queries, RelMore74.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
