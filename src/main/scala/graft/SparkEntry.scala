@@ -96,6 +96,7 @@ object SparkEntry {
     (RelMore72.queries, RelMore72.oracles),
     (RelMore73.queries, RelMore73.oracles),
     (RelMore74.queries, RelMore74.oracles),
+    (RelMore75.queries, RelMore75.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

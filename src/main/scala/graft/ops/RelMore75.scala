@@ -220,7 +220,7 @@ object RelMore75 {
       |  FROM sup GROUP BY blk)
       |SELECT g.blk, g.n_members, g.golden_name, modal.golden_nation, g.golden_balance
       |FROM g JOIN modal ON g.blk = modal.blk
-      |ORDER BY n_members DESC, blk
+      |ORDER BY g.n_members DESC, g.blk
       |LIMIT 10""".stripMargin
 
   val queries: Map[String, Q] = Map(
