@@ -97,6 +97,8 @@ object SparkEntry {
     (RelMore73.queries, RelMore73.oracles),
     (RelMore74.queries, RelMore74.oracles),
     (RelMore75.queries, RelMore75.oracles),
+    (RelMore76.queries, RelMore76.oracles),
+    (RelMore77.queries, RelMore77.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
