@@ -99,6 +99,7 @@ object SparkEntry {
     (RelMore75.queries, RelMore75.oracles),
     (RelMore76.queries, RelMore76.oracles),
     (RelMore77.queries, RelMore77.oracles),
+    (RelMore78.queries, RelMore78.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
