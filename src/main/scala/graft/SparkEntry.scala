@@ -100,6 +100,7 @@ object SparkEntry {
     (RelMore76.queries, RelMore76.oracles),
     (RelMore77.queries, RelMore77.oracles),
     (RelMore78.queries, RelMore78.oracles),
+    (RelMore79.queries, RelMore79.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
