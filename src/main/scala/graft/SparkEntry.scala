@@ -101,6 +101,7 @@ object SparkEntry {
     (RelMore77.queries, RelMore77.oracles),
     (RelMore78.queries, RelMore78.oracles),
     (RelMore79.queries, RelMore79.oracles),
+    (RelMore80.queries, RelMore80.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
