@@ -102,6 +102,7 @@ object SparkEntry {
     (RelMore78.queries, RelMore78.oracles),
     (RelMore79.queries, RelMore79.oracles),
     (RelMore80.queries, RelMore80.oracles),
+    (RelMore81.queries, RelMore81.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
