@@ -103,6 +103,7 @@ object SparkEntry {
     (RelMore79.queries, RelMore79.oracles),
     (RelMore80.queries, RelMore80.oracles),
     (RelMore81.queries, RelMore81.oracles),
+    (RelMore82.queries, RelMore82.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
