@@ -104,6 +104,7 @@ object SparkEntry {
     (RelMore80.queries, RelMore80.oracles),
     (RelMore81.queries, RelMore81.oracles),
     (RelMore82.queries, RelMore82.oracles),
+    (RelMore83.queries, RelMore83.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
