@@ -105,6 +105,7 @@ object SparkEntry {
     (RelMore81.queries, RelMore81.oracles),
     (RelMore82.queries, RelMore82.oracles),
     (RelMore83.queries, RelMore83.oracles),
+    (RelMore84.queries, RelMore84.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
