@@ -106,6 +106,7 @@ object SparkEntry {
     (RelMore82.queries, RelMore82.oracles),
     (RelMore83.queries, RelMore83.oracles),
     (RelMore84.queries, RelMore84.oracles),
+    (RelMore85.queries, RelMore85.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
