@@ -107,6 +107,7 @@ object SparkEntry {
     (RelMore83.queries, RelMore83.oracles),
     (RelMore84.queries, RelMore84.oracles),
     (RelMore85.queries, RelMore85.oracles),
+    (RelMore86.queries, RelMore86.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
