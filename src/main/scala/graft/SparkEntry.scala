@@ -108,6 +108,7 @@ object SparkEntry {
     (RelMore84.queries, RelMore84.oracles),
     (RelMore85.queries, RelMore85.oracles),
     (RelMore86.queries, RelMore86.oracles),
+    (RelMore87.queries, RelMore87.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
