@@ -109,6 +109,7 @@ object SparkEntry {
     (RelMore85.queries, RelMore85.oracles),
     (RelMore86.queries, RelMore86.oracles),
     (RelMore87.queries, RelMore87.oracles),
+    (RelMore88.queries, RelMore88.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
