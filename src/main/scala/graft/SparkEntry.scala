@@ -110,6 +110,8 @@ object SparkEntry {
     (RelMore86.queries, RelMore86.oracles),
     (RelMore87.queries, RelMore87.oracles),
     (RelMore88.queries, RelMore88.oracles),
+    (RelMore90.queries, RelMore90.oracles),
+    (RelMore89.queries, RelMore89.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
