@@ -31,7 +31,7 @@ object RelMore87 {
     * ($RaDegCap) are excluded from generation — the same inverted-
     * index cap that keeps dedup-containment subquadratic. Top-20 by
     * (score desc, s1, s2). */
-  val graphResourceAlloc: Q = (s, d) => {
+  val graphResourceAlloc: Q = (s, d) => withShufflePartitions(s, 8) {
     val e = psEdges(s, d).sharedCache()
     val deg = e.groupBy("p").agg(count(lit(1)).as("degp"))
       .filter(col("degp") <= RaDegCap)
@@ -39,13 +39,16 @@ object RelMore87 {
     val withW = e.join(broadcast(deg), "p")
     val a = withW.select(col("p"), col("sp").as("s1"), col("wq"))
     val b = withW.select(col("p"), col("sp").as("s2"))
-    a.join(b, "p").filter(col("s1") < col("s2"))
+    val top = a.join(b, "p").filter(col("s1") < col("s2"))
       .groupBy("s1", "s2")
       .agg(count(lit(1)).as("n_common"), sum("wq").as("score_nano"))
       .orderBy(col("score_nano").desc, col("s1").asc, col("s2").asc)
       .limit(20)
       .select(col("s1"), col("s2"), col("n_common"),
         (col("score_nano").cast(DoubleType) / 1e9).as("ra_score"))
+      .sharedCache()
+    top.count() // materialize inside the scoped-partition block
+    top
   }
 
   val graphResourceAllocSql: String =
@@ -77,7 +80,7 @@ object RelMore87 {
     * fixpoint, no dampening drift. The part/supplier split in the
     * output uses the even/odd long encoding (GraphOps discipline) so
     * the hot joins never touch strings. Top-20 by (katz desc, node). */
-  val graphKatzCentrality: Q = (s, d) => {
+  val graphKatzCentrality: Q = (s, d) => withShufflePartitions(s, 8) {
     val pairs = psEdges(s, d)
       .select((col("p") * 2).as("pn"), (col("sp") * 2 + 1).as("sn"))
     val edges = pairs.select(col("pn").as("src"), col("sn").as("dst"))
@@ -88,7 +91,7 @@ object RelMore87 {
       .groupBy("src").agg(sum("w1").as("w2")).sharedCache()
     val w3 = edges.join(w2.withColumnRenamed("src", "dst"), "dst")
       .groupBy("src").agg(sum("w2").as("w3"))
-    w1.join(w2, "src").join(w3, "src")
+    val top = w1.join(w2, "src").join(w3, "src")
       .withColumn("katz8", lit(4) * col("w1") + lit(2) * col("w2") + col("w3"))
       .orderBy(col("katz8").desc, col("src").asc)
       .limit(20)
@@ -97,6 +100,9 @@ object RelMore87 {
           (col("src") / 2).cast(LongType).cast(StringType)).as("node"),
         col("w1"), col("w2"), col("w3"),
         (col("katz8").cast(DoubleType) / 8).as("katz"))
+      .sharedCache()
+    top.count() // materialize inside the scoped-partition block
+    top
   }
 
   val graphKatzCentralitySql: String =
