@@ -111,6 +111,7 @@ object SparkEntry {
     (RelMore87.queries, RelMore87.oracles),
     (RelMore88.queries, RelMore88.oracles),
     (RelMore90.queries, RelMore90.oracles),
+    (RelMore91.queries, RelMore91.oracles),
     (RelMore89.queries, RelMore89.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
