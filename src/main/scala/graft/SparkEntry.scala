@@ -112,6 +112,7 @@ object SparkEntry {
     (RelMore88.queries, RelMore88.oracles),
     (RelMore90.queries, RelMore90.oracles),
     (RelMore91.queries, RelMore91.oracles),
+    (RelMore92.queries, RelMore92.oracles),
     (RelMore89.queries, RelMore89.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
