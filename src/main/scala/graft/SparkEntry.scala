@@ -113,6 +113,7 @@ object SparkEntry {
     (RelMore90.queries, RelMore90.oracles),
     (RelMore91.queries, RelMore91.oracles),
     (RelMore92.queries, RelMore92.oracles),
+    (RelMore93.queries, RelMore93.oracles),
     (RelMore89.queries, RelMore89.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
