@@ -114,6 +114,7 @@ object SparkEntry {
     (RelMore91.queries, RelMore91.oracles),
     (RelMore92.queries, RelMore92.oracles),
     (RelMore93.queries, RelMore93.oracles),
+    (RelMore94.queries, RelMore94.oracles),
     (RelMore89.queries, RelMore89.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),

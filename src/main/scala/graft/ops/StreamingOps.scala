@@ -1363,6 +1363,48 @@ object StreamingOps {
       |GROUP BY 1, 2
       |ORDER BY sink, event_type""".stripMargin
 
+  /** stream-windowed-topk — the "trending now" panel: 6-hour tumbling
+    * event-time windows aggregate (count, revenue) per type in the
+    * STREAM (watermarked state, AvailableNow replay), and the top-2
+    * types per window come from a BATCH window rank over the result
+    * table — the standard two-layer split, because per-window top-k
+    * inside streaming state would need a rank-maintaining custom
+    * operator for what is a cheap post-pass over the (already tiny)
+    * aggregate. Windows align to the epoch exactly as Spark's
+    * window() does, which the oracle mirrors with integer epoch
+    * arithmetic. */
+  val streamWindowedTopk: Q = (s, d) => withStatePartitions(s, 4) {
+    val agg = streamEvents(s, d, withTs = true)
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast(LongType)).as("cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("cents"))
+    val tbl = runToTable(s, agg, "stream_windowed_topk", d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(col("n_events").desc, col("event_type").asc)
+    tbl.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .select(col("window_start"), col("rk"), col("event_type"), col("n_events"),
+        (col("cents").cast(DoubleType) / 100).as("revenue"))
+      .orderBy("window_start", "rk")
+  }
+
+  val streamWindowedTopkSql: String =
+    """WITH win AS (
+      |  SELECT strftime(make_timestamp((epoch_us(date_trunc('microseconds', ts)) // 21600000000) * 21600000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |         event_type, count(*) AS n_events,
+      |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY window_start ORDER BY n_events DESC, event_type) AS rk
+      |  FROM win)
+      |SELECT window_start, rk, event_type, n_events,
+      |       CAST(cents AS DOUBLE) / 100 AS revenue
+      |FROM ranked WHERE rk <= 2
+      |ORDER BY window_start, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "stream-dead-letter" -> streamDeadLetter,
     "stream-incremental-etl" -> streamIncrementalEtl,
@@ -1386,7 +1428,8 @@ object StreamingOps {
     "stream-sliding-window" -> streamSlidingWindow,
     "stream-stateful-count" -> streamStatefulCount,
     "stream-dedup-ids" -> streamDedupIds,
-    "stream-join-static" -> streamJoinStatic)
+    "stream-join-static" -> streamJoinStatic,
+    "stream-windowed-topk" -> streamWindowedTopk)
 
   val oracles: Map[String, String] = Map(
     "stream-dead-letter" -> streamDeadLetterSql,
@@ -1411,5 +1454,6 @@ object StreamingOps {
     "stream-sliding-window" -> streamSlidingWindowSql,
     "stream-stateful-count" -> streamStatefulCountSql,
     "stream-dedup-ids" -> streamDedupIdsSql,
-    "stream-join-static" -> streamJoinStaticSql)
+    "stream-join-static" -> streamJoinStaticSql,
+    "stream-windowed-topk" -> streamWindowedTopkSql)
 }
