@@ -115,6 +115,8 @@ object SparkEntry {
     (RelMore92.queries, RelMore92.oracles),
     (RelMore93.queries, RelMore93.oracles),
     (RelMore94.queries, RelMore94.oracles),
+    (RelMore95.queries, RelMore95.oracles),
+    (RelMore96.queries, RelMore96.oracles),
     (RelMore89.queries, RelMore89.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
