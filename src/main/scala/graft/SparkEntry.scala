@@ -118,6 +118,7 @@ object SparkEntry {
     (RelMore95.queries, RelMore95.oracles),
     (RelMore96.queries, RelMore96.oracles),
     (RelMore97.queries, RelMore97.oracles),
+    (RelMore98.queries, RelMore98.oracles),
     (RelMore89.queries, RelMore89.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
 import Tables._
 
 /** Round-9 batch O: Poisson bootstrap CI, TwoNN intrinsic dimension,
@@ -116,24 +117,27 @@ object RelMore77 {
     * TwoNN only needs each point's two closest, which bucket recall
     * covers. */
   val embIntrinsicDim: Q = (s, d) => {
+    // dist² via the aa − 2ab + bb expansion on the codegen'd
+    // dot_product expression (exact: integer-valued doubles < 2^53) —
+    // the interpreted zip_with/aggregate HOF form costs ~15× more on
+    // the N² pair grid. One window pass takes BOTH neighbors (top-2 by
+    // (d2, j)): rk2's d2 equals r1² exactly when the old ties_at_r1≥2
+    // rule fired, and is the strict next otherwise — same semantics,
+    // half the pair evaluations.
+    graft.functions.DotProduct.register(s)
     val base = embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xi"))
+      expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE))").as("v"))
+      .withColumn("n2", expr("dot_product(v, v)"))
       .sharedCache()
-    val a = base.select(col("vec_id").as("i"), col("xi").as("va"))
-    val b = base.select(col("vec_id").as("j"), col("xi").as("vb"))
+    val a = base.select(col("vec_id").as("i"), col("v").as("va"), col("n2").as("aa"))
+    val b = base.select(col("vec_id").as("j"), col("v").as("vb"), col("n2").as("bb"))
     val pairs = a.join(b, col("i") =!= col("j"))
-      .select(col("i"), expr(
-        "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, z) -> acc + z)")
-        .as("d2"))
-    val r1 = pairs.groupBy("i").agg(min("d2").as("r1sq"))
-    val nn = pairs.join(broadcast(r1), "i")
-      .groupBy("i")
-      .agg(max("r1sq").as("r1sq"),
-        sum(when(col("d2") === col("r1sq"), 1L).otherwise(0L)).as("ties_at_r1"),
-        min(when(col("d2") > col("r1sq"), col("d2"))).as("r2sq_strict"))
+      .select(col("i"), col("j"),
+        expr("CAST(aa - 2 * dot_product(va, vb) + bb AS BIGINT)").as("d2"))
+    val w = Window.partitionBy("i").orderBy(col("d2").asc, col("j").asc)
+    val nn = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .groupBy("i").agg(min("d2").as("r1sq"), max("d2").as("r2sq"))
       .filter(col("r1sq") > 0)
-      .select(col("i"), col("r1sq"),
-        when(col("ties_at_r1") >= 2, col("r1sq")).otherwise(col("r2sq_strict")).as("r2sq"))
     nn.agg(count(lit(1)).as("n_used"),
       round(sum(log(col("r2sq").cast(DoubleType) / col("r1sq"))) / 2, 6).as("sum_log_mu"))
       // derived from the ROUNDED sum so both engines divide identical doubles
