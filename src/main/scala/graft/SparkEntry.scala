@@ -119,6 +119,7 @@ object SparkEntry {
     (RelMore96.queries, RelMore96.oracles),
     (RelMore97.queries, RelMore97.oracles),
     (RelMore98.queries, RelMore98.oracles),
+    (RelMore99.queries, RelMore99.oracles),
     (RelMore89.queries, RelMore89.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),

@@ -397,6 +397,11 @@ object TextDedup {
 
   val dedupSimhash: Q = (s, d) => simhashDf(s, d).orderBy("doc_id")
 
+  /** The fingerprint frame and its oracle CTE, exposed for ops that
+    * build on SimHash blocking (RelMore99 multiprobe). */
+  private[ops] def simhashFrame(s: SparkSession, d: String): DataFrame = simhashDf(s, d)
+  private[ops] def simhashCoreSqlShared: String = simhashCoreSql
+
   /** Simhash computation as a CTE-embeddable SELECT (no ORDER BY). */
   private val simhashCoreSql: String = {
     val sums = (1 to 64).map { j =>
