@@ -121,6 +121,7 @@ object SparkEntry {
     (RelMore98.queries, RelMore98.oracles),
     (RelMore99.queries, RelMore99.oracles),
     (RelMore89.queries, RelMore89.oracles),
+    (RelMore100.queries, RelMore100.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
