@@ -122,6 +122,7 @@ object SparkEntry {
     (RelMore99.queries, RelMore99.oracles),
     (RelMore89.queries, RelMore89.oracles),
     (RelMore100.queries, RelMore100.oracles),
+    (RelMore101.queries, RelMore101.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
