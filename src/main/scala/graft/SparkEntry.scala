@@ -123,6 +123,7 @@ object SparkEntry {
     (RelMore89.queries, RelMore89.oracles),
     (RelMore100.queries, RelMore100.oracles),
     (RelMore101.queries, RelMore101.oracles),
+    (RelMore102.queries, RelMore102.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

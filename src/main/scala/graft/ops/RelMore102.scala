@@ -1,0 +1,229 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Round-11 batch C: Brown double exponential smoothing, trailing VWAP
+  * deviation, bipartite rich-club coefficient, neighbor-degree curve. */
+object RelMore102 {
+
+  /** win-holt-brown — Brown's double exponential smoothing (level +
+    * trend) of daily revenue with α = 1/2: s1 = EWMA(x), s2 = EWMA(s1),
+    * level = 2s1−s2, trend = (α/(1−α))(s1−s2) = s1−s2, so the one-step
+    * forecast is 3s1 − 2s2 — the cheapest trend-aware forecaster, and
+    * the baseline agg-forecast-backtest should have to beat. Both
+    * EWMAs are the bounded 8-lag truncated form with exact power-of-two
+    * integer weights and a floor division back to long (the win-ewma
+    * discipline): s1 is an exact long, so the SECOND smoothing pass
+    * chains on exact inputs — no float recursion ever compounds. Series
+    * is calendar-bounded; windows never exceed ≤n_days rows. */
+  val winHoltBrown: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.orderBy("dt")
+    def ewma8(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val lags = (0 to 7).map { k =>
+        val lc = if (k == 0) c else lag(c, k).over(wd)
+        (lc, 1L << (7 - k))
+      }
+      val num = lags.map { case (lc, wt) => coalesce(lc * lit(wt), lit(0L)) }.reduce(_ + _)
+      val den = lags.map { case (lc, wt) => when(lc.isNotNull, lit(wt)).otherwise(lit(0L)) }
+        .reduce(_ + _)
+      floor(num.cast(DoubleType) / den).cast(LongType)
+    }
+    val daily = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("cents"))
+    val s1f = daily.withColumn("s1", ewma8(col("cents")))
+    val s2f = s1f.withColumn("s2", ewma8(col("s1")))
+    s2f
+      .withColumn("forecast_next", lit(3L) * col("s1") - lit(2L) * col("s2"))
+      .withColumn("actual_next", lead("cents", 1).over(wd))
+      .select(col("dt"), col("cents"), col("s1"), col("s2"), col("forecast_next"),
+        col("actual_next"),
+        when(col("actual_next").isNotNull,
+          abs(col("actual_next") - col("forecast_next"))).as("abs_err"))
+      .orderBy("dt")
+  }
+
+  val winHoltBrownSql: String = {
+    def terms(c: String) = {
+      val num = (0 to 7).map { k =>
+        val lc = if (k == 0) c else s"lag($c, $k) OVER w"
+        s"COALESCE($lc * ${1L << (7 - k)}, 0)"
+      }.mkString(" + ")
+      val den = (0 to 7).map { k =>
+        val lc = if (k == 0) c else s"lag($c, $k) OVER w"
+        s"CASE WHEN $lc IS NOT NULL THEN ${1L << (7 - k)} ELSE 0 END"
+      }.mkString(" + ")
+      s"CAST(floor(CAST($num AS DOUBLE) / ($den)) AS BIGINT)"
+    }
+    s"""WITH daily AS (
+       |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS dt,
+       |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |s1f AS (
+       |  SELECT dt, cents, ${terms("cents")} AS s1
+       |  FROM daily WINDOW w AS (ORDER BY dt)),
+       |s2f AS (
+       |  SELECT dt, cents, s1, ${terms("s1")} AS s2
+       |  FROM s1f WINDOW w AS (ORDER BY dt))
+       |SELECT dt, cents, s1, s2,
+       |       3 * s1 - 2 * s2 AS forecast_next,
+       |       lead(cents) OVER (ORDER BY dt) AS actual_next,
+       |       CASE WHEN lead(cents) OVER (ORDER BY dt) IS NOT NULL
+       |            THEN abs(lead(cents) OVER (ORDER BY dt) - (3 * s1 - 2 * s2))
+       |       END AS abs_err
+       |FROM s2f ORDER BY dt""".stripMargin
+  }
+
+  /** win-vwap-deviation — trade-based trailing VWAP per part (last 30
+    * line items) and each trade's unit-price deviation from it: the
+    * execution-quality metric (are we buying above the running
+    * volume-weighted market?). ROWS-framed, so window state is O(30)
+    * per part at any history length; numerator/denominator are exact
+    * integer sums (cents × qty), the one division and the deviation
+    * ratio happen at output from identical exact inputs. Sampled to
+    * partkey % 199 to keep the graded dump bounded — the plan is
+    * identical unsampled. */
+  val winVwapDeviation: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_partkey")
+      .orderBy("sd", "l_orderkey", "l_linenumber").rowsBetween(-29, 0)
+    lineitem(s, d).filter(col("l_partkey") % 199 === 0)
+      .select(col("l_partkey"), to_date(col("l_shipdate")).as("sd"),
+        col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ext_cents"),
+        col("l_quantity").cast(LongType).as("qty"))
+      .withColumn("vnum", sum("ext_cents").over(w))
+      .withColumn("vden", sum("qty").over(w))
+      .select(col("l_partkey"), col("sd"), col("l_orderkey"), col("l_linenumber"),
+        round(col("vnum").cast(DoubleType) / col("vden") / 100, 4).as("vwap"),
+        round((col("ext_cents").cast(DoubleType) / col("qty") -
+          col("vnum").cast(DoubleType) / col("vden")) /
+          (col("vnum").cast(DoubleType) / col("vden")), 6).as("deviation"))
+      .orderBy("l_partkey", "sd", "l_orderkey", "l_linenumber")
+  }
+
+  val winVwapDeviationSql: String =
+    """WITH t AS (
+      |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS sd, l_orderkey, l_linenumber,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS ext_cents,
+      |         CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_partkey % 199 = 0),
+      |v AS (
+      |  SELECT l_partkey, sd, l_orderkey, l_linenumber, ext_cents, qty,
+      |         CAST(sum(ext_cents) OVER w AS BIGINT) AS vnum,
+      |         CAST(sum(qty) OVER w AS BIGINT) AS vden
+      |  FROM t WINDOW w AS (PARTITION BY l_partkey ORDER BY sd, l_orderkey, l_linenumber
+      |                      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+      |SELECT l_partkey, sd, l_orderkey, l_linenumber,
+      |       round(CAST(vnum AS DOUBLE) / vden / 100, 4) AS vwap,
+      |       round((CAST(ext_cents AS DOUBLE) / qty - CAST(vnum AS DOUBLE) / vden) /
+      |             (CAST(vnum AS DOUBLE) / vden), 6) AS deviation
+      |FROM v ORDER BY l_partkey, sd, l_orderkey, l_linenumber""".stripMargin
+
+  private val RichClubKs = Seq(1, 2, 4, 8, 16, 32)
+
+  /** graph-rich-club — bipartite rich-club coefficient over the
+    * part↔supplier graph: for each degree threshold k, the density of
+    * edges among the "rich" nodes (both endpoint degrees > k),
+    * normalized by the bipartite maximum P_k·S_k. A rising φ(k) means
+    * high-degree parts and suppliers preferentially interconnect —
+    * the single number graph-assortativity summarizes, resolved into
+    * a curve. One distinct-pair shuffle + two degree aggs; the 6-way
+    * threshold expansion multiplies only the EDGE list (linear), and
+    * every count is exact. */
+  val graphRichClub: Q = (s, d) => {
+    val pairs = lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      .sharedCache()
+    val pdeg = pairs.groupBy("p").agg(count(lit(1)).as("pd")).sharedCache()
+    val sdeg = pairs.groupBy("sk").agg(count(lit(1)).as("sd")).sharedCache()
+    val ks = RichClubKs.map(k => lit(k))
+    val eks = pairs.join(pdeg, Seq("p")).join(sdeg, Seq("sk"))
+      .select(explode(array(ks: _*)).as("k"), col("pd"), col("sd"))
+      .filter(col("pd") > col("k") && col("sd") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("e_rich"))
+    val pks = pdeg.select(explode(array(ks: _*)).as("k"), col("pd"))
+      .filter(col("pd") > col("k")).groupBy("k").agg(count(lit(1)).as("p_rich"))
+    val sks = sdeg.select(explode(array(ks: _*)).as("k"), col("sd"))
+      .filter(col("sd") > col("k")).groupBy("k").agg(count(lit(1)).as("s_rich"))
+    pks.join(sks, Seq("k")).join(eks, Seq("k"), "left")
+      .select(col("k"), col("p_rich"), col("s_rich"),
+        coalesce(col("e_rich"), lit(0L)).as("e_rich"),
+        round(coalesce(col("e_rich"), lit(0L)).cast(DoubleType) /
+          (col("p_rich") * col("s_rich")), 6).as("phi"))
+      .orderBy("k")
+  }
+
+  val graphRichClubSql: String = {
+    val klist = RichClubKs.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+       |pdeg AS (SELECT p, count(*) AS pd FROM pairs GROUP BY p),
+       |sdeg AS (SELECT sk, count(*) AS sd FROM pairs GROUP BY sk),
+       |ks AS (SELECT unnest([$klist]) AS k),
+       |ek AS (
+       |  SELECT k, count(*) AS e_rich
+       |  FROM pairs JOIN pdeg USING (p) JOIN sdeg USING (sk) CROSS JOIN ks
+       |  WHERE pd > k AND sd > k GROUP BY k),
+       |pk AS (SELECT k, count(*) AS p_rich FROM pdeg CROSS JOIN ks WHERE pd > k GROUP BY k),
+       |sk2 AS (SELECT k, count(*) AS s_rich FROM sdeg CROSS JOIN ks WHERE sd > k GROUP BY k)
+       |SELECT k, p_rich, s_rich, COALESCE(e_rich, 0) AS e_rich,
+       |       round(CAST(COALESCE(e_rich, 0) AS DOUBLE) / (p_rich * s_rich), 6) AS phi
+       |FROM pk JOIN sk2 USING (k) LEFT JOIN ek USING (k)
+       |ORDER BY k""".stripMargin
+  }
+
+  /** graph-knn-degree — average-nearest-neighbor-degree curve k_nn(k)
+    * for the part side of the bipartite graph: for each part degree k,
+    * the mean over parts of (mean supplier degree among its
+    * neighbors). graph-assortativity compresses this curve to one
+    * correlation; the curve itself shows WHERE mixing changes (flat =
+    * neutral, falling = hubs avoid hubs). Per-part neighbor-degree
+    * sums are exact integers; the per-part ratio is floor-quantized
+    * at 1e-6 before the per-k fold (order-independent), and the
+    * output is degree-domain-bounded (≤ max-degree rows). */
+  val graphKnnDegree: Q = (s, d) => {
+    val pairs = lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      .sharedCache()
+    val sdeg = pairs.groupBy("sk").agg(count(lit(1)).as("sd"))
+    val perPart = pairs.join(sdeg, Seq("sk"))
+      .groupBy("p").agg(sum("sd").as("nbr_deg_sum"), count(lit(1)).as("pd"))
+    perPart
+      .select(col("pd").as("k"),
+        floor(col("nbr_deg_sum").cast(DoubleType) / col("pd") * lit(1e6))
+          .cast(LongType).as("knnq"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum("knnq").cast(DoubleType) / 1e6 / count(lit(1)), 4).as("knn"))
+      .orderBy("k")
+  }
+
+  val graphKnnDegreeSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+      |sdeg AS (SELECT sk, count(*) AS sd FROM pairs GROUP BY sk),
+      |per_part AS (
+      |  SELECT p, CAST(sum(sd) AS BIGINT) AS nbr_deg_sum, count(*) AS pd
+      |  FROM pairs JOIN sdeg USING (sk) GROUP BY p)
+      |SELECT pd AS k, count(*) AS n_parts,
+      |       round(CAST(sum(CAST(floor(CAST(nbr_deg_sum AS DOUBLE) / pd * 1e6) AS BIGINT)) AS DOUBLE)
+      |             / 1e6 / count(*), 4) AS knn
+      |FROM per_part GROUP BY pd ORDER BY pd""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "win-holt-brown" -> winHoltBrown,
+    "win-vwap-deviation" -> winVwapDeviation,
+    "graph-rich-club" -> graphRichClub,
+    "graph-knn-degree" -> graphKnnDegree)
+
+  val oracles: Map[String, String] = Map(
+    "win-holt-brown" -> winHoltBrownSql,
+    "win-vwap-deviation" -> winVwapDeviationSql,
+    "graph-rich-club" -> graphRichClubSql,
+    "graph-knn-degree" -> graphKnnDegreeSql)
+}
