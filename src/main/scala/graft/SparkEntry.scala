@@ -124,6 +124,7 @@ object SparkEntry {
     (RelMore100.queries, RelMore100.oracles),
     (RelMore101.queries, RelMore101.oracles),
     (RelMore102.queries, RelMore102.oracles),
+    (RelMore103.queries, RelMore103.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
