@@ -125,6 +125,7 @@ object SparkEntry {
     (RelMore101.queries, RelMore101.oracles),
     (RelMore102.queries, RelMore102.oracles),
     (RelMore103.queries, RelMore103.oracles),
+    (RelMore104.queries, RelMore104.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
