@@ -126,6 +126,7 @@ object SparkEntry {
     (RelMore102.queries, RelMore102.oracles),
     (RelMore103.queries, RelMore103.oracles),
     (RelMore104.queries, RelMore104.oracles),
+    (RelMore105.queries, RelMore105.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
