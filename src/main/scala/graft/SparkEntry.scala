@@ -127,6 +127,7 @@ object SparkEntry {
     (RelMore103.queries, RelMore103.oracles),
     (RelMore104.queries, RelMore104.oracles),
     (RelMore105.queries, RelMore105.oracles),
+    (RelMore106.queries, RelMore106.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
