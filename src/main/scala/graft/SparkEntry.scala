@@ -128,6 +128,7 @@ object SparkEntry {
     (RelMore104.queries, RelMore104.oracles),
     (RelMore105.queries, RelMore105.oracles),
     (RelMore106.queries, RelMore106.oracles),
+    (RelMore107.queries, RelMore107.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
