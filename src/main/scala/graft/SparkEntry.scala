@@ -129,6 +129,7 @@ object SparkEntry {
     (RelMore105.queries, RelMore105.oracles),
     (RelMore106.queries, RelMore106.oracles),
     (RelMore107.queries, RelMore107.oracles),
+    (RelMore108.queries, RelMore108.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
