@@ -130,6 +130,7 @@ object SparkEntry {
     (RelMore106.queries, RelMore106.oracles),
     (RelMore107.queries, RelMore107.oracles),
     (RelMore108.queries, RelMore108.oracles),
+    (RelMore109.queries, RelMore109.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
