@@ -131,6 +131,7 @@ object SparkEntry {
     (RelMore107.queries, RelMore107.oracles),
     (RelMore108.queries, RelMore108.oracles),
     (RelMore109.queries, RelMore109.oracles),
+    (RelMore110.queries, RelMore110.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
