@@ -132,6 +132,7 @@ object SparkEntry {
     (RelMore108.queries, RelMore108.oracles),
     (RelMore109.queries, RelMore109.oracles),
     (RelMore110.queries, RelMore110.oracles),
+    (RelMore111.queries, RelMore111.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
