@@ -133,6 +133,7 @@ object SparkEntry {
     (RelMore109.queries, RelMore109.oracles),
     (RelMore110.queries, RelMore110.oracles),
     (RelMore111.queries, RelMore111.oracles),
+    (RelMore112.queries, RelMore112.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
