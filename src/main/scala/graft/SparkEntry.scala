@@ -134,6 +134,7 @@ object SparkEntry {
     (RelMore110.queries, RelMore110.oracles),
     (RelMore111.queries, RelMore111.oracles),
     (RelMore112.queries, RelMore112.oracles),
+    (RelMore113.queries, RelMore113.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
