@@ -135,6 +135,7 @@ object SparkEntry {
     (RelMore111.queries, RelMore111.oracles),
     (RelMore112.queries, RelMore112.oracles),
     (RelMore113.queries, RelMore113.oracles),
+    (RelMore114.queries, RelMore114.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
