@@ -136,6 +136,7 @@ object SparkEntry {
     (RelMore112.queries, RelMore112.oracles),
     (RelMore113.queries, RelMore113.oracles),
     (RelMore114.queries, RelMore114.oracles),
+    (RelMore115.queries, RelMore115.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

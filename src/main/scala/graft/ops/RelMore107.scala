@@ -222,11 +222,15 @@ object RelMore107 {
       |GROUP BY fold, n_total, leak_max_folds
       |ORDER BY fold""".stripMargin
 
-  /** layout-zonemap-skipping — simulate min/max zone-map file
-    * skipping for a one-month shipdate range under two 32-file
-    * layouts of lineitem: SORTED (files = shipdate ntiles — what a
-    * sort-on-write sink produces) vs HASHED (files = orderkey hash
-    * buckets — what an unsorted ingest produces). Per layout the
+  /** layout-overscan-rows — ROW-weighted zone-map overscan under
+    * two 32-file layouts of lineitem for a one-month shipdate range:
+    * SORTED (files = shipdate ntiles — what a sort-on-write sink
+    * produces) vs HASHED (files = orderkey hash buckets — what an
+    * unsorted ingest produces). The sibling layout-zonemap-skipping
+    * (RelMore55) counts FILES skipped over a 12-predicate panel;
+    * this op weighs the skip by ROWS and emits the overscan ratio
+    * (wasted rows / scanned rows), the quantity a scan-cost model
+    * actually bills. Per layout the
     * per-file [min,max] shipdate zone maps decide which files a
     * range predicate must scan; the row emits files scanned, rows
     * scanned, and the true matching rows, so the sorted layout's
@@ -309,11 +313,11 @@ object RelMore107 {
     "agg-cointegration" -> aggCointegration,
     "emb-isotropy" -> embIsotropy,
     "sample-kfold-assign" -> sampleKfoldAssign,
-    "layout-zonemap-skipping" -> layoutZonemapSkipping)
+    "layout-overscan-rows" -> layoutZonemapSkipping)
 
   val oracles: Map[String, String] = Map(
     "agg-cointegration" -> aggCointegrationSql,
     "emb-isotropy" -> embIsotropySql,
     "sample-kfold-assign" -> sampleKfoldAssignSql,
-    "layout-zonemap-skipping" -> layoutZonemapSkippingSql)
+    "layout-overscan-rows" -> layoutZonemapSkippingSql)
 }
