@@ -137,6 +137,7 @@ object SparkEntry {
     (RelMore113.queries, RelMore113.oracles),
     (RelMore114.queries, RelMore114.oracles),
     (RelMore115.queries, RelMore115.oracles),
+    (RelMore116.queries, RelMore116.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
