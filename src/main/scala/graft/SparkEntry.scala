@@ -138,6 +138,8 @@ object SparkEntry {
     (RelMore114.queries, RelMore114.oracles),
     (RelMore115.queries, RelMore115.oracles),
     (RelMore116.queries, RelMore116.oracles),
+    (RelMore117.queries, RelMore117.oracles),
+    (RelMore118.queries, RelMore118.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
