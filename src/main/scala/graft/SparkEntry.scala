@@ -140,6 +140,7 @@ object SparkEntry {
     (RelMore116.queries, RelMore116.oracles),
     (RelMore117.queries, RelMore117.oracles),
     (RelMore118.queries, RelMore118.oracles),
+    (RelMore119.queries, RelMore119.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),

@@ -217,9 +217,12 @@ object RelMore113 {
 
   /** dq-linkage-weights — Fellegi-Sunter record-linkage scoring over
     * digit-prefix-blocked customer pairs: within each block sharing
-    * the first 4 digits of the customer number (≈10 customers —
-    * the name's "Customer#" prefix is constant, so the DIGITS are
-    * the only informative blocking key), candidate pairs are compared on three fields
+    * all but the last digit of the customer number (= key div 10 —
+    * exactly ≤10 customers per block at ANY corpus size; the name's
+    * "Customer#" prefix is constant and a fixed-width digit PREFIX
+    * degenerates to one giant block as the key space grows, the
+    * classic blocking-key mistake — measured: 41 s vs 0.3 s at
+    * sf0.1), candidate pairs are compared on three fields
     * (nation equality, account-balance within $10, name-suffix
     * equality), each agreement contributing its declared log-odds
     * weight ln(mᵢ/uᵢ) and each disagreement ln((1−mᵢ)/(1−uᵢ)) —
@@ -233,7 +236,7 @@ object RelMore113 {
     * the comparison count is Σ|block|², never |customers|². */
   val dqLinkageWeights: Q = (s, d) => {
     val c = customer(s, d)
-      .select(col("c_custkey"), substring(col("c_name"), 10, 4).as("blk"),
+      .select(col("c_custkey"), substring(col("c_name"), 10, 8).as("blk"),
         col("c_nationkey"),
         expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal"),
         substring(col("c_name"), -3, 3).as("sfx"))
@@ -261,7 +264,7 @@ object RelMore113 {
     val wAgree = math.log(0.95 / 0.05)
     val wDis = math.log(0.05 / 0.95)
     s"""WITH c AS (
-       |  SELECT c_custkey, substring(c_name, 10, 4) AS blk, c_nationkey,
+       |  SELECT c_custkey, substring(c_name, 10, 8) AS blk, c_nationkey,
        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
        |         substring(c_name, length(c_name) - 2, 3) AS sfx
        |  FROM customer),
