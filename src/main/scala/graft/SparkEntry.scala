@@ -141,6 +141,7 @@ object SparkEntry {
     (RelMore117.queries, RelMore117.oracles),
     (RelMore118.queries, RelMore118.oracles),
     (RelMore119.queries, RelMore119.oracles),
+    (RelMore120.queries, RelMore120.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
