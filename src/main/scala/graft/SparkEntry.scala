@@ -142,6 +142,7 @@ object SparkEntry {
     (RelMore118.queries, RelMore118.oracles),
     (RelMore119.queries, RelMore119.oracles),
     (RelMore120.queries, RelMore120.oracles),
+    (RelMore121.queries, RelMore121.oracles),
     (FuncSuites.queries, FuncSuites.oracles),
     (RelWarehouse.queries, RelWarehouse.oracles),
     (TextDedup.queries, TextDedup.oracles),
