@@ -19,29 +19,45 @@ object RelMore134 {
     * design: the enumeration self-join runs only over baskets'
     * L1-filtered distinct items (bounded per-basket fan-out ≤ k³) and
     * is semi-joined against the broadcast candidate set before the
-    * counting shuffle. minsup = 0.5% of baskets, derived from the
+    * counting shuffle. minsup = 0.25% of baskets (25 bp — chosen scale-invariantly: the 0.5%
+    * first cut filtered EVERY triple at sf0.1 while passing 15 at
+    * sf0.01, the classic scale-dependent-constant trap), derived from the
     * data as an exact integer. Lift vs independence from exact
     * integer supports; top 15 by support. */
   val aggAprioriTriples: Q = (s, d) => {
-    val items = lineitem(s, d)
+    // ONE shuffle builds the baskets: collect_set dedupes in-agg, so
+    // no separate distinct pass, and the per-basket sorted item array
+    // feeds L1, L2 and the triple enumeration as bounded per-row
+    // explodes instead of k-way self-joins on the basket key (each of
+    // which would re-shuffle the full item stream). This collapsed the
+    // op from four shuffles of ~|items| to one.
+    val rawBaskets = lineitem(s, d)
       .join(part(s, d).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-      .distinct()
+      .groupBy("ok").agg(sort_array(collect_set(col("b"))).as("bs0"))
       .sharedCache()
-    val nb = items.agg(count_distinct(col("ok")).as("n_baskets"))
-    // minsup = ⌈0.005·n⌉ as exact integer: (5n + 999) div 1000
-    val l1 = items.groupBy("b").agg(count(lit(1)).as("sup1"))
+    val nb = rawBaskets.agg(count(lit(1)).as("n_baskets"))
+    // support test kept in exact integers: sup·10000 ≥ n·25
+    val l1 = rawBaskets.select(explode(col("bs0")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("sup1"))
       .crossJoin(broadcast(nb))
-      .filter(expr("sup1 * 1000 >= n_baskets * 5"))
+      .filter(expr("sup1 * 10000 >= n_baskets * 25"))
       .sharedCache()
-    val fi = items.join(broadcast(l1.select("b")), Seq("b"))
-    val p1 = fi.select(col("ok"), col("b").as("x"))
-    val p2 = fi.select(col("ok"), col("b").as("y"))
-    val l2 = p1.join(p2, Seq("ok")).filter(col("x") < col("y"))
-      .groupBy("x", "y").agg(count(lit(1)).as("sup2"))
+    // L1 filter applied INSIDE each basket array (broadcast single-row
+    // frequent-item set), preserving sort order
+    val l1arr = l1.agg(sort_array(collect_list(col("b"))).as("l1s"))
+    val baskets = rawBaskets.crossJoin(broadcast(l1arr))
+      .select(col("ok"), expr("filter(bs0, x -> array_contains(l1s, x))").as("bs"))
+      .sharedCache()
+    val l2 = baskets.filter(size(col("bs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(bs) - 2), i ->
+          |  transform(sequence(i + 1, size(bs) - 1), j ->
+          |    struct(bs[i] AS x, bs[j] AS y))))""".stripMargin)).as("p"))
+      .groupBy("p.x", "p.y").agg(count(lit(1)).as("sup2"))
       .crossJoin(broadcast(nb))
-      .filter(expr("sup2 * 1000 >= n_baskets * 5"))
+      .filter(expr("sup2 * 10000 >= n_baskets * 25"))
       .select("x", "y")
       .sharedCache()
     // candidate (a,b,c): (a,b) ⋈ (a,c) with b<c, prune on (b,c) ∈ L2
@@ -50,15 +66,18 @@ object RelMore134 {
       .select(col("ab.x").as("a"), col("ab.y").as("bb"), col("ac.y").as("c"))
       .join(l2.select(col("x").as("bb"), col("y").as("c")), Seq("bb", "c"))
       .select("a", "bb", "c")
-    val t1 = fi.select(col("ok"), col("b").as("a"))
-    val t2 = fi.select(col("ok"), col("b").as("bb"))
-    val t3 = fi.select(col("ok"), col("b").as("c"))
-    val sup3 = t1.join(t2, Seq("ok")).filter(col("a") < col("bb"))
-      .join(t3, Seq("ok")).filter(col("bb") < col("c"))
-      .join(broadcast(cand), Seq("a", "bb", "c"))
+    val triples = baskets.filter(size(col("bs")) >= 3)
+      .select(explode(expr(
+      """flatten(transform(sequence(0, size(bs) - 3), i ->
+        |  flatten(transform(sequence(i + 1, size(bs) - 2), j ->
+        |    transform(sequence(j + 1, size(bs) - 1), k ->
+        |      struct(bs[i] AS a, bs[j] AS bb, bs[k] AS c))))))""".stripMargin)).as("t"))
+      .select(col("t.a"), col("t.bb"), col("t.c"))
+    val sup3 = triples
+      .join(broadcast(cand), Seq("a", "bb", "c"), "left_semi")
       .groupBy("a", "bb", "c").agg(count(lit(1)).as("sup3"))
       .crossJoin(broadcast(nb))
-      .filter(expr("sup3 * 1000 >= n_baskets * 5"))
+      .filter(expr("sup3 * 10000 >= n_baskets * 25"))
     sup3.join(broadcast(l1.select(col("b").as("a"), col("sup1").as("sa"))), Seq("a"))
       .join(broadcast(l1.select(col("b").as("bb"), col("sup1").as("sb"))), Seq("bb"))
       .join(broadcast(l1.select(col("b").as("c"), col("sup1").as("sc"))), Seq("c"))
@@ -79,12 +98,12 @@ object RelMore134 {
       |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM items),
       |l1 AS MATERIALIZED (
       |  SELECT b, CAST(count(*) AS BIGINT) AS sup1 FROM items
-      |  GROUP BY 1 HAVING count(*) * 1000 >= (SELECT n_baskets * 5 FROM nb)),
+      |  GROUP BY 1 HAVING count(*) * 10000 >= (SELECT n_baskets * 25 FROM nb)),
       |fi AS MATERIALIZED (SELECT ok, items.b FROM items JOIN l1 USING (b)),
       |l2 AS MATERIALIZED (
       |  SELECT p1.b AS x, p2.b AS y
       |  FROM fi p1 JOIN fi p2 ON p1.ok = p2.ok AND p1.b < p2.b
-      |  GROUP BY 1, 2 HAVING count(*) * 1000 >= (SELECT n_baskets * 5 FROM nb)),
+      |  GROUP BY 1, 2 HAVING count(*) * 10000 >= (SELECT n_baskets * 25 FROM nb)),
       |cand AS (
       |  SELECT ab.x AS a, ab.y AS bb, ac.y AS c
       |  FROM l2 ab JOIN l2 ac ON ab.x = ac.x AND ab.y < ac.y
@@ -95,7 +114,7 @@ object RelMore134 {
       |  JOIN fi t3 ON t2.ok = t3.ok AND t2.b < t3.b
       |  JOIN cand ON cand.a = t1.b AND cand.bb = t2.b AND cand.c = t3.b
       |  GROUP BY 1, 2, 3
-      |  HAVING count(*) * 1000 >= (SELECT n_baskets * 5 FROM nb))
+      |  HAVING count(*) * 10000 >= (SELECT n_baskets * 25 FROM nb))
       |SELECT a AS brand1, bb AS brand2, c AS brand3, sup3 AS support,
       |       floor(CAST(sup3 AS DOUBLE) * 1e6 / n_baskets) / 1e6 AS support_ratio,
       |       floor(CAST(sup3 AS DOUBLE) * n_baskets * n_baskets * 1e4 /
