@@ -134,10 +134,10 @@ object RelMore121 {
     * entangled... high loss = classes collapsed apart): unlike
     * emb-silhouette's hard nearest-centroid geometry, SNN weighs
     * EVERY pair, which is why it's used to probe representation
-    * entanglement layer by layer. Each pair's d² is one exact
-    * integer array fold on the ROW-pair frame (never a 64×-exploded
-    * shuffle — the array form keeps the pair pass |corpus|² rows,
-    * codegen-fused);
+    * entanglement layer by layer. Each pair's d² is the exact
+    * norm-expansion on the codegen'd dot_product (never a
+    * 64×-exploded shuffle — the array form keeps the pair pass
+    * |corpus|² rows);
     * each Boltzmann term is one identical exp double pico-floor-
     * quantized so both partition sums are exact integers; the
     * per-anchor log-ratio and the final mean are the only
@@ -146,15 +146,19 @@ object RelMore121 {
     * bounded-fixture audit shape — stated, with the LSH/IVF path the
     * scale story for real corpora. */
   val embSoftNnLoss: Q = (s, d) => {
+    // norm-expansion d² on the codegen'd dot_product, NOT an
+    // interpreted zip_with/aggregate long fold — exact because the
+    // milli-quantized integer components keep every double term
+    // < 2⁵³ (43.1 s → 1.6 s steady at sf0.1; see embHubnessSkew)
     val v = embeddings(s, d).select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
-        .as("vq"))
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) " +
+        "AS DOUBLE))").as("vq"))
+      .withColumn("nq", expr("dot_product(vq, vq)"))
       .sharedCache()
     val pairs = v.as("a").crossJoin(broadcast(v.as("b")))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("a.label").as("li"), col("b.label").as("lj"),
-        expr("aggregate(zip_with(a.vq, b.vq, (x, y) -> (x - y) * (x - y)), 0L, " +
-          "(acc, t) -> acc + t)").as("d2q"))
+        expr("CAST(a.nq + b.nq - 2 * dot_product(a.vq, b.vq) AS BIGINT)").as("d2q"))
     val terms = pairs
       .select(col("i"), col("li"), col("lj"),
         // e^{-d²/T}, T = 2·dim = 128 on the unit scale (milli² = 1e6)
