@@ -105,6 +105,147 @@ object PrefixScan {
     Scanned(spark.createDataFrame(stamped, schema), nTotal, sTotal)
   }
 
+  /** Result of [[withRankCumSums]]: stamped frame, grand row count and
+    * the grand total of each value column, in `valueCols` order. */
+  final case class ScannedN(df: DataFrame, n: Long, totals: Seq[Long])
+
+  /** Multi-value generalization of [[withRankCumSum]]: one rank column
+    * plus an inclusive running Long sum per entry of `valueCols`, all
+    * from the same two passes (one range exchange, one stats collect of
+    * |partitions|·(1+|valueCols|) longs, one stamping pass). Use when an
+    * op needs several `sum(v) OVER (ORDER BY ...)` columns on the same
+    * total order — e.g. per-class cumulative counts for midranks. Same
+    * invariants as [[withRankCumSum]]: total order, LongType values
+    * (nulls count as 0). */
+  def withRankCumSums(df: DataFrame, order: Seq[Column], valueCols: Seq[String],
+                      rankName: String, cumNames: Seq[String]): ScannedN = {
+    require(valueCols.length == cumNames.length, "one cum name per value column")
+    val spark = df.sparkSession
+    val parts = math.max(1,
+      spark.conf.getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
+        .getOrElse(spark.sparkContext.defaultParallelism))
+    val input = df.persist()
+    val ordered = input
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val vIdx = valueCols.map(ordered.schema.fieldIndex).toArray
+    val k = vIdx.length
+    val rdd = ordered.rdd
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; val s = new Array[Long](k)
+      it.foreach { r =>
+        n += 1
+        var j = 0
+        while (j < k) { if (!r.isNullAt(vIdx(j))) s(j) += r.getLong(vIdx(j)); j += 1 }
+      }
+      Iterator((pid, n, s))
+    }.collect().sortBy(_._1)
+    input.unpersist(blocking = false)
+    val nTotal = stats.iterator.map(_._2).sum
+    val totals = (0 until k).map(j => stats.iterator.map(_._3(j)).sum)
+    val offs: Map[Int, (Long, Array[Long])] = {
+      var n = 0L; val s = new Array[Long](k)
+      stats.map { case (pid, pn, ps) =>
+        val e = pid -> (n, s.clone())
+        n += pn
+        var j = 0; while (j < k) { s(j) += ps(j); j += 1 }
+        e
+      }.toMap
+    }
+    val schema = StructType(ordered.schema.fields ++
+      (StructField(rankName, LongType, nullable = false) +:
+        cumNames.map(c => StructField(c, LongType, nullable = false))))
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val (r0, s0) = offs.getOrElse(pid, (0L, new Array[Long](k)))
+      var i = 0L; val run = s0.clone()
+      it.map { row =>
+        i += 1
+        var j = 0
+        while (j < k) { if (!row.isNullAt(vIdx(j))) run(j) += row.getLong(vIdx(j)); j += 1 }
+        Row.fromSeq((row.toSeq :+ (r0 + i)) ++ run.toSeq)
+      }
+    }
+    ScannedN(spark.createDataFrame(stamped, schema), nTotal, totals)
+  }
+
+  /** Boundary-stitched neighbor stamp — the scale-safe replacement for
+    * `lag(c, 1) OVER (ORDER BY ...)` / `lead(c, 1) OVER (ORDER BY ...)`
+    * with NO partition clause, which Spark executes as a full sort into
+    * one task. Range exchange + local sort as in [[withRankCumSum]];
+    * one tiny stats pass collects each partition's FIRST and LAST values
+    * of the tracked columns (2·|partitions| tuples to the driver), so
+    * the stamping pass fills every partition's edge row from its
+    * neighbor partition's edge value and all interior rows from the
+    * adjacent local row. The global first (lag) / last (lead) row gets
+    * null, exactly like the window builtin with no default. Stamped
+    * columns are named `<col><suffix>` and keep the source type. The
+    * order must be TOTAL (same re-sort invariant as withRankCumSum). */
+  def withNeighbor(df: DataFrame, order: Seq[Column], cols: Seq[String],
+                   lead: Boolean = false, suffix: String = "_adj"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(1,
+      spark.conf.getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
+        .getOrElse(spark.sparkContext.defaultParallelism))
+    val input = df.persist()
+    val ordered = input
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val idxs = cols.map(ordered.schema.fieldIndex).toArray
+    val rdd = ordered.rdd
+    val edges: Array[(Int, Option[(Seq[Any], Seq[Any])])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (!it.hasNext) Iterator((pid, None))
+        else {
+          val first = it.next()
+          var last = first
+          while (it.hasNext) last = it.next()
+          Iterator((pid,
+            Some((idxs.toSeq.map(first.get), idxs.toSeq.map(last.get)))))
+        }
+      }.collect().sortBy(_._1)
+    input.unpersist(blocking = false)
+    // carry per partition: nearest non-empty neighbor's edge tuple
+    val carry = new Array[Seq[Any]](edges.length)
+    if (!lead) {
+      var prev: Seq[Any] = null
+      edges.foreach { case (pid, e) =>
+        carry(pid) = prev
+        e.foreach { case (_, lastV) => prev = lastV }
+      }
+    } else {
+      var nxt: Seq[Any] = null
+      edges.reverse.foreach { case (pid, e) =>
+        carry(pid) = nxt
+        e.foreach { case (firstV, _) => nxt = firstV }
+      }
+    }
+    val nulls: Seq[Any] = idxs.toSeq.map(_ => null)
+    val schema = StructType(ordered.schema.fields ++ cols.map(c =>
+      StructField(c + suffix, ordered.schema(c).dataType, nullable = true)))
+    val stamped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val boundary = Option(carry(pid)).getOrElse(nulls)
+      if (!lead) {
+        var prev: Seq[Any] = boundary
+        it.map { row =>
+          val out = Row.fromSeq(row.toSeq ++ prev)
+          prev = idxs.toSeq.map(row.get)
+          out
+        }
+      } else new Iterator[Row] {
+        private var cur: Row = if (it.hasNext) it.next() else null
+        def hasNext: Boolean = cur != null
+        def next(): Row = {
+          val nx = if (it.hasNext) it.next() else null
+          val nv = if (nx != null) idxs.toSeq.map(nx.get) else boundary
+          val out = Row.fromSeq(cur.toSeq ++ nv)
+          cur = nx
+          out
+        }
+      }
+    }
+    spark.createDataFrame(stamped, schema)
+  }
+
   /** `ntile(k) OVER (ORDER BY ...)` reconstructed from a [[withRankCumSum]]
     * rank and the total row count — the SQL-standard bucket split (first
     * `n % k` buckets hold `n/k + 1` rows, the rest `n/k`), matching

@@ -244,9 +244,15 @@ object RelMore107 {
     val li = lineitem(s, d).select(
       to_date(col("l_shipdate")).as("sd"), col("l_orderkey"), col("l_linenumber"))
     val probe = li.agg(date_add(min("sd"), 365).as("lo"), date_add(min("sd"), 395).as("hi"))
-    val wSort = Window.orderBy(col("sd"), col("l_orderkey"), col("l_linenumber"))
-    val assigned = li
-      .withColumn("f_sorted", ntile(32).over(wSort))
+    // ntile(32) over the global shipdate order, but via the PrefixScan
+    // two-pass (range-partitioned rank + SQL-standard bucket arithmetic)
+    // instead of WindowExec-with-no-partition — no single-task sort of
+    // all of lineitem at any cardinality. Same remainder rule, same
+    // oracle window SQL.
+    val sc = graft.functions.PrefixScan.withRankCumSum(li,
+      Seq(col("sd"), col("l_orderkey"), col("l_linenumber")), None, rankName = "rn")
+    val assigned = sc.df
+      .withColumn("f_sorted", graft.functions.PrefixScan.ntileFromRank(32, sc.n, col("rn")))
       .withColumn("f_hashed", expr(
         "((instr('0123456789abcdef', substring(md5(CAST(l_orderkey AS STRING)), 1, 1)) - 1) * 16 + " +
           "(instr('0123456789abcdef', substring(md5(CAST(l_orderkey AS STRING)), 2, 1)) - 1)) % 32"))

@@ -228,14 +228,15 @@ object RelMore110 {
     * Every decile row carries the shared fit (same value by
     * construction) so the curve AND the fit are graded. */
   val textHeapsLaw: Q = (s, d) => {
-    val wr = Window.orderBy("doc_id")
-    val docs = documents(s, d)
-      .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast(LongType).as("tc"))
-      .withColumn("rank", row_number().over(wr))
-      .withColumn("cumtok", sum("tc").over(wr))
-      .sharedCache()
-    val nn = docs.agg(max("rank").as("n"))
+    // corpus-order rank AND running token count in ONE PrefixScan
+    // two-pass (which also hands back the doc count for the decile
+    // cuts) — the old pair of no-partition windows sorted the whole
+    // corpus through a single WindowExec task, twice
+    val sc = graft.functions.PrefixScan.withRankCumSum(
+      documents(s, d).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("tc")),
+      Seq(col("doc_id")), Some("tc"), rankName = "rank", cumName = "cumtok")
+    val docs = sc.df.sharedCache()
     val firstRank = documents(s, d)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .select(col("doc_id"), explode(expr(
@@ -244,8 +245,9 @@ object RelMore110 {
           " (xy, z) -> concat(xy, ' ', z))")).as("w"))
       .join(docs.select("doc_id", "rank"), Seq("doc_id"))
       .groupBy("w").agg(min("rank").as("frank"))
-    val deciles = nn.select(explode(sequence(lit(1), lit(10))).as("dec"), col("n"))
-      .select(col("dec"), ceil(col("dec") * col("n") / lit(10.0)).cast(IntegerType).as("cutoff"))
+    val deciles = s.range(1, 11).select(col("id").cast(IntegerType).as("dec"))
+      .select(col("dec"),
+        ceil(col("dec") * lit(sc.n) / lit(10.0)).cast(LongType).as("cutoff"))
     val vocab = firstRank.crossJoin(broadcast(deciles))
       .filter(col("frank") <= col("cutoff"))
       .groupBy("dec", "cutoff").agg(count(lit(1)).as("v"))

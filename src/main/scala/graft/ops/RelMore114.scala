@@ -208,7 +208,7 @@ object RelMore114 {
     val kMax = 500
     // exact rational CDF in parts-per-1e12: cum_k = Σ_{j≤k} (1e12/j) / H-scale
     val harm = s.range(1, kMax + 1)
-      .select(col("id").as("k"), expr("1000000000000L div id").as("wq"))
+      .select(col("id").as("k"), expr("1000000000L div id").as("wq"))
     val wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wall = Window.orderBy("k")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -223,18 +223,20 @@ object RelMore114 {
         "(instr('0123456789abcdef', substring(md5(CAST(id AS STRING)), 4, 1)) - 1) * 256 + " +
         "(instr('0123456789abcdef', substring(md5(CAST(id AS STRING)), 5, 1)) - 1) * 16 + " +
         "(instr('0123456789abcdef', substring(md5(CAST(id AS STRING)), 6, 1)) - 1))").as("u24"))
+    // weights quantized to 1e9 (not 1e12) so u24·tot ≤ 2²⁴·6.8e9 ≈ 1.1e17
+    // and lo·2²⁴ ≤ 6.8e9·1.7e7 ≈ 1.1e17 both fit int64 — the same exact
+    // inverse-CDF comparison without DECIMAL(38) cross-multiplication
+    // (the r7 bench's #1 cost at 21s for 50k rows)
     val assigned = draws.crossJoin(broadcast(cdf))
-      .filter(col("u24").cast(DecimalType(38, 0)) * col("tot") >=
-        col("lo").cast(DecimalType(38, 0)) * lit(16777216L) &&
-        col("u24").cast(DecimalType(38, 0)) * col("tot") <
-          col("hi").cast(DecimalType(38, 0)) * lit(16777216L))
+      .filter(col("u24").cast(LongType) * col("tot") >= col("lo") * lit(16777216L) &&
+        col("u24").cast(LongType) * col("tot") < col("hi") * lit(16777216L))
       .select(col("k"))
     val freq = assigned.groupBy("k").agg(count(lit(1)).as("c")).sharedCache()
     val head = freq.filter(col("k") <= 3)
       .select(col("k"), col("c"),
         ratioFloor(col("c"), lit(n), 6).as("share"),
         // analytic share 1/(k·H), H as the same quantized sum
-        ratioFloor(expr("1000000000000L div k"), lit(harmQ), 6).as("share_expected"))
+        ratioFloor(expr("1000000000L div k"), lit(harmQ), 6).as("share_expected"))
     val fitPts = freq.filter(col("k") <= 100)
       .select(floor(log(col("k").cast(DoubleType)) * lit(1e9)).cast(LongType).as("lx"),
         floor(log(col("c").cast(DoubleType)) * lit(1e9)).cast(LongType).as("ly"))
@@ -252,14 +254,14 @@ object RelMore114 {
       .orderBy("k")
   }
 
-  /** Σ_{j=1..500} (10¹² div j) — the quantized harmonic normalizer,
+  /** Σ_{j=1..500} (10⁹ div j) — the quantized harmonic normalizer,
     * computed once in Scala and embedded as the same literal both
     * sides (exact integer, no float repr concerns). */
-  private lazy val harmQ: Long = (1 to 500).map(j => 1000000000000L / j).sum
+  private lazy val harmQ: Long = (1 to 500).map(j => 1000000000L / j).sum
 
   val genZipfKeysSql: String =
     s"""WITH harm AS MATERIALIZED (
-       |  SELECT k, CAST(1000000000000 // k AS BIGINT) AS wq
+       |  SELECT k, CAST(1000000000 // k AS BIGINT) AS wq
        |  FROM (SELECT unnest(range(1, 501)) AS k) g),
        |cdf AS MATERIALIZED (
        |  SELECT k, cum - wq AS lo, cum AS hi, tot FROM (
@@ -278,13 +280,13 @@ object RelMore114 {
        |  FROM (SELECT unnest(range(0, 50000)) AS id) g),
        |assigned AS MATERIALIZED (
        |  SELECT k FROM draws JOIN cdf
-       |    ON CAST(u24 AS HUGEINT) * tot >= CAST(lo AS HUGEINT) * 16777216
-       |   AND CAST(u24 AS HUGEINT) * tot < CAST(hi AS HUGEINT) * 16777216),
+       |    ON CAST(u24 AS BIGINT) * tot >= CAST(lo AS BIGINT) * 16777216
+       |   AND CAST(u24 AS BIGINT) * tot < CAST(hi AS BIGINT) * 16777216),
        |freq AS MATERIALIZED (
        |  SELECT k, CAST(count(*) AS BIGINT) AS c FROM assigned GROUP BY 1),
        |head AS (
        |  SELECT k, c, floor(CAST(c AS DOUBLE) * 1e6 / 50000) / 1e6 AS share,
-       |         floor(CAST(1000000000000 // k AS DOUBLE) * 1e6 / $harmQ) / 1e6 AS share_expected
+       |         floor(CAST(1000000000 // k AS DOUBLE) * 1e6 / $harmQ) / 1e6 AS share_expected
        |  FROM freq WHERE k <= 3),
        |pts AS (
        |  SELECT CAST(floor(ln(CAST(k AS DOUBLE)) * 1e9) AS BIGINT) AS lx,

@@ -228,13 +228,20 @@ object RelMore118 {
     * compare. */
   val sqlKeysetPagination: Q = (s, d) => {
     val o = orders(s, d).select(col("o_orderkey"), to_date(col("o_orderdate")).as("dt"))
+      .sharedCache()
     val wAll = Window.orderBy(col("dt"), col("o_orderkey"))
-    val numbered = o.withColumn("rn", row_number().over(wAll)).sharedCache()
-    val offsetPage = numbered.filter(col("rn") > 100 && col("rn") <= 150)
+    // Both the OFFSET page and the seek anchor come from orderBy+limit
+    // (TakeOrderedAndProject: bounded per-partition heap + driver merge)
+    // — NEVER a row_number over the whole table, which is the exact
+    // O(table) anti-pattern keyset pagination exists to avoid. The only
+    // windows below run over ≤150 already-limited rows.
+    val top150 = o.orderBy(col("dt"), col("o_orderkey")).limit(150)
+      .withColumn("rn", row_number().over(wAll)).sharedCache()
+    val offsetPage = top150.filter(col("rn") > 100 && col("rn") <= 150)
       .select(col("rn"), col("o_orderkey").as("k_offset"), col("dt").as("dt_offset"))
-    val last = numbered.filter(col("rn") === 100)
+    val last = top150.filter(col("rn") === 100)
       .select(col("dt").as("ldt"), col("o_orderkey").as("lk"))
-    val keysetPage = numbered.crossJoin(broadcast(last))
+    val keysetPage = o.crossJoin(broadcast(last))
       .filter(col("dt") > col("ldt") ||
         (col("dt") === col("ldt") && col("o_orderkey") > col("lk")))
       .orderBy(col("dt"), col("o_orderkey")).limit(50)

@@ -83,13 +83,17 @@ object RelMore121 {
       when(zz < 128L, 1L).when(zz < 16384L, 2L).when(zz < 2097152L, 3L)
         .when(zz < 268435456L, 4L).when(zz < 34359738368L, 5L).otherwise(6L)
     }
-    val wKey = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
-    val wDate = Window.orderBy(col("sd"), col("l_orderkey"), col("l_linenumber"))
-    val sorted = li
-      .withColumn("dlt", col("l_orderkey") - lag("l_orderkey", 1, 0L).over(wKey))
+    // lag under each total order via the PrefixScan boundary-stitched
+    // neighbor stamp (per-partition local lag + one edge-row carry per
+    // partition) — the old no-partition lag windows sorted all of
+    // lineitem through a single WindowExec task, twice
+    def lagged(order: Seq[org.apache.spark.sql.Column]) =
+      graft.functions.PrefixScan.withNeighbor(li, order, Seq("l_orderkey"),
+          lead = false, suffix = "_pk")
+        .withColumn("dlt", col("l_orderkey") - coalesce(col("l_orderkey_pk"), lit(0L)))
+    val sorted = lagged(Seq(col("l_orderkey"), col("l_linenumber")))
       .agg(sum(varintBytes(col("dlt"))).as("bytes_sorted"), count(lit(1)).as("n"))
-    val arrival = li
-      .withColumn("dlt", col("l_orderkey") - lag("l_orderkey", 1, 0L).over(wDate))
+    val arrival = lagged(Seq(col("sd"), col("l_orderkey"), col("l_linenumber")))
       .agg(sum(varintBytes(col("dlt"))).as("bytes_arrival"))
     sorted.crossJoin(broadcast(arrival))
       .select(col("n").as("n_values"), col("bytes_sorted"), col("bytes_arrival"),

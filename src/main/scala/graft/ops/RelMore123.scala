@@ -315,9 +315,13 @@ object RelMore123 {
     * model should show. */
   val sinkCowWriteAmplification: Q = (s, d) => {
     val o = orders(s, d).select(col("o_orderkey"), to_date(col("o_orderdate")).as("dt"))
-    val wSort = Window.orderBy(col("dt"), col("o_orderkey"))
-    val assigned = o
-      .withColumn("f", ntile(32).over(wSort))
+    // file assignment = ntile(32) over the sort order, via the PrefixScan
+    // two-pass rank (range exchange + bucket arithmetic), not a
+    // no-partition WindowExec that would sort all of orders in one task
+    val sc = graft.functions.PrefixScan.withRankCumSum(o,
+      Seq(col("dt"), col("o_orderkey")), None, rankName = "rn")
+    val assigned = sc.df
+      .withColumn("f", graft.functions.PrefixScan.ntileFromRank(32, sc.n, col("rn")))
       .withColumn("upd", expr(
         "CASE WHEN ((instr('0123456789abcdef', substring(md5(CAST(o_orderkey AS STRING)), 1, 1)) - 1) * 16 + " +
           "(instr('0123456789abcdef', substring(md5(CAST(o_orderkey AS STRING)), 2, 1)) - 1)) % 50 = 0 " +

@@ -95,19 +95,22 @@ object RelMore137 {
       .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
       .select(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("g"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
-    // doubled midrank: 2·rank(first-of-ties) + (ties − 1)
-    val ranked = v
-      .withColumn("rk", rank().over(Window.orderBy("c")))
-      .withColumn("tc", count(lit(1)).over(Window.partitionBy("c")))
-      .select(col("g"), (lit(2) * col("rk") + col("tc") - 1).as("mr2"))
-    val agg = ranked.agg(
-      sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
-      sum(when(col("g") === 0, 1L).otherwise(0L)).as("n2"),
-      sum(when(col("g") === 1, col("mr2")).otherwise(0L)).as("r1x2"))
+    // doubled midranks from the shared value-domain helper: the rank
+    // table is |distinct cents| rows via one histogram aggregate +
+    // PrefixScan, never a rank()/count() window over every order row.
+    // Σ_{g=1 rows} mr2 = Σ_values n1(v)·mr2(v) exactly.
+    val mrt = graft.functions.Midranks.doubled(v, "c",
+      Seq("n1c" -> (col("g") === 1)))
+    val agg = mrt.agg(
+      sum("n1c").as("n1"),
+      sum(col("cnt") - col("n1c")).as("n2"),
+      // rank products are O(n²) — exact decimal, not a Long that
+      // saturates past ~3e9 rows
+      sum(expr("CAST(n1c AS DECIMAL(38,0)) * mr2")).as("r1x2"))
     agg.select(col("n1"), col("n2"),
         // 2U = 2R₁ − n₁(n₁+1)
-        ((col("r1x2") - col("n1") * (col("n1") + 1))).as("u2"),
-        (col("n1") * col("n2")).as("nn"))
+        ((col("r1x2") - col("n1").cast(DecimalType(38, 0)) * (col("n1") + 1))).as("u2"),
+        (col("n1").cast(DecimalType(38, 0)) * col("n2")).as("nn"))
       .select(col("n1"), col("n2"),
         (col("u2").cast(DoubleType) / 2).cast(LongType).as("u_stat"),
         ratioFloor((col("u2") - col("nn")).cast(DoubleType), lit(2) * col("nn"), 6)

@@ -27,10 +27,17 @@ object RelMore144 {
       .select(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("g"),
         col("o_orderkey").as("ok"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"))
-    val ranked = v
-      .withColumn("r", row_number().over(Window.orderBy(col("c"), col("g"), col("ok"))))
-      .withColumn("i", row_number().over(Window.partitionBy("g")
-        .orderBy(col("c"), col("ok"))))
+    // One PrefixScan two-pass yields BOTH ranks the formula needs:
+    // r = global rank under (c, g, ok); cum = running count of group-1
+    // rows in that order, so within-group index i = cum for g=1 rows
+    // and r − cum for g=0 rows (the (c,g,ok) order restricted to one
+    // group IS its (c, ok) order). No single-partition WindowExec —
+    // the old form sorted all filtered orders twice in one task each.
+    val sc = graft.functions.PrefixScan.withRankCumSum(
+      v.withColumn("gl", col("g").cast(LongType)),
+      Seq(col("c"), col("g"), col("ok")), Some("gl"), rankName = "r", cumName = "cum")
+    val ranked = sc.df
+      .withColumn("i", when(col("g") === 1, col("cum")).otherwise(col("r") - col("cum")))
       .select(col("g"), ((col("r") - col("i")) * (col("r") - col("i"))).as("d2"))
     val agg = ranked.groupBy("g")
       .agg(count(lit(1)).cast(DecimalType(38, 0)).as("cnt"),
@@ -86,14 +93,13 @@ object RelMore144 {
     * fits extreme-value models on the (t₃,t₄) diagram rather than
     * on skew/kurtosis. Every PWM numerator is an exact DECIMAL fold
     * of integer products (rank polynomials × cents); the sorted
-    * ranks come from one total-order window (daily-bounded global
-    * sort — the PrefixScan two-pass is the stated >10⁷-row path). */
+    * ranks come from the PrefixScan two-pass (range exchange +
+    * per-partition offsets), never a single-partition window sort. */
   val aggLmoments: Q = (s, d) => {
-    val xs = orders(s, d)
-      .select(col("o_orderkey").as("ok"),
-        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))").as("x"))
-      .withColumn("i", row_number().over(Window.orderBy(col("x"), col("ok")))
-        .cast(LongType))
+    val xs = graft.functions.PrefixScan.withRankCumSum(
+      orders(s, d).select(col("o_orderkey").as("ok"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))").as("x")),
+      Seq(col("x"), col("ok")), None, rankName = "i").df
     val pwm = xs.agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
       sum("x").as("b0n"),
       sum(expr("x * (i - 1)")).as("b1n"),

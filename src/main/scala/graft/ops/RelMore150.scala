@@ -105,9 +105,15 @@ object RelMore150 {
     * is never zero on dense daily data). Fold bounds broadcast (5
     * rows); flags are pure date arithmetic; counts exact. */
   val samplePurgedKfold: Q = (s, d) => {
-    val o = orders(s, d).select(col("o_orderkey"),
-        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("ed"))
-      .withColumn("fold", ntile(5).over(Window.orderBy(col("ed"), col("o_orderkey"))))
+    // contiguous date folds = ntile(5) over the (ed, key) order, built
+    // from the PrefixScan two-pass rank — no single-partition WindowExec
+    val sc = graft.functions.PrefixScan.withRankCumSum(
+      orders(s, d).select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("ed")),
+      Seq(col("ed"), col("o_orderkey")), None, rankName = "rn")
+    val o = sc.df
+      .withColumn("fold", graft.functions.PrefixScan.ntileFromRank(5, sc.n, col("rn")))
+      .drop("rn")
       .sharedCache()
     val bounds = o.groupBy("fold")
       .agg(min("ed").as("flo"), max("ed").as("fhi"), count(lit(1)).as("n_test"))

@@ -213,29 +213,32 @@ object RelMore151 {
     * whether 0.5 is inside — this is the difference between "weak
     * signal" and "no signal" for a screening feature. Doubled
     * midranks keep every placement value an exact integer (V·2n₋ is
-    * integer); their moments fold exactly; one sort window over the
-    * scored rows. */
+    * integer); their moments fold exactly over the value-domain
+    * histogram (Midranks.doubled — no row-level rank window). */
   val aggAucDelongCi: Q = (s, d) => {
     val v = lineitem(s, d).select(
         when(col("l_returnflag") === "R", 1).otherwise(0).as("pos"),
         expr("CAST(l_quantity AS BIGINT)").as("sc"),
         col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
-    val ranked = v
-      .withColumn("mr2", lit(2) * rank().over(Window.orderBy("sc")) +
-        count(lit(1)).over(Window.partitionBy("sc")) - 1)
-      .withColumn("mr2w", lit(2) * rank().over(Window.partitionBy("pos").orderBy("sc")) +
-        count(lit(1)).over(Window.partitionBy("pos", "sc")) - 1)
-      .sharedCache()
-    // per-class moments of the placement numerators p2 = mr2 − mr2w
-    val mom = ranked.groupBy("pos")
-      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
-        sum(expr("CAST(mr2 - mr2w AS DECIMAL(38,0))")).as("sp"),
-        sum(expr("CAST(mr2 - mr2w AS DECIMAL(38,0)) * (mr2 - mr2w)")).as("spp"))
-    val a = mom.filter(col("pos") === 1).select(col("n").as("np"), col("sp").as("spp1"),
-      col("spp").as("sppp1"))
-    val b = mom.filter(col("pos") === 0).select(col("n").as("nn"), col("sp").as("spn"),
-      col("spp").as("sppn"))
-    a.crossJoin(broadcast(b))
+    // Both midrank columns (overall and within-class) come from ONE
+    // value-domain histogram + PrefixScan (Midranks.doubled): mr2 and
+    // mr2w are functions of (pos, sc) alone, so the per-class moments
+    // of the placement numerators p2 = mr2 − mr2w fold over the
+    // histogram weighted by the class counts — never a rank window
+    // over every lineitem row. The rank table is |score domain| rows.
+    val mrt = graft.functions.Midranks.doubled(v, "sc",
+      Seq("cp" -> (col("pos") === 1), "cn" -> (col("pos") === 0)))
+    val mom = mrt.select(col("cp"), col("cn"),
+        (col("mr2") - col("cp_mr2")).as("p2p"),
+        (col("mr2") - col("cn_mr2")).as("p2n"))
+      .agg(
+        sum("cp").cast(DecimalType(38, 0)).as("np"),
+        sum(expr("CAST(cp AS DECIMAL(38,0)) * p2p")).as("spp1"),
+        sum(expr("CAST(cp AS DECIMAL(38,0)) * p2p * p2p")).as("sppp1"),
+        sum("cn").cast(DecimalType(38, 0)).as("nn"),
+        sum(expr("CAST(cn AS DECIMAL(38,0)) * p2n")).as("spn"),
+        sum(expr("CAST(cn AS DECIMAL(38,0)) * p2n * p2n")).as("sppn"))
+    mom
       .select(col("np").cast(LongType).as("n_pos"), col("nn").cast(LongType).as("n_neg"),
         // AUC = mean placement of positives among negatives: Σp2/(2·np·nn)
         (col("spp1").cast(DoubleType) /

@@ -136,8 +136,10 @@ object RelMore156 {
             (col("n") * col("n")).cast(DoubleType)))).as("vr"),
         col("n").cast(DoubleType).as("nd"))
       .select(col("q"), col("n_blocks"), round(col("vr"), 6).as("variance_ratio"),
+        // non-overlapping-VR asymptotic variance is 2(q−1)/nd (equivalently
+        // 2(q−1)/(q·n_blocks)) — a q·nd denominator inflates z by √q
         round((col("vr") - 1) /
-          sqrt(lit(2.0) * (col("q") - 1) / (col("q") * col("nd"))), 4).as("z_stat"))
+          sqrt(lit(2.0) * (col("q") - 1) / col("nd")), 4).as("z_stat"))
       .withColumn("random_walk_rejected", abs(col("z_stat")) > lit(1.96))
       .orderBy("q")
   }
@@ -175,8 +177,8 @@ object RelMore156 {
       |         CAST(n AS DOUBLE) AS nd
       |  FROM horizons CROSS JOIN base)
       |SELECT q, n_blocks, round(vr, 6) AS variance_ratio,
-      |       round((vr - 1) / sqrt(2.0 * (q - 1) / (q * nd)), 4) AS z_stat,
-      |       abs(round((vr - 1) / sqrt(2.0 * (q - 1) / (q * nd)), 4)) > 1.96
+      |       round((vr - 1) / sqrt(2.0 * (q - 1) / nd), 4) AS z_stat,
+      |       abs(round((vr - 1) / sqrt(2.0 * (q - 1) / nd), 4)) > 1.96
       |         AS random_walk_rejected
       |FROM m ORDER BY q""".stripMargin
 

@@ -112,7 +112,14 @@ object RelMore159 {
         datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("ed"),
         (pmod(col("o_orderkey"), lit(2)) === 1).as("va"),
         when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("conv"))
-      .withColumn("look", ntile(3).over(Window.orderBy(col("ed"), col("o_orderkey"))))
+      // date terciles via the PrefixScan two-pass rank + ntile arithmetic
+      // (the cum windows below run over 3 looks × 2 arms = 6 rows only)
+      .transform { df =>
+        val sc = graft.functions.PrefixScan.withRankCumSum(df,
+          Seq(col("ed"), col("o_orderkey")), None, rankName = "rn")
+        sc.df.withColumn("look",
+          graft.functions.PrefixScan.ntileFromRank(3, sc.n, col("rn")))
+      }
     val perLook = o.groupBy("look", "va")
       .agg(count(lit(1)).as("n"), sum("conv").as("k"))
     val cum = perLook
@@ -200,8 +207,14 @@ object RelMore159 {
         when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("conv"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("score"),
         col("o_orderkey"))
-      .withColumn("decile", ntile(10).over(Window.orderBy(col("score").desc,
-        col("o_orderkey"))))
+      // score deciles via the PrefixScan two-pass rank (desc order) —
+      // never a no-partition ntile window over all of orders
+      .transform { df =>
+        val sc = graft.functions.PrefixScan.withRankCumSum(df,
+          Seq(col("score").desc, col("o_orderkey")), None, rankName = "rn")
+        sc.df.withColumn("decile",
+          graft.functions.PrefixScan.ntileFromRank(10, sc.n, col("rn")))
+      }
     val cells = base.groupBy("decile")
       .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
         sum(when(col("treated"), col("conv")).otherwise(0L)).as("kt"),

@@ -196,24 +196,33 @@ object RelMore160 {
         col("l_returnflag").as("rf"),
         datediff(to_date(col("l_shipdate")), lit("1970-01-01")).as("sd"))
       .sharedCache()
-    val w = Window.orderBy("l_orderkey", "l_linenumber")
-    def colStats(c: String, width: Int) = {
-      val runs = li
-        .withColumn("chg", when(col(c) =!= lag(c, 1).over(w), 1L).otherwise(0L))
-        .agg((sum("chg") + 1).as("runs"), count(lit(1)).as("n"),
-          count_distinct(col(c)).as("ndv"))
-      runs.select(lit(c).as("column_name"), col("n"), col("ndv"), col("runs"),
+    // ONE boundary-stitched neighbor pass stamps the previous row's
+    // value for all four columns (PrefixScan.withNeighbor — no global
+    // lag window, no per-column re-scan), then a single aggregate
+    // computes every run/ndv count; the old form ran four full
+    // no-partition lag windows over lineitem.
+    val advisorCols = Seq("l_orderkey", "qty", "rf", "sd")
+    val stamped = graft.functions.PrefixScan.withNeighbor(li,
+      Seq(col("l_orderkey"), col("l_linenumber")), advisorCols,
+      lead = false, suffix = "_pk")
+    val aggs = advisorCols.flatMap { c =>
+      Seq(sum(when(col(c) =!= col(s"${c}_pk"), 1L).otherwise(0L)).as(s"chg_$c"),
+        count_distinct(col(c)).as(s"ndv_$c"))
+    }
+    val stats = stamped.agg(count(lit(1)).as("n"), aggs: _*).sharedCache()
+    def colRow(c: String, width: Int) =
+      stats.select(lit(c).as("column_name"), col("n"),
+        col(s"ndv_$c").as("ndv"), (col(s"chg_$c") + 1).as("runs"),
         (col("n") * width).as("plain_bytes"),
         // dict: values + ceil(log2 ndv)/8-byte codes (min 1 byte)
-        (col("ndv") * width + col("n") *
-          greatest(ceil(log(2.0, col("ndv").cast(DoubleType)) / 8).cast(LongType),
+        (col(s"ndv_$c") * width + col("n") *
+          greatest(ceil(log(2.0, col(s"ndv_$c").cast(DoubleType)) / 8).cast(LongType),
             lit(1L))).as("dict_bytes"),
-        (col("runs") * (width + 4)).as("rle_bytes"))
-    }
-    colStats("l_orderkey", 8)
-      .unionAll(colStats("qty", 8))
-      .unionAll(colStats("rf", 1))
-      .unionAll(colStats("sd", 4))
+        ((col(s"chg_$c") + 1) * (width + 4)).as("rle_bytes"))
+    colRow("l_orderkey", 8)
+      .unionAll(colRow("qty", 8))
+      .unionAll(colRow("rf", 1))
+      .unionAll(colRow("sd", 4))
       .withColumn("winner",
         when(col("rle_bytes") <= col("dict_bytes") &&
           col("rle_bytes") <= col("plain_bytes"), "rle")

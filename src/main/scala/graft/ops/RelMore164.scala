@@ -19,15 +19,23 @@ object RelMore164 {
     * Palma reads the TAILS specifically (its point vs Gini's
     * middle-sensitivity), Hoover is the transfer interpretation.
     * Rank cuts are exact order statistics (floor(q·n) customers per
-    * block via row_number); all shares from exact decimal sums. */
+    * block via the PrefixScan rank); all shares from exact decimal
+    * sums. */
   val aggInequalityPanel: Q = (s, d) => {
-    val cust = orders(s, d)
+    // rank + grand totals via the PrefixScan two-pass: rn is the range-
+    // partitioned rank, and the stats pass hands back n and Σv for free —
+    // the old global row_number + count()/sum() OVER () trio funneled the
+    // whole per-customer frame through one WindowExec task.
+    val base = orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))"))
-        .as("v"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("v"), col("o_custkey"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("sv", sum("v").over(Window.partitionBy()))
+        .cast(LongType).as("v"))
+    val sc = graft.functions.PrefixScan.withRankCumSum(base,
+      Seq(col("v"), col("o_custkey")), Some("v"), rankName = "rn", cumName = "cumv")
+    val cust = sc.df.drop("cumv")
+      .withColumn("v", col("v").cast(DecimalType(38, 0)))
+      .withColumn("n", lit(sc.n))
+      .withColumn("sv", lit(sc.total).cast(DecimalType(38, 0)))
       .sharedCache()
     // quintile = smallest q with rn <= floor(q*n/5): exact integer cut
     val quint = cust
@@ -45,8 +53,9 @@ object RelMore164 {
         sum(when(col("bot40"), col("v")).otherwise(lit(0).cast(DecimalType(38, 0))))
           .as("b40"),
         max("n").as("nn"))
-      .select(lit("palma_hoover").as("block"), col("nn").as("n_customers"),
-        // encode palma in `share`… no: separate op rows need same schema.
+      .select(lit("palma_ratio").as("block"), col("nn").as("n_customers"),
+        // the Palma ratio rides in the shared `share` column so all
+        // panel rows carry one schema
         round(col("t10").cast(DoubleType) / col("b40").cast(DoubleType), 6)
           .as("share"))
     val hoover = cust
@@ -77,7 +86,7 @@ object RelMore164 {
       |        FROM cust) b
       |  GROUP BY q),
       |palma AS (
-      |  SELECT 'palma_hoover' AS block, CAST(max(n) AS BIGINT) AS n_customers,
+      |  SELECT 'palma_ratio' AS block, CAST(max(n) AS BIGINT) AS n_customers,
       |         round(CAST(sum(CASE WHEN rn > n - (n - n % 10) // 10 THEN v
       |                             ELSE 0 END) AS DOUBLE) /
       |               CAST(sum(CASE WHEN rn <= (n * 4 - (n * 4) % 10) // 10 THEN v
@@ -100,16 +109,20 @@ object RelMore164 {
     * were expensive the two would agree). The agreement ops quantify
     * how far that holds above chance — same construction for both so
     * alpha and AC1 are directly comparable. */
-  private def coders(s: SparkSession, d: String): DataFrame =
-    orders(s, d)
-      .select(col("o_orderkey"),
+  private def coders(s: SparkSession, d: String): DataFrame = {
+    // price-quintile coder via the PrefixScan two-pass rank (and its
+    // free grand total n) — the old global row_number + count() OVER ()
+    // pair was a single-partition WindowExec over all of orders
+    val sc = graft.functions.PrefixScan.withRankCumSum(
+      orders(s, d).select(col("o_orderkey"),
         substring(col("o_orderpriority"), 1, 1).cast(IntegerType).as("a"),
-        col("o_totalprice"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("b", least(expr("CAST((rn * 5 + n - 1) div n AS INT)"), lit(5)))
+        col("o_totalprice")),
+      Seq(col("o_totalprice"), col("o_orderkey")), None, rankName = "rn")
+    sc.df
+      .withColumn("b", least(expr(s"CAST((rn * 5 + ${sc.n}L - 1) div ${sc.n}L AS INT)"),
+        lit(5)))
       .select(col("o_orderkey"), col("a"), col("b"))
+  }
 
   private val codersSql: String =
     """SELECT o_orderkey,

@@ -24,21 +24,27 @@ object RelMore55 {
     * reduce to exactly this min/max interval test, and the measured
     * skip ratio (≈0 for arrival, ≈11/12 for sorted monthly predicates)
     * is the scan-cost multiplier the rewrite buys. Scale: the modeled
-    * assignment uses one global ntile sort at fixture scale; on a real
-    * lake the (file, min, max) relation comes straight from manifest /
-    * footer metadata — files×columns rows, not data — and the panel
-    * replay is a tiny broadcast cross join against it. */
+    * sorted assignment is a PrefixScan two-pass rank (range exchange,
+    * no single-partition window); on a real lake the (file, min, max)
+    * relation comes straight from manifest / footer metadata —
+    * files×columns rows, not data — and the panel replay is a tiny
+    * broadcast cross join against it. */
   val layoutZonemapSkipping: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val li = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
       to_date(col("l_shipdate")).as("sd"))
     // layout A: arrival interleave (orderkey-striped); layout B: the
-    // clustered rewrite (ntile over the total shipdate order)
+    // clustered rewrite. The sorted assignment is ntile over the total
+    // shipdate order, rebuilt from the PrefixScan two-pass rank (range
+    // exchange + per-partition offsets) so the decision metric itself
+    // runs without a single-partition WindowExec sort — the model must
+    // scale like the lake it models. Oracle keeps plain window SQL.
     val arrival = li.select(lit("arrival").as("layout"),
       pmod(col("l_orderkey"), lit(ZmFiles.toLong)).as("file_id"), col("sd"))
-    val sorted = li.select(lit("sorted").as("layout"),
-      (ntile(ZmFiles).over(Window.orderBy(col("sd"), col("l_orderkey"),
-        col("l_linenumber"))) - 1).cast(LongType).as("file_id"), col("sd"))
+    val sc = graft.functions.PrefixScan.withRankCumSum(li,
+      Seq(col("sd"), col("l_orderkey"), col("l_linenumber")), None, rankName = "rn")
+    val sorted = sc.df.select(lit("sorted").as("layout"),
+      (graft.functions.PrefixScan.ntileFromRank(ZmFiles.toLong, sc.n, col("rn")) - 1)
+        .cast(LongType).as("file_id"), col("sd"))
     val zones = arrival.unionAll(sorted)
       .groupBy("layout", "file_id")
       .agg(min("sd").as("zmin"), max("sd").as("zmax"))

