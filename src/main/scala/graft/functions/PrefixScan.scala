@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Scale-safe global rank + running sum — the [[SurrogateKeys]] two-pass
   * generalized from "position under a total order" to "position AND
@@ -57,7 +58,8 @@ object PrefixScan {
     val parts = math.max(1,
       spark.conf.getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
         .getOrElse(spark.sparkContext.defaultParallelism))
-    val input = df.persist()
+    val callerCached = df.storageLevel != StorageLevel.NONE
+    val input = if (callerCached) df else df.persist()
     val ordered = input
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
@@ -66,6 +68,9 @@ object PrefixScan {
     // Pass 1 (eager): per-partition (count, sum) — materializes the
     // range shuffle; pass 2 reuses the shuffle files (map stage
     // skipped), so the input cache can be dropped right after.
+    // A caller-owned cache (sharedCache / explicit persist) is left
+    // alone — ops that scan the same input through several PrefixScan
+    // calls (e.g. three ntile axes) keep one materialization.
     val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L; var s = 0L
       it.foreach { r =>
@@ -74,7 +79,7 @@ object PrefixScan {
       }
       Iterator((pid, n, s))
     }.collect().sortBy(_._1)
-    input.unpersist(blocking = false)
+    if (!callerCached) input.unpersist(blocking = false)
     val nTotal = stats.iterator.map(_._2).sum
     val sTotal = stats.iterator.map(_._3).sum
     val offs: Map[Int, (Long, Long)] = {
@@ -124,7 +129,8 @@ object PrefixScan {
     val parts = math.max(1,
       spark.conf.getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
         .getOrElse(spark.sparkContext.defaultParallelism))
-    val input = df.persist()
+    val callerCached = df.storageLevel != StorageLevel.NONE
+    val input = if (callerCached) df else df.persist()
     val ordered = input
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
@@ -140,7 +146,7 @@ object PrefixScan {
       }
       Iterator((pid, n, s))
     }.collect().sortBy(_._1)
-    input.unpersist(blocking = false)
+    if (!callerCached) input.unpersist(blocking = false)
     val nTotal = stats.iterator.map(_._2).sum
     val totals = (0 until k).map(j => stats.iterator.map(_._3(j)).sum)
     val offs: Map[Int, (Long, Array[Long])] = {
@@ -186,7 +192,8 @@ object PrefixScan {
     val parts = math.max(1,
       spark.conf.getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
         .getOrElse(spark.sparkContext.defaultParallelism))
-    val input = df.persist()
+    val callerCached = df.storageLevel != StorageLevel.NONE
+    val input = if (callerCached) df else df.persist()
     val ordered = input
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
@@ -203,7 +210,7 @@ object PrefixScan {
             Some((idxs.toSeq.map(first.get), idxs.toSeq.map(last.get)))))
         }
       }.collect().sortBy(_._1)
-    input.unpersist(blocking = false)
+    if (!callerCached) input.unpersist(blocking = false)
     // carry per partition: nearest non-empty neighbor's edge tuple
     val carry = new Array[Seq[Any]](edges.length)
     if (!lead) {
@@ -252,6 +259,54 @@ object PrefixScan {
     * Spark's and DuckDB's ntile exactly. Integer arithmetic via floor of
     * a Long/Long division — exact while ranks stay below 2^53, i.e. for
     * any realizable row count. */
+  /** Result of [[ntileSpans]]: the span table plus the grand row count. */
+  final case class Spans(df: DataFrame, n: Long)
+
+  /** ntile(k) bucket assignment WITHOUT a row-level rank, for ops whose
+    * per-bucket statistics depend only on a value histogram: rows that
+    * share the leading order value are interchangeable, so collapse to
+    * the per-value histogram FIRST (caller does this — map-side
+    * combine, |domain| rows out), then split each value's contiguous
+    * rank interval across the ntile bucket boundaries it crosses. The
+    * output has every histogram column plus `fileName` (1-based bucket,
+    * Long) and `rowsName` (rows of that value in that bucket, Long) —
+    * ≤ |domain| + k − 1 rows total. Per-bucket min/max/count over the
+    * value column aggregate from it exactly as from a row-level
+    * ntile with any tiebreak WITHIN the value. The histogram pass is a
+    * PrefixScan two-pass, so there is no single-partition sort at any
+    * cardinality. */
+  def ntileSpans(hist: DataFrame, order: Seq[Column], countCol: String, k: Long,
+                 fileName: String = "f", rowsName: String = "rows_f"): Spans = {
+    val sc = withRankCumSum(hist, order, Some(countCol),
+      rankName = "__vrk", cumName = "__cum")
+    val n = sc.total
+    val q = n / k; val rem = n % k; val cut = rem * (q + 1)
+    def fileOf(r: Column): Column =
+      if (q == 0L) r
+      else if (rem == 0L) floor((r - 1) / q) + 1
+      else when(r <= cut, floor((r - 1) / (q + 1)) + 1)
+        .otherwise(lit(rem) + floor((r - 1 - cut) / q) + 1)
+    def firstRank(f: Column): Column =
+      if (q == 0L) f
+      else if (rem == 0L) (f - 1) * q + 1
+      else when(f <= rem, (f - 1) * (q + 1) + 1)
+        .otherwise(lit(cut) + (f - lit(rem) - 1) * q + 1)
+    def lastRank(f: Column): Column =
+      if (q == 0L) f
+      else if (rem == 0L) f * q
+      else when(f <= rem, f * (q + 1)).otherwise(lit(cut) + (f - rem) * q)
+    val out = sc.df
+      .withColumn("__rs", col("__cum") - col(countCol) + 1)
+      .withColumn("__re", col("__cum"))
+      .withColumn(fileName, explode(sequence(
+        fileOf(col("__rs")).cast(LongType), fileOf(col("__re")).cast(LongType))))
+      .withColumn(rowsName,
+        least(col("__re"), lastRank(col(fileName))) -
+          greatest(col("__rs"), firstRank(col(fileName))) + 1)
+      .drop("__vrk", "__cum", "__rs", "__re")
+    Spans(out, n)
+  }
+
   def ntileFromRank(k: Long, n: Long, rank: Column): Column = {
     val q = n / k; val rem = n % k; val cut = rem * (q + 1)
     val bucket =

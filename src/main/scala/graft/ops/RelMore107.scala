@@ -242,38 +242,44 @@ object RelMore107 {
     * both engines given the total tiebreak order. */
   val layoutZonemapSkipping: Q = (s, d) => {
     val li = lineitem(s, d).select(
-      to_date(col("l_shipdate")).as("sd"), col("l_orderkey"), col("l_linenumber"))
+      to_date(col("l_shipdate")).as("sd"), col("l_orderkey"))
     val probe = li.agg(date_add(min("sd"), 365).as("lo"), date_add(min("sd"), 395).as("hi"))
-    // ntile(32) over the global shipdate order, but via the PrefixScan
-    // two-pass (range-partitioned rank + SQL-standard bucket arithmetic)
-    // instead of WindowExec-with-no-partition — no single-task sort of
-    // all of lineitem at any cardinality. Same remainder rule, same
-    // oracle window SQL.
-    val sc = graft.functions.PrefixScan.withRankCumSum(li,
-      Seq(col("sd"), col("l_orderkey"), col("l_linenumber")), None, rankName = "rn")
-    val assigned = sc.df
-      .withColumn("f_sorted", graft.functions.PrefixScan.ntileFromRank(32, sc.n, col("rn")))
-      .withColumn("f_hashed", expr(
+    // The sorted layout's per-file (zmin, zmax, rows) stats depend only
+    // on how many rows of each DATE land in each file — rows that share
+    // a shipdate are interchangeable under the (sd, orderkey, linenumber)
+    // ntile order. So never materialize a row-level rank: collapse to the
+    // date histogram (map-side combine, |dates| rows out), PrefixScan the
+    // cumulative counts, and split each date's rank interval [rs, re]
+    // across the ntile file boundaries it crosses (≤ |dates| + 31 rows
+    // after the explode). Same SQL-standard remainder rule as ntile,
+    // same window-SQL oracle, but the only fact-table passes are two
+    // map-side-combined aggregates.
+    val hist = li.groupBy("sd").agg(count(lit(1)).as("c")).sharedCache()
+    val spans = graft.functions.PrefixScan.ntileSpans(
+      hist, Seq(col("sd")), "c", 32L)
+    val sortedZones = spans.df
+      .groupBy(lit("sorted").as("layout"), col("f"))
+      .agg(min("sd").as("zmin"), max("sd").as("zmax"), sum("rows_f").as("rows"))
+    val hashedZones = li
+      .withColumn("f", expr(
         "((instr('0123456789abcdef', substring(md5(CAST(l_orderkey AS STRING)), 1, 1)) - 1) * 16 + " +
-          "(instr('0123456789abcdef', substring(md5(CAST(l_orderkey AS STRING)), 2, 1)) - 1)) % 32"))
-      .select(col("sd"), explode(array(
-        struct(lit("sorted").as("layout"), col("f_sorted").cast(LongType).as("f")),
-        struct(lit("hashed").as("layout"), col("f_hashed").cast(LongType).as("f"))))
-        .as("lf"))
-      .select(col("sd"), col("lf.layout").as("layout"), col("lf.f").as("f"))
-      .sharedCache()
-    val zones = assigned.groupBy("layout", "f")
+          "(instr('0123456789abcdef', substring(md5(CAST(l_orderkey AS STRING)), 2, 1)) - 1)) % 32")
+        .cast(LongType))
+      .groupBy(lit("hashed").as("layout"), col("f"))
       .agg(min("sd").as("zmin"), max("sd").as("zmax"), count(lit(1)).as("rows"))
+    val zones = sortedZones.unionByName(hashedZones)
       .crossJoin(broadcast(probe))
       .withColumn("scanned", col("zmax") >= col("lo") && col("zmin") < col("hi"))
-    val match2 = assigned.crossJoin(broadcast(probe))
+    // both layouts hold the same rows, so the true match count is one
+    // histogram filter, shared by both output rows
+    val matchTotal = hist.crossJoin(broadcast(probe))
       .filter(col("sd") >= col("lo") && col("sd") < col("hi"))
-      .groupBy("layout").agg(count(lit(1)).as("rows_matching"))
+      .agg(sum("c").as("rows_matching"))
     zones.groupBy("layout")
       .agg(count(lit(1)).as("files_total"),
         sum(when(col("scanned"), 1L).otherwise(0L)).as("files_scanned"),
         sum(when(col("scanned"), col("rows")).otherwise(0L)).as("rows_scanned"))
-      .join(match2, Seq("layout"))
+      .crossJoin(broadcast(matchTotal))
       .select(col("layout"), col("files_total"), col("files_scanned"),
         col("rows_scanned"), col("rows_matching"),
         ratioFloor(col("rows_scanned") - col("rows_matching"),

@@ -89,12 +89,18 @@ object RelMore13 {
     * single-partition window anywhere, bit-identical to the window
     * oracle. */
   val aggRfmSegmentation: Q = (s, d) => {
+    // sharedCache: the three quartile axes each run a PrefixScan over
+    // THIS aggregate — one cached materialization of the customer-level
+    // rollup feeds all three range-partitioner samples, all three stats
+    // passes, and the final join, instead of re-running the orders
+    // groupBy per consumer (PrefixScan leaves caller-owned caches alone).
     val base = orders(s, d)
       .groupBy("o_custkey")
       .agg(
         max(col("o_orderdate").cast(DateType)).as("last_order"),
         count(lit(1)).as("frequency"),
         sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("monetary_cents"))
+      .sharedCache()
     def quartile(order: Seq[Column], name: String): DataFrame = {
       val sc = graft.functions.PrefixScan.withRankCumSum(
         base, order, None, rankName = "rn")

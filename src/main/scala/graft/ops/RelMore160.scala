@@ -205,11 +205,18 @@ object RelMore160 {
     val stamped = graft.functions.PrefixScan.withNeighbor(li,
       Seq(col("l_orderkey"), col("l_linenumber")), advisorCols,
       lead = false, suffix = "_pk")
-    val aggs = advisorCols.flatMap { c =>
-      Seq(sum(when(col(c) =!= col(s"${c}_pk"), 1L).otherwise(0L)).as(s"chg_$c"),
-        count_distinct(col(c)).as(s"ndv_$c"))
+    // run counts: plain sums over the stamped frame (single pass). The
+    // ndv counts go against the CACHED columnar input instead — four
+    // count_distincts force an Expand (4x row multiplication), which
+    // belongs on the codegen'd cached scan, not the row-object stamped
+    // frame.
+    val chgAggs = advisorCols.map { c =>
+      sum(when(col(c) =!= col(s"${c}_pk"), 1L).otherwise(0L)).as(s"chg_$c")
     }
-    val stats = stamped.agg(count(lit(1)).as("n"), aggs: _*).sharedCache()
+    val ndvAggs = advisorCols.map(c => count_distinct(col(c)).as(s"ndv_$c"))
+    val stats = stamped.agg(count(lit(1)).as("n"), chgAggs: _*)
+      .crossJoin(broadcast(li.agg(ndvAggs.head, ndvAggs.tail: _*)))
+      .sharedCache()
     def colRow(c: String, width: Int) =
       stats.select(lit(c).as("column_name"), col("n"),
         col(s"ndv_$c").as("ndv"), (col(s"chg_$c") + 1).as("runs"),

@@ -38,16 +38,21 @@ object RelMore55 {
     // exchange + per-partition offsets) so the decision metric itself
     // runs without a single-partition WindowExec sort — the model must
     // scale like the lake it models. Oracle keeps plain window SQL.
-    val arrival = li.select(lit("arrival").as("layout"),
-      pmod(col("l_orderkey"), lit(ZmFiles.toLong)).as("file_id"), col("sd"))
-    val sc = graft.functions.PrefixScan.withRankCumSum(li,
-      Seq(col("sd"), col("l_orderkey"), col("l_linenumber")), None, rankName = "rn")
-    val sorted = sc.df.select(lit("sorted").as("layout"),
-      (graft.functions.PrefixScan.ntileFromRank(ZmFiles.toLong, sc.n, col("rn")) - 1)
-        .cast(LongType).as("file_id"), col("sd"))
-    val zones = arrival.unionAll(sorted)
-      .groupBy("layout", "file_id")
+    val arrivalZones = li
+      .groupBy(lit("arrival").as("layout"),
+        pmod(col("l_orderkey"), lit(ZmFiles.toLong)).as("file_id"))
       .agg(min("sd").as("zmin"), max("sd").as("zmax"))
+    // sorted-layout zones from the DATE histogram, not a row-level rank:
+    // per-file min/max shipdate depends only on how many rows of each
+    // date fall in each ntile bucket (PrefixScan.ntileSpans), so the
+    // only fact-table pass is one map-side-combined groupBy(sd).
+    val hist = li.groupBy("sd").agg(count(lit(1)).as("c"))
+    val spans = graft.functions.PrefixScan.ntileSpans(
+      hist, Seq(col("sd")), "c", ZmFiles.toLong)
+    val sortedZones = spans.df
+      .groupBy(lit("sorted").as("layout"), (col("f") - 1).cast(LongType).as("file_id"))
+      .agg(min("sd").as("zmin"), max("sd").as("zmax"))
+    val zones = arrivalZones.unionAll(sortedZones)
     val panel = s.sql(
       "SELECT explode(sequence(to_date('1996-01-01'), to_date('1996-12-01'), " +
         "interval 1 month)) AS lo")
