@@ -1,0 +1,334 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Round-8 batch D: density-based embedding analysis (DBSCAN core
+  * census, k-distance elbow, Local Outlier Factor) and one Louvain
+  * local-move round. The embedding pair passes are the corpus-bounded
+  * audit shape the emb family documents (|corpus|² with a broadcast
+  * side); the 100 TB path swaps the cross join for the ann-ivf bucket
+  * probe with identical scoring tails. */
+object RelMore168 {
+
+  /** Milli-quantized embedding lattice (the emb-family standard): int
+    * coordinates as doubles so dot_product folds are exact. */
+  private def lattice(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    embeddings(s, d).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000) " +
+        "AS BIGINT) AS DOUBLE))").as("v"))
+  }
+
+  private val latticeSql: String =
+    """SELECT vec_id, label,
+      |       list_transform(embedding,
+      |         x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS DOUBLE)) AS v
+      |FROM embeddings""".stripMargin
+
+  /** All ordered pairs (i ≠ j) with exact squared lattice distance. */
+  private def pairs(s: SparkSession, d: String): DataFrame = {
+    val base = lattice(s, d)
+    base.as("a").crossJoin(broadcast(base.as("b")))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        expr("CAST(dot_product(a.v, a.v) - 2 * dot_product(a.v, b.v) + " +
+          "dot_product(b.v, b.v) AS BIGINT)").as("d2"))
+  }
+
+  private val pairsSql: String =
+    s"""SELECT a.vec_id AS i, b.vec_id AS j,
+      |       CAST(list_inner_product(a.v, a.v) - 2 * list_inner_product(a.v, b.v) +
+      |            list_inner_product(b.v, b.v) AS BIGINT) AS d2
+      |FROM base a CROSS JOIN base b
+      |WHERE a.vec_id <> b.vec_id""".stripMargin
+
+  private val Eps2 = 1420000L // ≈ median 5-NN squared distance on the milli lattice
+  private val MinPts = 5
+
+  /** emb-dbscan-core — the DBSCAN point-role census at (ε², minPts) =
+    * (1.42·10⁶ lattice units, 5): CORE points have ≥ minPts neighbors
+    * within ε, BORDER points are non-core within ε of a core, the
+    * rest is NOISE. This census is the honest pre-flight before
+    * running any density clustering at scale — if the core share is
+    * ~0 or ~1 the ε is wrong and the full DBSCAN would return one
+    * blob or all noise; the census costs two neighbor passes, the
+    * mistake costs a cluster rebuild. Neighbor counting is an exact
+    * integer filter on the pair table; the per-label core shares
+    * expose which label clusters are denser than the corpus. */
+  val embDbscanCore: Q = (s, d) => {
+    val pr = pairs(s, d).filter(col("d2") <= Eps2).sharedCache()
+    val ncnt = pr.groupBy("i").agg(count(lit(1)).as("nbrs"))
+    val base = lattice(s, d).select(col("vec_id"), col("label"))
+    val roles = base.join(ncnt.withColumnRenamed("i", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("nbrs", coalesce(col("nbrs"), lit(0L)))
+      .withColumn("is_core", col("nbrs") >= MinPts)
+      .sharedCache()
+    val coreIds = roles.filter(col("is_core")).select(col("vec_id").as("j"))
+    val nearCore = pr.join(coreIds, Seq("j")).select(col("i")).distinct()
+      .withColumn("near_core", lit(true))
+    roles.join(nearCore.withColumnRenamed("i", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("role",
+        when(col("is_core"), "core")
+          .when(coalesce(col("near_core"), lit(false)), "border")
+          .otherwise("noise"))
+      .groupBy("role")
+      .agg(count(lit(1)).as("n_points"),
+        sum("nbrs").as("sum_neighbors"),
+        count_distinct(col("label")).as("n_labels"))
+      .orderBy("role")
+  }
+
+  val embDbscanCoreSql: String =
+    s"""WITH base AS ($latticeSql),
+      |p AS ($pairsSql),
+      |pr AS (SELECT i, j FROM p WHERE d2 <= $Eps2),
+      |ncnt AS (SELECT i, CAST(count(*) AS BIGINT) AS nbrs FROM pr GROUP BY i),
+      |roles AS (
+      |  SELECT b.vec_id, b.label, COALESCE(n.nbrs, 0) AS nbrs,
+      |         COALESCE(n.nbrs, 0) >= $MinPts AS is_core
+      |  FROM base b LEFT JOIN ncnt n ON b.vec_id = n.i),
+      |near_core AS (
+      |  SELECT DISTINCT pr.i AS vec_id FROM pr
+      |  JOIN roles r ON pr.j = r.vec_id AND r.is_core)
+      |SELECT CASE WHEN is_core THEN 'core'
+      |            WHEN nc.vec_id IS NOT NULL THEN 'border'
+      |            ELSE 'noise' END AS role,
+      |       CAST(count(*) AS BIGINT) AS n_points,
+      |       CAST(sum(nbrs) AS BIGINT) AS sum_neighbors,
+      |       CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+      |FROM roles r LEFT JOIN near_core nc ON r.vec_id = nc.vec_id
+      |GROUP BY 1
+      |ORDER BY role""".stripMargin
+
+  /** emb-kdist-elbow — the k-distance plot (k = 5) reduced to its
+    * decile skeleton: the exact 10%,20%,…,100% order statistics of
+    * each point's 5th-NN distance. THE standard ε-selection device for
+    * DBSCAN (the "elbow" where the curve turns up separates cluster
+    * interiors from sparse fringe) — published as 10 exact quantile
+    * rows instead of a plot. kth distance per point from a partitioned
+    * top-k window on the pair table; the decile cut is an exact
+    * PrefixScan order statistic, never a global sort. */
+  val embKdistElbow: Q = (s, d) => {
+    val w = Window.partitionBy("i").orderBy(col("d2").asc, col("j").asc)
+    val kd = pairs(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === MinPts)
+      .select(col("i"), col("d2").as("kd2"))
+    val sc = graft.functions.PrefixScan.withRankCumSum(kd,
+      Seq(col("kd2"), col("i")), None, rankName = "rn")
+    val n = sc.n
+    val cuts = (1 to 10).map(q => (q.toLong * n) / 10).toSet
+    sc.df.filter(col("rn").isin(cuts.toSeq: _*))
+      .select(expr(s"CAST((rn * 10 + ${n}L - 1) div ${n}L AS INT)").as("decile"),
+        expr("CAST(floor(sqrt(CAST(kd2 AS DOUBLE)) + 0.5) AS BIGINT)").as("kdist_milli"))
+      .orderBy("decile")
+  }
+
+  val embKdistElbowSql: String =
+    s"""WITH base AS ($latticeSql),
+      |p AS ($pairsSql),
+      |kd AS (
+      |  SELECT i, d2 AS kd2 FROM (
+      |    SELECT i, d2, row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rk
+      |    FROM p) t
+      |  WHERE rk = $MinPts),
+      |rn AS (
+      |  SELECT kd2, row_number() OVER (ORDER BY kd2, i) AS rn,
+      |         count(*) OVER () AS n
+      |  FROM kd)
+      |SELECT CAST((rn * 10 + n - 1) // n AS INT) AS decile,
+      |       CAST(floor(sqrt(CAST(kd2 AS DOUBLE)) + 0.5) AS BIGINT) AS kdist_milli
+      |FROM rn
+      |WHERE rn IN (SELECT (q * n) // 10 FROM (SELECT unnest(generate_series(1, 10)) AS q)
+      |             CROSS JOIN (SELECT max(n) AS n FROM rn) t)
+      |ORDER BY decile""".stripMargin
+
+  /** emb-lof — Local Outlier Factor (k = 10): the DENSITY-RELATIVE
+    * outlier score — a point is anomalous not because it is far from
+    * everything (emb-knn-ood's global view) but because its local
+    * density is low RELATIVE to its own neighbors', which catches
+    * outliers on the edge of tight clusters that global k-distance
+    * misses entirely. Pipeline: kNN edges from a partitioned top-k
+    * window; reachability distances rq = round(√max(kdist²_b, d²_ab))
+    * as exact lattice integers; lrd ∝ 1/Σrq quantized to 10¹⁵/Σrq so
+    * the neighbor-lrd sums are EXACT integer folds (no partition-order
+    * float summation); LOF(a) = Σ_b lq_b · Σrq_a / (k·10¹⁵) is the
+    * one terminal double (lrd(x) = k/Σrq_x, so the k's cancel to a
+    * single 1/k). Top-10 scores with vec_id tiebreak. */
+  val embLof: Q = (s, d) => {
+    val k = 10
+    val w = Window.partitionBy("i").orderBy(col("d2").asc, col("j").asc)
+    val knn = pairs(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .sharedCache()
+    val kdist = knn.groupBy("i").agg(max("d2").as("kd2"))
+    val reach = knn
+      .join(kdist.select(col("i").as("j"), col("kd2").as("kd2_j")), Seq("j"))
+      .select(col("i"), col("j"),
+        expr("CAST(floor(sqrt(CAST(greatest(d2, kd2_j) AS DOUBLE)) + 0.5) AS BIGINT)")
+          .as("rq"))
+    val srq = reach.groupBy("i").agg(sum("rq").as("srq"))
+      .withColumn("lq", expr("CAST(1000000000000000 div srq AS BIGINT)"))
+      .sharedCache()
+    val lofNum = knn.select(col("i"), col("j"))
+      .join(srq.select(col("i").as("j"), col("lq")), Seq("j"))
+      .groupBy("i").agg(sum("lq").as("slq"))
+    lofNum.join(srq.select(col("i"), col("srq")), Seq("i"))
+      .select(col("i").as("vec_id"),
+        round(col("slq").cast(DoubleType) * col("srq").cast(DoubleType) /
+          lit(k.toDouble * 1e15), 4).as("lof"))
+      .orderBy(desc("lof"), col("vec_id"))
+      .limit(10)
+  }
+
+  val embLofSql: String =
+    s"""WITH base AS ($latticeSql),
+      |p AS ($pairsSql),
+      |knn AS (
+      |  SELECT i, j, d2 FROM (
+      |    SELECT i, j, d2, row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rk
+      |    FROM p) t
+      |  WHERE rk <= 10),
+      |kdist AS (SELECT i, max(d2) AS kd2 FROM knn GROUP BY i),
+      |reach AS (
+      |  SELECT knn.i, knn.j,
+      |         CAST(floor(sqrt(CAST(greatest(knn.d2, kb.kd2) AS DOUBLE)) + 0.5) AS BIGINT)
+      |           AS rq
+      |  FROM knn JOIN kdist kb ON knn.j = kb.i),
+      |srq AS (
+      |  SELECT i, CAST(sum(rq) AS BIGINT) AS srq,
+      |         CAST(1000000000000000 // sum(rq) AS BIGINT) AS lq
+      |  FROM reach GROUP BY i),
+      |lofn AS (
+      |  SELECT knn.i, CAST(sum(sb.lq) AS BIGINT) AS slq
+      |  FROM knn JOIN srq sb ON knn.j = sb.i
+      |  GROUP BY knn.i)
+      |SELECT l.i AS vec_id,
+      |       round(CAST(l.slq AS DOUBLE) * sa.srq / (10.0 * 1e15), 4) AS lof
+      |FROM lofn l JOIN srq sa ON l.i = sa.i
+      |ORDER BY lof DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  /** graph-louvain-round — ONE synchronous Louvain local-move round
+    * from the singleton initialization on the co-purchase part graph:
+    * with every node its own community, node i's best move is to the
+    * neighbor j maximizing ΔQ = 1/m − k_i·k_j/(2m²) — i.e. the
+    * MINIMUM-degree neighbor (min node id on ties), taken only when
+    * ΔQ > 0 ⟺ k_i·k_j < 2m. The op reports how much modularity ONE
+    * cheap local round buys over singletons (Q₀ = −Σk_i²/4m² is
+    * always negative) — the decision input for "is full multi-level
+    * Louvain worth scheduling". Synchronous semantics declared (both
+    * endpoints may move). Exact integer ppm throughout; one edge-scan
+    * argmin via min_by struct, one scoring pass. */
+  val graphLouvainRound: Q = (s, d) => withShufflePartitions(s, 8) {
+    val li = lineitem(s, d).filter(col("l_orderkey") % 29 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val prs = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct().sharedCache()
+    val deg = prs.select(col("u").as("node"))
+      .unionAll(prs.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .sharedCache()
+    val mRow = prs.agg(count(lit(1)).as("m")).sharedCache()
+    val dirEdges = prs.select(col("u").as("i"), col("v").as("j"))
+      .unionAll(prs.select(col("v").as("i"), col("u").as("j")))
+    // best neighbor = min (deg_j, j); move iff k_i * k_j < 2m
+    val best = dirEdges
+      .join(deg.select(col("node").as("j"), col("deg").as("kj")), Seq("j"))
+      .groupBy("i")
+      .agg(min(struct(col("kj"), col("j"))).as("b"))
+      .select(col("i").as("node"), col("b.kj").as("kj"), col("b.j").as("tgt"))
+    val comm = best
+      .join(deg.select(col("node"), col("deg").as("ki")), Seq("node"))
+      .crossJoin(broadcast(mRow))
+      .select(col("node"),
+        when(col("ki") * col("kj") < col("m") * 2, col("tgt"))
+          .otherwise(col("node")).as("c"),
+        (col("ki") * col("kj") < col("m") * 2).as("moved"))
+      .sharedCache()
+    val cu = comm.select(col("node").as("u"), col("c").as("cu"))
+    val cv = comm.select(col("node").as("v"), col("c").as("cv"))
+    val intra = prs.join(cu, Seq("u")).join(cv, Seq("v"))
+      .agg(sum(when(col("cu") === col("cv"), 1L).otherwise(0L)).as("intra"))
+    val dsqAfter = comm.join(deg, Seq("node"))
+      .groupBy("c").agg(sum("deg").as("dc"))
+      .agg(sum(col("dc") * col("dc")).as("sdsq"),
+        count(lit(1)).as("n_communities"))
+    val dsqBefore = deg.agg(sum(col("deg") * col("deg")).as("sdsq0"),
+      count(lit(1)).as("n_nodes"))
+    val moved = comm.agg(sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+    val out = intra.crossJoin(broadcast(dsqAfter)).crossJoin(broadcast(dsqBefore))
+      .crossJoin(broadcast(moved)).crossJoin(broadcast(mRow))
+      .select(col("n_nodes"), col("m").as("m_edges"), col("n_moved"),
+        col("n_communities"),
+        // negate AFTER the positive division: Spark div truncates while
+        // DuckDB // floors, so a negative numerator would drift by 1
+        expr("-((sdsq0 * 1000000) div (4 * m * m))").as("modularity_ppm_before"),
+        expr("(intra * 1000000) div m - (sdsq * 1000000) div (4 * m * m)")
+          .as("modularity_ppm_after"))
+      .sharedCache()
+    out.count() // materialize inside the scoped shuffle-partition block
+    out
+  }
+
+  val graphLouvainRoundSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem WHERE l_orderkey % 29 = 0),
+      |prs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |          SELECT u AS node FROM prs UNION ALL SELECT v FROM prs) t
+      |        GROUP BY node),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM prs),
+      |dir AS (SELECT u AS i, v AS j FROM prs UNION ALL SELECT v, u FROM prs),
+      |best AS (
+      |  SELECT i AS node, min({'kj': kj, 'j': j}) AS b
+      |  FROM (SELECT dir.i, dir.j, dg.deg AS kj
+      |        FROM dir JOIN deg dg ON dir.j = dg.node) t
+      |  GROUP BY i),
+      |comm AS (
+      |  SELECT b.node,
+      |         CASE WHEN dg.deg * (b.b).kj < 2 * m.m THEN (b.b).j
+      |              ELSE b.node END AS c,
+      |         dg.deg * (b.b).kj < 2 * m.m AS moved
+      |  FROM best b JOIN deg dg ON b.node = dg.node CROSS JOIN m),
+      |intra AS (
+      |  SELECT CAST(sum(CASE WHEN a.c = b.c THEN 1 ELSE 0 END) AS BIGINT) AS intra
+      |  FROM prs p JOIN comm a ON a.node = p.u JOIN comm b ON b.node = p.v),
+      |dsq_after AS (
+      |  SELECT CAST(sum(dc * dc) AS BIGINT) AS sdsq,
+      |         CAST(count(*) AS BIGINT) AS n_communities
+      |  FROM (SELECT cm.c, CAST(sum(dg.deg) AS BIGINT) AS dc
+      |        FROM comm cm JOIN deg dg ON cm.node = dg.node GROUP BY cm.c) t),
+      |dsq_before AS (
+      |  SELECT CAST(sum(deg * deg) AS BIGINT) AS sdsq0,
+      |         CAST(count(*) AS BIGINT) AS n_nodes
+      |  FROM deg),
+      |mv AS (SELECT CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+      |       FROM comm)
+      |SELECT n_nodes, m.m AS m_edges, n_moved, n_communities,
+      |       -((sdsq0 * 1000000) // (4 * m.m * m.m)) AS modularity_ppm_before,
+      |       (intra * 1000000) // m.m - (sdsq * 1000000) // (4 * m.m * m.m)
+      |         AS modularity_ppm_after
+      |FROM intra CROSS JOIN dsq_after CROSS JOIN dsq_before CROSS JOIN mv CROSS JOIN m""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "emb-dbscan-core" -> embDbscanCore,
+    "emb-kdist-elbow" -> embKdistElbow,
+    "emb-lof" -> embLof,
+    "graph-louvain-round" -> graphLouvainRound)
+
+  val oracles: Map[String, String] = Map(
+    "emb-dbscan-core" -> embDbscanCoreSql,
+    "emb-kdist-elbow" -> embKdistElbowSql,
+    "emb-lof" -> embLofSql,
+    "graph-louvain-round" -> graphLouvainRoundSql)
+}
