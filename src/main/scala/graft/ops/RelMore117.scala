@@ -195,12 +195,15 @@ object RelMore117 {
         sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("sqq"),
         sum("cents").as("rev"))
       .sharedCache()
-    val wRev = Window.orderBy(col("rev").desc, col("l_partkey"))
-    val tot = per.agg(sum(expr("CAST(rev AS DECIMAL(38,0))")).as("trev"))
-    val classed = per.crossJoin(broadcast(tot))
-      .withColumn("cumrev", sum(expr("CAST(rev AS DECIMAL(38,0))")).over(wRev))
+    // cumulative revenue via the PrefixScan two-pass over the per-PART
+    // frame (parts grow with the corpus — the old no-partition running
+    // sum was a single-task sort); the stats pass returns Σrev for free
+    val sc = graft.functions.PrefixScan.withRankCumSum(per,
+      Seq(col("rev").desc, col("l_partkey")), Some("rev"),
+      rankName = "__rk", cumName = "cumrev")
+    val classed = sc.df
       .withColumn("cshare_q",
-        floor(col("cumrev").cast(DoubleType) * lit(1e6) / col("trev").cast(DoubleType))
+        floor(col("cumrev").cast(DoubleType) * lit(1e6) / lit(sc.total).cast(DoubleType))
           .cast(LongType))
       .withColumn("abc", when(col("cshare_q") <= 800000L, "A")
         .when(col("cshare_q") <= 950000L, "B").otherwise("C"))
@@ -215,9 +218,8 @@ object RelMore117 {
     classed.groupBy("abc", "xyz")
       .agg(count(lit(1)).as("n_parts"),
         sum(expr("CAST(rev AS DECIMAL(38,0))")).as("cellrev"))
-      .crossJoin(broadcast(tot))
       .select(col("abc"), col("xyz"), col("n_parts"),
-        ratioFloor(col("cellrev").cast(DoubleType), col("trev"), 6).as("rev_share"))
+        ratioFloor(col("cellrev").cast(DoubleType), lit(sc.total), 6).as("rev_share"))
       .orderBy("abc", "xyz")
   }
 

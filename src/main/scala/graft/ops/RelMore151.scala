@@ -95,13 +95,18 @@ object RelMore151 {
     * integer arithmetic; the argmax is an integer comparison with
     * depth tiebreak. */
   val aggProfitCurve: Q = (s, d) => {
-    val cust = orders(s, d)
+    // exact ntile via the PrefixScan two-pass — the old global ntile
+    // window was a single-partition sort of the per-customer frame
+    val cust0 = orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
         .as("spend"),
         max(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("conv"))
-      .withColumn("decile", ntile(10).over(Window.orderBy(col("spend").desc,
-        col("o_custkey"))))
+    val sc = graft.functions.PrefixScan.withRankCumSum(cust0,
+      Seq(col("spend").desc, col("o_custkey")), None, rankName = "rn")
+    val cust = sc.df
+      .withColumn("decile",
+        graft.functions.PrefixScan.ntileFromRank(10, sc.n, col("rn")))
     val perDecile = cust.groupBy("decile")
       .agg(count(lit(1)).as("n_contacts"), sum("conv").as("n_conv"))
     val curve = perDecile

@@ -69,22 +69,24 @@ object RelMore154 {
     * with customer tiebreak; each ratio is one exact integer
     * division of prefix sums. */
   val aggConcentrationRatios: Q = (s, d) => {
+    // PrefixScan rank over (spend desc, custkey) — the old global
+    // row_number window funneled the whole per-customer frame through
+    // one WindowExec task; the stats pass also hands back n and Σv,
+    // so the separate totals aggregate disappears
     val spend = orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
         .as("v"))
-      .withColumn("rk", row_number().over(Window.orderBy(col("v").desc,
-        col("o_custkey"))))
-      .sharedCache()
-    val tot = spend.agg(count(lit(1)).as("n_customers"), sum("v").as("t"))
-    spend.filter(col("rk") <= 20)
-      .crossJoin(broadcast(tot))
-      .agg(max("n_customers").as("n_customers"),
-        ratioFloor(sum(when(col("rk") <= 4, col("v")).otherwise(lit(0)))
-          .cast(DoubleType), max("t"), 6).as("cr4"),
-        ratioFloor(sum(when(col("rk") <= 8, col("v")).otherwise(lit(0)))
-          .cast(DoubleType), max("t"), 6).as("cr8"),
-        ratioFloor(sum("v").cast(DoubleType), max("t"), 6).as("cr20"))
+    val sc = graft.functions.PrefixScan.withRankCumSum(spend,
+      Seq(col("v").desc, col("o_custkey")), Some("v"), rankName = "rk")
+    sc.df.filter(col("rk") <= 20)
+      .agg(
+        ratioFloor(sum(when(col("rk") <= 4, col("v")).otherwise(lit(0L)))
+          .cast(DoubleType), lit(sc.total), 6).as("cr4"),
+        ratioFloor(sum(when(col("rk") <= 8, col("v")).otherwise(lit(0L)))
+          .cast(DoubleType), lit(sc.total), 6).as("cr8"),
+        ratioFloor(sum("v").cast(DoubleType), lit(sc.total), 6).as("cr20"))
+      .select(lit(sc.n).as("n_customers"), col("cr4"), col("cr8"), col("cr20"))
   }
 
   val aggConcentrationRatiosSql: String =

@@ -271,9 +271,10 @@ object RelMore156 {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         round(expr("dot_product(a.vq, b.vq)") / sqrt(col("a.nq") * col("b.nq")), 9)
           .as("cos"))
-      .withColumn("rk", row_number().over(Window.orderBy(col("cos").desc,
-        col("i"), col("j"))))
-      .filter(col("rk") <= 25)
+      // top-25 via orderBy+limit (TakeOrderedAndProject bounded heap)
+      // instead of numbering every pair through one WindowExec task
+      .orderBy(col("cos").desc, col("i"), col("j"))
+      .limit(25)
       .select(col("i"), col("j"), lit(true).as("semantic"))
     val cls = lex.join(sem, Seq("i", "j"), "full_outer")
       .select(when(coalesce(col("lexical"), lit(false)) &&
