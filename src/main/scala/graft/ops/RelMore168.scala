@@ -29,22 +29,27 @@ object RelMore168 {
       |         x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS DOUBLE)) AS v
       |FROM embeddings""".stripMargin
 
-  /** All ordered pairs (i ≠ j) with exact squared lattice distance. */
+  /** All ordered pairs (i ≠ j) with exact squared lattice distance.
+    * Self-norms are computed ONCE per vector (norm expansion d² =
+    * |a|² + |b|² − 2a·b) — a per-pair dot_product(a, a) would redo
+    * the same 64-term fold |corpus| times per vector. */
   private def pairs(s: SparkSession, d: String): DataFrame = {
-    val base = lattice(s, d)
+    val base = lattice(s, d).withColumn("nq", expr("dot_product(v, v)"))
     base.as("a").crossJoin(broadcast(base.as("b")))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        expr("CAST(dot_product(a.v, a.v) - 2 * dot_product(a.v, b.v) + " +
-          "dot_product(b.v, b.v) AS BIGINT)").as("d2"))
+        expr("CAST(a.nq + b.nq - 2 * dot_product(a.v, b.v) AS BIGINT)").as("d2"))
   }
 
   private val pairsSql: String =
-    s"""SELECT a.vec_id AS i, b.vec_id AS j,
-      |       CAST(list_inner_product(a.v, a.v) - 2 * list_inner_product(a.v, b.v) +
-      |            list_inner_product(b.v, b.v) AS BIGINT) AS d2
-      |FROM base a CROSS JOIN base b
-      |WHERE a.vec_id <> b.vec_id""".stripMargin
+    s"""SELECT a.i, b.vec_id AS j,
+      |       CAST(a.nq + b.nq - 2 * list_inner_product(a.v, b.v) AS BIGINT) AS d2
+      |FROM (SELECT vec_id AS i, v, nq FROM based) a
+      |CROSS JOIN based b
+      |WHERE a.i <> b.vec_id""".stripMargin
+
+  private val basedSql: String =
+    "SELECT vec_id, label, v, list_inner_product(v, v) AS nq FROM base"
 
   private val Eps2 = 1420000L // ≈ median 5-NN squared distance on the milli lattice
   private val MinPts = 5
@@ -84,6 +89,7 @@ object RelMore168 {
 
   val embDbscanCoreSql: String =
     s"""WITH base AS ($latticeSql),
+      |based AS MATERIALIZED ($basedSql),
       |p AS ($pairsSql),
       |pr AS (SELECT i, j FROM p WHERE d2 <= $Eps2),
       |ncnt AS (SELECT i, CAST(count(*) AS BIGINT) AS nbrs FROM pr GROUP BY i),
@@ -130,6 +136,7 @@ object RelMore168 {
 
   val embKdistElbowSql: String =
     s"""WITH base AS ($latticeSql),
+      |based AS MATERIALIZED ($basedSql),
       |p AS ($pairsSql),
       |kd AS (
       |  SELECT i, d2 AS kd2 FROM (
@@ -188,6 +195,7 @@ object RelMore168 {
 
   val embLofSql: String =
     s"""WITH base AS ($latticeSql),
+      |based AS MATERIALIZED ($basedSql),
       |p AS ($pairsSql),
       |knn AS (
       |  SELECT i, j, d2 FROM (
