@@ -146,6 +146,50 @@ class Round10hOpsSpec extends SparkTestBase {
     assert(b.zip(b.tail).forall { case (x, y) => x >= y })
   }
 
+  test("emb-zca-whitening: post-whitening covariance is the identity") {
+    val r = run("emb-zca-whitening").head()
+    assert(math.abs(r.getAs[Double]("post_xx") - 1.0) < 0.01)
+    assert(math.abs(r.getAs[Double]("post_yy") - 1.0) < 0.01)
+    assert(math.abs(r.getAs[Double]("post_xy")) < 0.01)
+    assert(r.getAs[Double]("cov_xx") > 0 && r.getAs[Double]("cov_yy") > 0)
+    assert(r.getAs[Double]("w11") > 0 && r.getAs[Double]("w22") > 0)
+  }
+
+  test("agg-countmin-measured: estimates never undercount") {
+    val rows = run("agg-countmin-measured").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_n") >= r.getAs[Long]("exact_n"))
+      assert(r.getAs[Long]("overestimate") >= 0)
+      assert(r.getAs[Double]("over_pct") >= 0)
+    }
+    val ex = rows.map(_.getAs[Long]("exact_n"))
+    assert(ex.zip(ex.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("agg-hdr-histogram: lower bound within the 1/32 octave budget") {
+    val rows = run("agg-hdr-histogram").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (exact, lb) = (r.getAs[Long]("exact_cents"), r.getAs[Long]("hdr_lower_cents"))
+      assert(lb <= exact)
+      assert(r.getAs[Double]("rel_err_pct") >= 0)
+      assert(r.getAs[Double]("rel_err_pct") <= 100.0 / 32 + 0.01,
+        s"p${r.getAs[Int]("pct")}: lb $lb exact $exact")
+    }
+  }
+
+  test("join-band: matched pairs are a subset of bucket candidates") {
+    val r = run("join-band").head()
+    assert(r.getAs[Long]("n_pairs") <= r.getAs[Long]("n_candidates"))
+    assert(r.getAs[Long]("max_pairs_one_brand") <= r.getAs[Long]("n_pairs"))
+    if (r.getAs[Long]("n_pairs") > 0) {
+      assert(r.getAs[Long]("n_brands_with_pairs") > 0)
+      val gap = r.getAs[Double]("avg_gap_cents")
+      assert(gap >= 0 && gap <= 100)
+    }
+  }
+
   test("dq-page-hinkley: prefix-min PH nonneg, alarm bar positive") {
     val r = run("dq-page-hinkley").head()
     assert(r.getAs[Long]("n_days") > 0)
