@@ -120,7 +120,7 @@ object RelMore176 {
       |GROUP BY CUBE (yr, pri)
       |ORDER BY g_yr, g_pri, yr, pri""".stripMargin
 
-  /** agg-bitmap-distinct — exact distinct-active-days per order
+  /** agg-bitmap-word-distinct — exact distinct-active-days per order
     * priority WITHOUT count(distinct): day ordinals pack into 63-bit
     * words (word = idx/63, bit = idx%63), `bit_or` folds the words
     * map-side, `bit_count` pops the union. The shuffle carries at
@@ -253,13 +253,13 @@ object RelMore176 {
     "sql-grouping-sets" -> sqlGroupingSets,
     "sql-rollup-ym" -> sqlRollupYm,
     "sql-cube-year-priority" -> sqlCubeYearPriority,
-    "agg-bitmap-distinct" -> aggBitmapDistinct,
+    "agg-bitmap-word-distinct" -> aggBitmapDistinct,
     "agg-cusum-changepoint" -> aggCusumChangepoint)
 
   val oracles: Map[String, String] = Map(
     "sql-grouping-sets" -> sqlGroupingSetsSql,
     "sql-rollup-ym" -> sqlRollupYmSql,
     "sql-cube-year-priority" -> sqlCubeYearPrioritySql,
-    "agg-bitmap-distinct" -> aggBitmapDistinctSql,
+    "agg-bitmap-word-distinct" -> aggBitmapDistinctSql,
     "agg-cusum-changepoint" -> aggCusumChangepointSql)
 }
