@@ -8,7 +8,7 @@ import Tables._
 
 /** Round-8 batch Q: ridge shrinkage path from the 2-feature closed
   * form, Box-Cox transform selection on a quantized-log grid,
-  * Horvitz-Thompson totals under deterministic Poisson-PPS sampling,
+  * Horvitz-Thompson design-effect comparison (PPS vs uniform),
   * Adamic-Adar link prediction with a degree-capped pair generator. */
 object RelMore181 {
 
@@ -208,69 +208,107 @@ object RelMore181 {
       |       ll = max(ll) OVER () AS is_best
       |FROM ll ORDER BY lambda""".stripMargin
 
-  /** sample-horvitz-thompson — the estimator that makes unequal-
-    * probability sampling unbiased: Poisson-PPS sample (include order
-    * i iff hash-uniform u_i < π_i, π_i ∝ order value, capped at 1),
-    * then HT total = Σ y_i/π_i over the SAMPLE — each sampled row
-    * stands in for 1/π_i of the population. Deterministic: u from md5
-    * of the order key, the inclusion test compares integers
-    * (u32 < floor(π·2³²)), and the weighted contributions are
-    * quantized to cents before the exact integer sum (ordered-fold
-    * discipline — no float partition noise). Reports the estimate,
-    * the truth, the relative error, and the realized sample rate —
-    * one scan, no shuffle beyond two scalar aggregates. */
-  val sampleHorvitzThompson: Q = (s, d) => {
+  /** sample-ht-design-effect — WHY pps sampling: Poisson-PPS and
+    * uniform-Bernoulli samples at the SAME expected 20% rate, both
+    * estimating the corpus total with Horvitz-Thompson Σ y_i/π_i, and
+    * each carrying its own HT variance estimator
+    * V̂ = Σ_sample (1−π)/π²·y² — the ratio V̂_uni/V̂_pps is the design
+    * effect, the number that justifies value-proportional sampling on
+    * skewed totals (sample-poisson-ht is the single-design cousin;
+    * this op is the comparison that picks the design). Deterministic:
+    * π from exact totals, inclusion is an integer compare of a md5
+    * u32 against floor(π·2³²) (independent salts per design), and
+    * every per-row contribution is floored to BIGINT before the exact
+    * DECIMAL(38) fold — no partition-order float noise. One cached
+    * scan feeds both designs; no shuffle beyond scalar aggregates. */
+  val sampleHtDesignEffect: Q = (s, d) => {
     val base = orders(s, d).select(col("o_orderkey").as("k"),
       expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      .select(col("k"), col("v"), expr("v DIV 100").as("vd"))
       .sharedCache()
     val tot = base.agg(count(lit(1)).as("n_pop"),
       sum(expr("CAST(v AS DECIMAL(38,0))")).cast(DoubleType).as("tv"),
-      sum(expr("CAST(v AS DECIMAL(38,0))")).cast(LongType).as("true_total"))
-    val est = base.crossJoin(broadcast(tot))
-      .withColumn("pi", least(lit(1.0),
-        lit(3000.0) * col("v").cast(DoubleType) / col("tv")))
+      sum("vd").as("true_usd"))
+    val marked = base.crossJoin(broadcast(tot))
+      .withColumn("pi_p", least(lit(1.0),
+        (col("n_pop").cast(DoubleType) / 5.0) * col("v").cast(DoubleType) / col("tv")))
+      .withColumn("pi_u", lit(0.2))
+      .withColumn("hp", expr(
+        "CAST(conv(substring(md5(concat('htp_', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("hu", expr(
-        "CAST(conv(substring(md5(CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
-      .filter(col("hu") < floor(col("pi") * lit(4294967296.0)).cast(LongType))
-      .agg(count(lit(1)).as("n_sampled"),
-        sum(floor(col("v").cast(DoubleType) / col("pi")).cast(LongType))
-          .as("ht_total"))
-    est.crossJoin(broadcast(tot))
-      .select(col("n_pop"), col("n_sampled"),
-        round(col("n_sampled").cast(DoubleType) /
-          col("n_pop").cast(DoubleType), 4).as("sample_rate"),
-        col("true_total"), col("ht_total"),
-        round((col("ht_total") - col("true_total")).cast(DoubleType) * 100 /
-          col("true_total").cast(DoubleType), 4).as("rel_err_pct"))
+        "CAST(conv(substring(md5(concat('htu_', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("in_p", col("hp") < floor(col("pi_p") * lit(4294967296.0)).cast(LongType))
+      .withColumn("in_u", col("hu") < floor(col("pi_u") * lit(4294967296.0)).cast(LongType))
+    val est = marked.agg(
+      max("n_pop").as("n_pop"), max("true_usd").as("true_usd"),
+      sum(when(col("in_p"), 1L).otherwise(0L)).as("n_pps"),
+      sum(when(col("in_u"), 1L).otherwise(0L)).as("n_uni"),
+      sum(when(col("in_p"),
+        floor(col("vd").cast(DoubleType) / col("pi_p")).cast(LongType))
+        .otherwise(0L)).as("ht_pps"),
+      sum(when(col("in_u"),
+        floor(col("vd").cast(DoubleType) / col("pi_u")).cast(LongType))
+        .otherwise(0L)).as("ht_uni"),
+      sum(expr("CAST(CASE WHEN in_p THEN CAST(floor(" +
+        "(1.0 - pi_p) / (pi_p * pi_p) * CAST(vd AS DOUBLE) * vd) AS BIGINT) " +
+        "ELSE 0 END AS DECIMAL(38,0))")).as("var_p"),
+      sum(expr("CAST(CASE WHEN in_u THEN CAST(floor(" +
+        "(1.0 - pi_u) / (pi_u * pi_u) * CAST(vd AS DOUBLE) * vd) AS BIGINT) " +
+        "ELSE 0 END AS DECIMAL(38,0))")).as("var_u"))
+    est.select(col("n_pop"), col("n_pps"), col("n_uni"), col("true_usd"),
+      col("ht_pps").as("ht_pps_usd"), col("ht_uni").as("ht_uni_usd"),
+      round(sqrt(col("var_p").cast(DoubleType)), 2).as("se_pps_usd"),
+      round(sqrt(col("var_u").cast(DoubleType)), 2).as("se_uni_usd"),
+      round(col("var_u").cast(DoubleType) / col("var_p").cast(DoubleType), 4)
+        .as("design_effect"))
   }
 
-  val sampleHorvitzThompsonSql: String =
+  val sampleHtDesignEffectSql: String =
     """WITH base AS (
-      |  SELECT o_orderkey AS k,
-      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-      |  FROM orders),
+      |  SELECT o_orderkey AS k, v, v // 100 AS vd
+      |  FROM (SELECT o_orderkey,
+      |               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |        FROM orders) t),
       |tot AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n_pop,
       |         CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) AS tv,
-      |         CAST(sum(CAST(v AS HUGEINT)) AS BIGINT) AS true_total
+      |         CAST(sum(vd) AS BIGINT) AS true_usd
       |  FROM base),
-      |est AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS n_sampled,
-      |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) / pi_) AS BIGINT)) AS BIGINT)
-      |           AS ht_total
+      |marked AS (
+      |  SELECT vd, pi_p, pi_u, n_pop, true_usd,
+      |         hp < CAST(floor(pi_p * 4294967296.0) AS BIGINT) AS in_p,
+      |         hu < CAST(floor(pi_u * 4294967296.0) AS BIGINT) AS in_u
       |  FROM (
-      |    SELECT v, least(1.0, 3000.0 * CAST(v AS DOUBLE) / tv) AS pi_,
-      |           CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT
+      |    SELECT vd, n_pop, true_usd,
+      |           least(1.0, (CAST(n_pop AS DOUBLE) / 5.0) * CAST(v AS DOUBLE) / tv)
+      |             AS pi_p,
+      |           0.2 AS pi_u,
+      |           CAST(('0x' || substring(md5('htp_' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
+      |                AS BIGINT) AS hp,
+      |           CAST(('0x' || substring(md5('htu_' || CAST(k AS VARCHAR)), 1, 8))::BIGINT
       |                AS BIGINT) AS hu
-      |    FROM base CROSS JOIN tot) t
-      |  WHERE hu < CAST(floor(pi_ * 4294967296.0) AS BIGINT))
-      |SELECT n_pop, n_sampled,
-      |       round(CAST(n_sampled AS DOUBLE) / CAST(n_pop AS DOUBLE), 4)
-      |         AS sample_rate,
-      |       true_total, ht_total,
-      |       round(CAST(ht_total - true_total AS DOUBLE) * 100 /
-      |             CAST(true_total AS DOUBLE), 4) AS rel_err_pct
-      |FROM est CROSS JOIN tot""".stripMargin
+      |    FROM base CROSS JOIN tot) t)
+      |SELECT max(n_pop) AS n_pop,
+      |       CAST(sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT) AS n_pps,
+      |       CAST(sum(CASE WHEN in_u THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+      |       max(true_usd) AS true_usd,
+      |       CAST(sum(CASE WHEN in_p THEN CAST(floor(CAST(vd AS DOUBLE) / pi_p)
+      |                AS BIGINT) ELSE 0 END) AS BIGINT) AS ht_pps_usd,
+      |       CAST(sum(CASE WHEN in_u THEN CAST(floor(CAST(vd AS DOUBLE) / pi_u)
+      |                AS BIGINT) ELSE 0 END) AS BIGINT) AS ht_uni_usd,
+      |       round(sqrt(CAST(sum(CASE WHEN in_p THEN CAST(floor(
+      |         (1.0 - pi_p) / (pi_p * pi_p) * CAST(vd AS DOUBLE) * vd) AS BIGINT)
+      |         ELSE 0 END) AS DOUBLE)), 2) AS se_pps_usd,
+      |       round(sqrt(CAST(sum(CASE WHEN in_u THEN CAST(floor(
+      |         (1.0 - pi_u) / (pi_u * pi_u) * CAST(vd AS DOUBLE) * vd) AS BIGINT)
+      |         ELSE 0 END) AS DOUBLE)), 2) AS se_uni_usd,
+      |       round(CAST(sum(CASE WHEN in_u THEN CAST(floor(
+      |         (1.0 - pi_u) / (pi_u * pi_u) * CAST(vd AS DOUBLE) * vd) AS BIGINT)
+      |         ELSE 0 END) AS DOUBLE) /
+      |             CAST(sum(CASE WHEN in_p THEN CAST(floor(
+      |         (1.0 - pi_p) / (pi_p * pi_p) * CAST(vd AS DOUBLE) * vd) AS BIGINT)
+      |         ELSE 0 END) AS DOUBLE), 4) AS design_effect
+      |FROM marked""".stripMargin
 
   /** graph-adamic-adar — link prediction on the part-supplier
     * bipartite graph: score SUPPLIER pairs by Σ_w 1/ln(deg w) over
@@ -323,12 +361,12 @@ object RelMore181 {
   val queries: Map[String, Q] = Map(
     "agg-ridge-path" -> aggRidgePath,
     "agg-box-cox-grid" -> aggBoxCoxGrid,
-    "sample-horvitz-thompson" -> sampleHorvitzThompson,
+    "sample-ht-design-effect" -> sampleHtDesignEffect,
     "graph-adamic-adar" -> graphAdamicAdar)
 
   val oracles: Map[String, String] = Map(
     "agg-ridge-path" -> aggRidgePathSql,
     "agg-box-cox-grid" -> aggBoxCoxGridSql,
-    "sample-horvitz-thompson" -> sampleHorvitzThompsonSql,
+    "sample-ht-design-effect" -> sampleHtDesignEffectSql,
     "graph-adamic-adar" -> graphAdamicAdarSql)
 }

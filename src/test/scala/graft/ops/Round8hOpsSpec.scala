@@ -27,13 +27,18 @@ class Round8hOpsSpec extends SparkTestBase {
     }
   }
 
-  test("sample-horvitz-thompson: estimate lands near truth, rate sane") {
-    val r = run("sample-horvitz-thompson").head()
-    assert(r.getAs[Long]("n_sampled") > 0)
-    assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_pop"))
-    // PPS with E[n]≈3000 on a 1500-order fixture caps most pi at <1;
-    // HT should still land within a few percent of the truth
-    assert(math.abs(r.getAs[Double]("rel_err_pct")) < 10.0)
+  test("sample-ht-design-effect: pps beats uniform on a skewed total") {
+    val r = run("sample-ht-design-effect").head()
+    assert(r.getAs[Long]("n_pps") > 0 && r.getAs[Long]("n_uni") > 0)
+    assert(r.getAs[Long]("n_pps") <= r.getAs[Long]("n_pop"))
+    // HT is unbiased; both estimates should land within se*4 of truth
+    val truth = r.getAs[Long]("true_usd").toDouble
+    assert(math.abs(r.getAs[Long]("ht_pps_usd") - truth) <
+      4 * r.getAs[Double]("se_pps_usd") + 0.05 * truth)
+    assert(math.abs(r.getAs[Long]("ht_uni_usd") - truth) <
+      4 * r.getAs[Double]("se_uni_usd") + 0.05 * truth)
+    // the whole point: value-proportional inclusion shrinks HT variance
+    assert(r.getAs[Double]("design_effect") > 1.0)
   }
 
   test("graph-adamic-adar: scores sorted desc, pairs canonical") {
