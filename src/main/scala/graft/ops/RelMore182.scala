@@ -161,10 +161,12 @@ object RelMore182 {
       |         AS char_share
       |FROM pools CROSS JOIN tot ORDER BY step""".stripMargin
 
-  /** text-feature-hashing — the hashing trick: tokens → 4096 buckets
+  /** text-hash-collision-audit — the hashing trick: tokens → 4096 buckets
     * by md5 u32 mod (engine-portable, unlike murmur), with the
     * collision accounting that tells you whether 2^12 is enough for
-    * this vocabulary: distinct tokens, buckets hit, max bucket load,
+    * this vocabulary (text-feature-hashing in RelMore13 emits the
+    * 64-bucket feature VECTORS; this op audits the collision budget at
+    * production width): distinct tokens, buckets hit, max bucket load,
     * collision-token share, and the birthday-law expectation
     * E[used] = B·(1−(1−1/B)^V) the measurement is judged against.
     * One explode scan → |vocab| groupBy → 4096-row groupBy; nothing
@@ -286,12 +288,12 @@ object RelMore182 {
   val queries: Map[String, Q] = Map(
     "text-skipgram-pairs" -> textSkipgramPairs,
     "sample-curriculum-schedule" -> sampleCurriculumSchedule,
-    "text-feature-hashing" -> textFeatureHashing,
+    "text-hash-collision-audit" -> textFeatureHashing,
     "agg-negative-binomial-fit" -> aggNegativeBinomialFit)
 
   val oracles: Map[String, String] = Map(
     "text-skipgram-pairs" -> textSkipgramPairsSql,
     "sample-curriculum-schedule" -> sampleCurriculumScheduleSql,
-    "text-feature-hashing" -> textFeatureHashingSql,
+    "text-hash-collision-audit" -> textFeatureHashingSql,
     "agg-negative-binomial-fit" -> aggNegativeBinomialFitSql)
 }

@@ -87,8 +87,8 @@ class Round10hOpsSpec extends SparkTestBase {
     assert(grain(1, 0).map(_.getAs[Long]("n_orders")).sum == t)
   }
 
-  test("agg-bitmap-distinct: bitmap count equals exact count everywhere") {
-    val rows = run("agg-bitmap-distinct").collect()
+  test("agg-bitmap-word-distinct: bitmap count equals exact count everywhere") {
+    val rows = run("agg-bitmap-word-distinct").collect()
     assert(rows.length == 5)
     rows.foreach { r =>
       assert(r.getAs[Boolean]("bitmap_matches"))

@@ -30,8 +30,8 @@ class Round8iOpsSpec extends SparkTestBase {
     assert(last.getAs[Double]("char_share") == 1.0)
   }
 
-  test("text-feature-hashing: bucket accounting consistent") {
-    val r = run("text-feature-hashing").head()
+  test("text-hash-collision-audit: bucket accounting consistent") {
+    val r = run("text-hash-collision-audit").head()
     assert(r.getAs[Long]("buckets_used") <= 4096L)
     assert(r.getAs[Long]("buckets_used") <= r.getAs[Long]("n_vocab"))
     // birthday-law expectation should be in the right ballpark
