@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "dot_product takes exactly 2 arguments")
         DotProduct(exprs.head, exprs(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("quantize_lattice"),
+      new ExpressionInfo(classOf[QuantizeLattice].getName, "quantize_lattice"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "quantize_lattice takes exactly 2 arguments")
+        QuantizeLattice(exprs.head, exprs(1))
+      }))
     // optimizer rule: interpreted aggregate(zip_with(a, b, *), 0d, +)
     // folds become the codegen dot_product expression (see
     // DotProductRewrite) — declarative vector math gets the native loop
