@@ -18,9 +18,9 @@ object RelMore168 {
     * coordinates as doubles so dot_product folds are exact. */
   private def lattice(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotProduct.register(s)
+    graft.functions.QuantizeLattice.register(s)
     embeddings(s, d).select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000) " +
-        "AS BIGINT) AS DOUBLE))").as("v"))
+      expr("quantize_lattice(embedding, 1000.0D)").as("v"))
   }
 
   private val latticeSql: String =

@@ -24,9 +24,9 @@ object RelMore183 {
     * degree saving the graph index banks. */
   val annRngDiversify: Q = (s, d) => {
     graft.functions.DotProduct.register(s)
+    graft.functions.QuantizeLattice.register(s)
     val base = embeddings(s, d).select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000) " +
-        "AS BIGINT) AS DOUBLE))").as("v"))
+      expr("quantize_lattice(embedding, 1000.0D)").as("v"))
       .withColumn("nq", expr("dot_product(v, v)"))
       .sharedCache()
     val cand = base.select(col("label"), col("vec_id").as("u"),
