@@ -48,6 +48,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "quantize_lattice takes exactly 2 arguments")
         QuantizeLattice(exprs.head, exprs(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("quantize_lattice_long"),
+      new ExpressionInfo(classOf[QuantizeLatticeLong].getName,
+        "quantize_lattice_long"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          "quantize_lattice_long takes exactly 2 arguments")
+        QuantizeLatticeLong(exprs.head, exprs(1))
+      }))
     // optimizer rule: interpreted aggregate(zip_with(a, b, *), 0d, +)
     // folds become the codegen dot_product expression (see
     // DotProductRewrite) — declarative vector math gets the native loop

@@ -24,8 +24,7 @@ object RelMore16 {
   val embDriftDims: Q = (s, d) =>
     embeddings(s, d)
       .select(col("label"), (col("vec_id") % 2).as("split"),
-        posexplode(expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+        posexplode(expr("quantize_lattice_long(embedding, 1000000.0D)"))
           .as(Seq("pos", "xi")))
       .groupBy("label", "pos")
       .agg(

@@ -84,8 +84,7 @@ object RelMore185 {
   val dqEmbeddingDrift: Q = (s, d) => {
     val comps = embeddings(s, d)
       .select((col("label") >= 5).as("grp"),
-        posexplode(expr("transform(embedding, x -> " +
-          "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        posexplode(expr("quantize_lattice_long(embedding, 1000.0D)"))
           .as(Seq("dim", "xq")))
     val st = comps.groupBy("dim", "grp")
       .agg(count(lit(1)).as("n"),

@@ -22,6 +22,9 @@ object RelMore190 {
     graft.functions.QuantizeLattice.register(s)
     val q = embeddings(s, d).select(col("vec_id"),
       expr("quantize_lattice(embedding, 1000.0D)").as("nat"),
+      // the declarative HOF form the native expression replaces — the
+      // whole point of this op is nat-vs-fold equivalence, so this
+      // side must NOT be swapped to the native function
       expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000) " +
         "AS BIGINT) AS DOUBLE))").as("fold"))
       .select(col("vec_id"), col("nat"), col("fold"),

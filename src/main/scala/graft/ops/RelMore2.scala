@@ -52,7 +52,7 @@ object RelMore2 {
     * zip_with partial merge — no posexplode shuffle blowup. */
   val embClusterStats: Q = (s, d) => {
     val base = embeddings(s, d).select(col("label"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xi"))
+      expr("quantize_lattice_long(embedding, 1000000.0D)").as("xi"))
       .withColumn("xx", expr("aggregate(xi, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
     val agg = base.groupBy("label").agg(
       count(lit(1)).as("n"),

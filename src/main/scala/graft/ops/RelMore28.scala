@@ -37,7 +37,7 @@ object RelMore28 {
   val annAdcRerank: Q = (s, d) => {
     graft.functions.DotProduct.register(s)
     val base = embeddings(s, d).select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xi"))
+      expr("quantize_lattice_long(embedding, 1000000.0D)").as("xi"))
     // codebook: per-(label, subspace) centroid of the 8-dim slices, exact long sums
     val comp = base.select(col("label"), posexplode(col("xi")).as(Seq("pos", "x")))
       .select(col("label"), (col("pos") / 8).cast(IntegerType).as("sub"),
@@ -321,7 +321,7 @@ object RelMore28 {
     * dim-keyed partial agg → broadcast back) is unchanged. */
   val embDimStandardize: Q = (s, d) => {
     val cells = embeddings(s, d).select(col("vec_id"),
-      posexplode(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+      posexplode(expr("quantize_lattice_long(embedding, 1000000.0D)"))
         .as(Seq("dim", "xq")))
     val stats = cells.groupBy("dim")
       .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"),

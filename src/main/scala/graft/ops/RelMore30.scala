@@ -35,7 +35,7 @@ object RelMore30 {
   val annIvfAdc: Q = (s, d) => {
     graft.functions.DotProduct.register(s)
     val base = embeddings(s, d).select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xi"))
+      expr("quantize_lattice_long(embedding, 1000000.0D)").as("xi"))
     val full = base.select(col("vec_id"), col("label"),
       expr("transform(xi, x -> CAST(x AS DOUBLE))").as("xd"))
     // coarse quantizer: cells seeded by the first 8 vectors

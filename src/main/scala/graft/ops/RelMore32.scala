@@ -29,7 +29,7 @@ object RelMore32 {
   val embKmeansUpdate: Q = (s, d) => {
     graft.functions.DotProduct.register(s)
     val base = embeddings(s, d).select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xi"))
+      expr("quantize_lattice_long(embedding, 1000000.0D)").as("xi"))
     def centroids(df: DataFrame, key: String): DataFrame =
       df.select(col(key).as("ck"), posexplode(col("xi")).as(Seq("pos", "x")))
         .groupBy(col("ck"), col("pos"))

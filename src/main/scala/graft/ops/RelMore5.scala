@@ -161,7 +161,7 @@ object RelMore5 {
   val embPqAssign: Q = (s, d) => {
     graft.functions.DotProduct.register(s)
     val base = embeddings(s, d).select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xi"))
+      expr("quantize_lattice_long(embedding, 1000000.0D)").as("xi"))
     // per-(label, subspace) centroid over the 8-dim slice, exact sums
     val comp = base.select(col("label"), posexplode(col("xi")).as(Seq("pos", "x")))
       .select(col("label"), (col("pos") / 8).cast(IntegerType).as("sub"),

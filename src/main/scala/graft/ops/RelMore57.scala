@@ -346,7 +346,7 @@ object RelMore57 {
   val embAssignMargin: Q = (s, d) => {
     graft.functions.DotProduct.register(s)
     val base = embeddings(s, d).select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xi"))
+      expr("quantize_lattice_long(embedding, 1000000.0D)").as("xi"))
     val comp = base.select(col("label"), posexplode(col("xi")).as(Seq("pos", "x")))
     val cent = comp.groupBy(col("label"), col("pos"))
       .agg(sum(col("x")).as("sd"), count(lit(1)).as("n"))

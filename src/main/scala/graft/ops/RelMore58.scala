@@ -240,7 +240,7 @@ object RelMore58 {
   val embKnnOod: Q = (s, d) => {
     graft.functions.DotProduct.register(s)
     val base = embeddings(s, d).select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xi"))
+      expr("quantize_lattice_long(embedding, 1000000.0D)").as("xi"))
       .withColumn("v", expr("transform(xi, x -> CAST(x AS DOUBLE))"))
     val ref = base.filter(col("label") <= 4)
       .select(col("vec_id").as("ref_id"), col("v").as("rv"))

@@ -141,7 +141,7 @@ object RelMore60 {
       expr("(min(vec_id) + max(vec_id) + 1) div 2").as("mid"))
     val base = embeddings(s, d).crossJoin(broadcast(bounds))
       .select(col("label"), (col("vec_id") < col("mid")).as("first_half"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xi"))
+        expr("quantize_lattice_long(embedding, 1000000.0D)").as("xi"))
     val comp = base.select(col("label"), col("first_half"),
       posexplode(col("xi")).as(Seq("pos", "x")))
     val cent = comp.groupBy("label", "first_half", "pos")

@@ -133,7 +133,7 @@ object RelMore62 {
     val sample = embeddings(s, d)
       .filter(substring(md5(concat(lit("dh#"), col("vec_id").cast(StringType))), 1, 1) === "0")
       .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xi"))
+        expr("quantize_lattice_long(embedding, 1000000.0D)").as("xi"))
       .withColumn("v", expr("transform(xi, x -> CAST(x AS DOUBLE))"))
       .select(col("vec_id"), col("v"))
     val pairs = sample.as("a").join(sample.as("b"), col("a.vec_id") < col("b.vec_id"))

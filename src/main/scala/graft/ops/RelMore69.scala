@@ -96,7 +96,7 @@ object RelMore69 {
   val embMmrRerank: Q = (s, d) => {
     graft.functions.DotProduct.register(s)
     val vecs = embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE))").as("v"))
+      expr("quantize_lattice(embedding, 1000000.0D)").as("v"))
     val q = vecs.filter(col("vec_id") === 1)
       .select(col("v").as("qv"))
     val cands = vecs.crossJoin(broadcast(q))

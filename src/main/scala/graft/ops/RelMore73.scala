@@ -138,7 +138,7 @@ object RelMore73 {
     val sample = embeddings(s, d)
       .filter(substring(md5(concat(lit("hn#"), col("vec_id").cast(StringType))), 1, 1) === "0")
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE))").as("v"))
+        expr("quantize_lattice(embedding, 1000000.0D)").as("v"))
       .sharedCache()
     val pairs = sample.select(col("vec_id").as("ia"), col("label").as("la"), col("v").as("va"))
       .join(sample.select(col("vec_id").as("ib"), col("label").as("lb"), col("v").as("vb")),

@@ -126,7 +126,7 @@ object RelMore77 {
     // half the pair evaluations.
     graft.functions.DotProduct.register(s)
     val base = embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE))").as("v"))
+      expr("quantize_lattice(embedding, 1000000.0D)").as("v"))
       .withColumn("n2", expr("dot_product(v, v)"))
       .sharedCache()
     val a = base.select(col("vec_id").as("i"), col("v").as("va"), col("n2").as("aa"))

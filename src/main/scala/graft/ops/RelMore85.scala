@@ -31,7 +31,7 @@ object RelMore85 {
   val embJlProjection: Q = (s, d) => {
     graft.functions.DotProduct.register(s)
     val base = embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE))").as("v"))
+      expr("quantize_lattice(embedding, 1000000.0D)").as("v"))
     val signs = s.range(JlK).select(col("id").as("k"))
       .crossJoin(s.range(Dim).select(col("id").as("j")))
       .withColumn("sgn", expr(
@@ -111,7 +111,7 @@ object RelMore85 {
     * bytes → 64×1 + 2 scalars, with the centroid join map-side. */
   val embResidualQuantize: Q = (s, d) => {
     val comp = embeddings(s, d).select(col("vec_id"), col("label"),
-      posexplode(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+      posexplode(expr("quantize_lattice_long(embedding, 1000000.0D)"))
         .as(Seq("pos", "x")))
       .sharedCache()
     val cent = comp.groupBy("label", "pos")
@@ -172,7 +172,7 @@ object RelMore85 {
   val embSilhouette: Q = (s, d) => {
     graft.functions.DotProduct.register(s)
     val base = embeddings(s, d).select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("xi"))
+      expr("quantize_lattice_long(embedding, 1000000.0D)").as("xi"))
       .sharedCache()
     val comp = base.select(col("label"), posexplode(col("xi")).as(Seq("pos", "x")))
     val cent = comp.groupBy("label", "pos")
@@ -249,7 +249,7 @@ object RelMore85 {
   val embKnnClassify: Q = (s, d) => {
     graft.functions.DotProduct.register(s)
     val base = embeddings(s, d).select(col("vec_id"), col("label"),
-      expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE))").as("v"))
+      expr("quantize_lattice(embedding, 1000000.0D)").as("v"))
     val q = base.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("label").as("true_label"), col("v").as("qv"))
     val corpus = base.filter(col("vec_id") >= 50)

@@ -88,7 +88,7 @@ object RelMore92 {
     * extra shuffles beyond the (salt, group, dim) aggregate. */
   val embPermutationTest: Q = (s, d) => {
     val comp = embeddings(s, d).select(col("vec_id"), col("label"),
-      posexplode(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+      posexplode(expr("quantize_lattice_long(embedding, 1000000.0D)"))
         .as(Seq("pos", "x")))
     val salted = comp.crossJoin(
       s.range(-1, NPerms).select(col("id").cast(IntegerType).as("salt")))
