@@ -47,14 +47,24 @@ object RelMore77 {
   val sampleBootstrapCi: Q = (s, d) => {
     val base = orders(s, d).select(col("o_orderkey"),
       floor(col("o_totalprice") * 100).cast(LongType).as("cents"))
-    val u = v20Expr(s"concat(CAST(o_orderkey AS STRING), '|', CAST(b AS STRING))", "instr")
+      // hash-block batching: one md5 carries SIX 20-bit replicate
+      // uniforms (6 slots x 5 hex chars), so 32 replicates cost 6
+      // hashes per row instead of 32 - the md5 was ~all of this op's
+      // runtime. Hashes are computed BEFORE the replicate explode.
+      .withColumn("hs", array((0 to 5).map(k =>
+        md5(concat(col("o_orderkey").cast(StringType), lit("#" + k)))): _*))
+    val u = "CAST(conv(substring(element_at(hs, CAST(b DIV 6 AS INT) + 1), " +
+      "CAST((b % 6) * 5 AS INT) + 1, 5), 16, 10) AS BIGINT)"
     val reps = base
-      .select(col("o_orderkey"), col("cents"),
+      .select(col("o_orderkey"), col("cents"), col("hs"),
         explode(expr(s"sequence(0, ${BootReps - 1})")).as("b"))
       .withColumn("w", expr(poisWExpr(u)))
+    // w <= 7 and cents <= ~5e7: the per-replicate weighted sums stay
+    // far inside Long out to billions of rows - Long codegen sums
+    // instead of the interpreted DECIMAL(38) multiply path
     val means = reps.groupBy("b")
-      .agg(sum(col("w").cast(DecimalType(38, 0)) * col("cents")).as("wx"),
-        sum(col("w").cast(DecimalType(38, 0))).as("wn"))
+      .agg(sum(col("w").cast(LongType) * col("cents")).as("wx"),
+        sum(col("w").cast(LongType)).as("wn"))
       .select(col("b"),
         (col("wx").cast(DoubleType) / col("wn").cast(DoubleType)).as("mb"))
       .sharedCache()
@@ -74,7 +84,8 @@ object RelMore77 {
   }
 
   val sampleBootstrapCiSql: String = {
-    val u = v20Expr("concat(CAST(o_orderkey AS VARCHAR), '|', CAST(b AS VARCHAR))", "strpos")
+    val u = "CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '#' || " +
+      "CAST(b // 6 AS VARCHAR)), (b % 6) * 5 + 1, 5))::BIGINT AS BIGINT)"
     s"""WITH base AS (
        |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
        |  FROM orders),
@@ -82,8 +93,8 @@ object RelMore77 {
        |  SELECT o_orderkey, cents, b, ${poisWExpr(u)} AS w
        |  FROM base, (SELECT unnest(generate_series(0, ${BootReps - 1})) AS b) t),
        |means AS (
-       |  SELECT b, CAST(sum(CAST(w AS HUGEINT) * cents) AS DOUBLE)
-       |            / CAST(sum(CAST(w AS HUGEINT)) AS DOUBLE) AS mb
+       |  SELECT b, CAST(sum(CAST(w AS BIGINT) * cents) AS DOUBLE)
+       |            / CAST(sum(CAST(w AS BIGINT)) AS DOUBLE) AS mb
        |  FROM reps GROUP BY b),
        |mbar AS (SELECT avg(mb) AS mbar FROM means),
        |point AS (
