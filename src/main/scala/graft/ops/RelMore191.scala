@@ -216,13 +216,14 @@ object RelMore191 {
       |             * 100 / CAST(n_true AS DOUBLE), 4) AS rel_err_pct
       |FROM agg""".stripMargin
 
-  /** agg-chao1-richness — how many distinct token TRIGRAMS exist that
+  /** text-chao1-ngram-richness — how many distinct token TRIGRAMS exist that
     * the corpus has not shown yet? Chao1's lower bound
     * D + f1(f1−1)/(2(f2+1)) from the singleton/doubleton counts, plus
     * the Good-Turing sample coverage 1 − f1/N — the pair of numbers
     * that says whether more crawling will still buy new n-grams
     * (the unseen-mass cousin of text-good-turing's frequency
-    * re-estimation). Shapes: one explode scan → trigram counts →
+    * re-estimation, and the n-gram twin of agg-chao1-richness's
+    * entity-population estimate). Shapes: one explode scan → trigram counts →
     * a frequency-of-frequencies frame bounded by the count domain. */
   val aggChao1Richness: Q = (s, d) => {
     val tri = documents(s, d)
@@ -272,11 +273,11 @@ object RelMore191 {
     "agg-littlewood-rule" -> aggLittlewoodRule,
     "dq-proportion-ci-wilson" -> dqProportionCiWilson,
     "agg-mark-recapture" -> aggMarkRecapture,
-    "agg-chao1-richness" -> aggChao1Richness)
+    "text-chao1-ngram-richness" -> aggChao1Richness)
 
   val oracles: Map[String, String] = Map(
     "agg-littlewood-rule" -> aggLittlewoodRuleSql,
     "dq-proportion-ci-wilson" -> dqProportionCiWilsonSql,
     "agg-mark-recapture" -> aggMarkRecaptureSql,
-    "agg-chao1-richness" -> aggChao1RichnessSql)
+    "text-chao1-ngram-richness" -> aggChao1RichnessSql)
 }

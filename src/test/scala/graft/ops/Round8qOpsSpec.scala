@@ -35,8 +35,8 @@ class Round8qOpsSpec extends SparkTestBase {
     assert(err < 4 * r.getAs[Double]("se_chapman") + 0.05 * r.getAs[Long]("n_true"))
   }
 
-  test("agg-chao1-richness: estimator bounds observed from above") {
-    val r = run("agg-chao1-richness").head()
+  test("text-chao1-ngram-richness: estimator bounds observed from above") {
+    val r = run("text-chao1-ngram-richness").head()
     assert(r.getAs[Long]("chao1_richness") >= r.getAs[Long]("d_obs"))
     assert(r.getAs[Long]("f1") + r.getAs[Long]("f2") <= r.getAs[Long]("d_obs"))
     val cov = r.getAs[Double]("gt_coverage")
