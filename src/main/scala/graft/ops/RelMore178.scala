@@ -140,22 +140,27 @@ object RelMore178 {
     * against the ε=e/w ≈ 1.1% of-total-mass bound. Counters are a
     * 1,024-row map-side aggregate regardless of fact size; the probe
     * joins the broadcast counter table. Sketches with a measured
-    * error column, not a vibes-based one. */
+    * error column, not a vibes-based one. The d=4 lanes come from ONE
+    * md5 per key sliced into four disjoint 8-hex (32-bit) windows —
+    * the SCALING.md "one md5 = many uniforms" recipe — computed
+    * BEFORE the ×4 explode, so the fact pass pays one hash, not
+    * four. */
   val aggCountminMeasured: Q = (s, d) => {
     val keyed = orders(s, d).select(col("o_custkey").cast(LongType).as("k"))
+    val laneB =
+      "CAST(conv(substring(h, j * 8 + 1, 8), 16, 10) AS BIGINT) % 256"
     val hashed = keyed
-      .select(col("k"), explode(expr("sequence(0, 3)")).as("j"))
-      .withColumn("b", expr(
-        "CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', CAST(k AS STRING))), " +
-          "1, 8), 16, 10) AS BIGINT) % 256"))
+      .withColumn("h", expr("md5(CAST(k AS STRING))"))
+      .select(col("k"), col("h"), explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("b", expr(laneB))
     val counters = hashed.groupBy("j", "b").agg(count(lit(1)).as("cnt"))
     val heavy = keyed.groupBy("k").agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("k")).limit(10)
     val probes = heavy
-      .select(col("k"), col("exact_n"), explode(expr("sequence(0, 3)")).as("j"))
-      .withColumn("b", expr(
-        "CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', CAST(k AS STRING))), " +
-          "1, 8), 16, 10) AS BIGINT) % 256"))
+      .withColumn("h", expr("md5(CAST(k AS STRING))"))
+      .select(col("k"), col("exact_n"), col("h"),
+        explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("b", expr(laneB))
       .join(broadcast(counters), Seq("j", "b"))
       .groupBy("k", "exact_n").agg(min("cnt").as("cms_n"))
     probes
@@ -170,8 +175,8 @@ object RelMore178 {
     """WITH keyed AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
       |hashed AS (
       |  SELECT k, j,
-      |         CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' ||
-      |           CAST(k AS VARCHAR)), 1, 8))::BIGINT AS BIGINT) % 256 AS b
+      |         CAST(('0x' || substring(md5(CAST(k AS VARCHAR)),
+      |           j * 8 + 1, 8))::BIGINT AS BIGINT) % 256 AS b
       |  FROM keyed CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u),
       |counters AS (
       |  SELECT j, b, CAST(count(*) AS BIGINT) AS cnt FROM hashed GROUP BY 1, 2),
@@ -181,8 +186,8 @@ object RelMore178 {
       |probes AS (
       |  SELECT h.k, h.exact_n, min(c.cnt) AS cms_n
       |  FROM (SELECT k, exact_n, j,
-      |               CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' ||
-      |                 CAST(k AS VARCHAR)), 1, 8))::BIGINT AS BIGINT) % 256 AS b
+      |               CAST(('0x' || substring(md5(CAST(k AS VARCHAR)),
+      |                 j * 8 + 1, 8))::BIGINT AS BIGINT) % 256 AS b
       |        FROM heavy CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u) h
       |  JOIN counters c ON h.j = c.j AND h.b = c.b
       |  GROUP BY 1, 2)

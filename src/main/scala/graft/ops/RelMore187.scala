@@ -317,8 +317,14 @@ object RelMore187 {
         .select(col("a"),
           round(col("wi").cast(DoubleType) / col("dn"), 9).as("p"))
       val mean = upd.agg(avg("p").as("mp"))
+      // localCheckpoint each round's 5-row strengths frame: without it
+      // every MM round embeds the previous round's whole plan inside a
+      // broadcast subtree, and the final action pays a 2^k-deep
+      // re-analysis cascade (the graph-scc lesson — 65.6 s steady for a
+      // 420-row problem; ~2 s with the truncation).
       pi = upd.crossJoin(broadcast(mean))
         .select(col("a"), round(col("p") / col("mp"), 9).as("p"))
+        .localCheckpoint()
     }
     pi.join(wins, Seq("a"))
       .select(col("a").as("priority"), round(col("p"), 6).as("bt_strength"),

@@ -76,26 +76,29 @@ object RelMore197 {
     * count the suppliers each zone needs — the classic result is a
     * 1 : n : n² blow-up (a few core suppliers carry the first third;
     * the long tail carries the last). Zone boundaries come from the
-    * cumulative share over the supplier dimension — computed with an
-    * orderBy+limit-free prefix over the BOUNDED supplier frame (the
-    * entity dimension, ≤10⁴ even at 100 TB; not fact-scale). */
+    * cumulative share over the supplier dimension. Suppliers grow
+    * with the corpus (∝ SF on TPC-H — ~10⁹ at the 100 TB bar), so the
+    * prefix sum runs through [[graft.functions.PrefixScan]]: range
+    * partition on (rev desc, sk), per-partition offsets, no
+    * single-task window sort. The stats pass hands back Σrev, so the
+    * scalar-total cross joins disappear too. `cum*3` stays in Long
+    * (3·Σcents ≈ 7e18 < 2^63 at 100 TB; upgrade to DECIMAL if rows
+    * ever exceed ~8e11). */
   val aggBradfordZones: Q = (s, d) => {
     val sup = lineitem(s, d).groupBy(col("l_suppkey").as("sk"))
       .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
         "AS BIGINT)")).as("rev"))
-    val tot = sup.agg(sum("rev").as("tr"))
-    val w = Window.orderBy(col("rev").desc, col("sk"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val zones = sup.crossJoin(broadcast(tot))
-      .withColumn("cum", sum("rev").over(w))
-      .withColumn("zone", when(col("cum") * 3 <= col("tr"), 1)
-        .when(col("cum") * 3 <= col("tr") * 2, 2).otherwise(3))
+    val sc = graft.functions.PrefixScan.withRankCumSum(sup,
+      Seq(col("rev").desc, col("sk")), Some("rev"),
+      rankName = "__rk", cumName = "cum")
+    val zones = sc.df
+      .withColumn("zone", when(col("cum") * 3 <= lit(sc.total), 1)
+        .when(col("cum") * 3 <= lit(sc.total) * 2, 2).otherwise(3))
     zones.groupBy("zone").agg(count(lit(1)).as("n_suppliers"),
       sum("rev").as("zone_rev"))
-      .crossJoin(broadcast(tot))
       .select(col("zone").cast(IntegerType).as("zone"), col("n_suppliers"),
         round(col("zone_rev").cast(DoubleType) /
-          col("tr").cast(DoubleType), 4).as("revenue_share"))
+          lit(sc.total).cast(DoubleType), 4).as("revenue_share"))
       .orderBy("zone")
   }
 

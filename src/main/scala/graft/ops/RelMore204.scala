@@ -29,12 +29,18 @@ object RelMore204 {
       .withColumn("steps", count(lit(1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("first", expr("min_by(rev, mi) OVER ()"))
-      // floor() on the double ratio, NOT integer DIV: the drift step can
-      // be negative and Spark DIV truncates while DuckDB // floors
+      // exact integer floor division (DuckDB //): the drift step can be
+      // negative and Spark DIV truncates toward zero, so correct the
+      // truncated quotient down by 1 when the division is inexact and
+      // the dividend is negative (divisor is always ≥1). Staying in
+      // integers matters at scale: floor() on a double ratio can land
+      // on the wrong integer once |dividend| ≳ 2⁵³/denominator, and at
+      // the 100 TB bar monthly revenue deltas reach ~1e12 cents where
+      // double ULP is already whole units.
       .withColumn("f_drift", col("f_naive") +
-        floor((col("f_naive") - col("first")).cast(DoubleType) /
-          greatest(col("steps") - 1, lit(1L)).cast(DoubleType))
-          .cast(LongType))
+        expr("""(f_naive - first) DIV greatest(steps - 1, 1L) -
+                IF((f_naive - first) % greatest(steps - 1, 1L) != 0
+                   AND f_naive < first, 1L, 0L)"""))
       .filter(col("mi") >= 1997 * 12 + 1 && col("f_snaive").isNotNull)
       .select(col("mi"), col("rev"), col("f_naive"), col("f_snaive"),
         col("f_drift"))

@@ -40,8 +40,11 @@ object RelMore77 {
     * bootstrap that scales to 100 TB. Weights are hash-derived
     * (md5(key|rep) → 20-bit uniform → pinned inverse-CDF table), never
     * random(): replicates are reproducible across engines, runs, and
-    * partitionings. Replicate sums are exact integers (cents ×
-    * DECIMAL(38,0)); each replicate mean is one IEEE division; the
+    * partitionings. Replicate sums are exact integer Long sums of
+    * w·cents (E[w]=1 ⇒ expected sum ≈ rows × avg-cents ≈ 2.25e18 at
+    * the 100 TB orders bar, ~4× under 2⁶³; upgrade to DECIMAL(38,0)
+    * if orders rows cross ~5e11 — see SCALING.md "DECIMAL(38) in a
+    * per-row hot loop"); each replicate mean is one IEEE division; the
     * 32-replicate variance uses the two-pass mean-anchored form (no
     * catastrophic cancellation), rounded at 4 dp. */
   val sampleBootstrapCi: Q = (s, d) => {

@@ -158,12 +158,16 @@ object RelMore80 {
         .groupBy(col("dst"))
         .agg((lit(0.85) * sum(col("r") / col("deg"))).as("r"))
         .select(col("dst").as("node"), col("r"))
+      // localCheckpoint per round (the bradley-terry/graph-scc lesson):
+      // truncates the 5-deep chained lineage AND hands the next round's
+      // join a known (small) build side, so the rank⋈edges join plans
+      // as broadcast instead of a shuffle of the cached edge list.
       ranks = flow
         .unionAll(s.sql("SELECT 's1' AS node, CAST(0.15 AS DOUBLE) AS r"))
         .groupBy("node").agg(round(sum("r"), 8).as("r"))
+        .localCheckpoint()
     }
-    val out = ranks.sharedCache()
-    out.count()
+    val out = ranks
     out.orderBy(col("r").desc, col("node").asc).limit(15)
       .select(col("node"), col("r").as("ppr"))
   }

@@ -122,37 +122,42 @@ object RelMore97 {
     * (first 2 months of revenue) and keeps the top half; each later
     * round doubles the observation window and halves the candidates —
     * total work ≈ 2× one full evaluation instead of candidates ×
-    * full-window. Ranks come from one PrefixScan per round over the
-    * shrinking candidate set; survivors thread through semi-joins.
-    * The graded report: per-round candidate counts + the final
-    * winner — deterministic to the row via (revenue desc, part)
-    * total order. */
+    * full-window. ONE fact pass: the three nested windows are three
+    * conditional sums of the same (part)-grain aggregate (activity in
+    * months <2 ⊆ <4 ⊆ <8, so candidacy is monotone and rev2>0 ⇔
+    * "present in round 1" — cents are strictly positive); the per-
+    * round ranks are PrefixScans over that cached part-grain frame,
+    * survivors thread through part-grain semi-joins. The graded
+    * report: per-round candidate counts + the final winner —
+    * deterministic to the row via (revenue desc, part) total order. */
   val sampleSuccessiveHalving: Q = (s, d) => {
     import graft.functions.PrefixScan
     val li = lineitem(s, d).select(col("l_partkey"),
       floor(col("l_extendedprice") * 100).cast(LongType).as("cents"),
       (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).as("mi"))
-      .sharedCache()
     val m0 = li.agg(min("mi").as("m0"))
-    def roundRev(months: Int, cands: Option[DataFrame]): DataFrame = {
-      val base = li.crossJoin(broadcast(m0))
-        .filter(col("mi") < col("m0") + months)
-        .groupBy("l_partkey")
-        .agg(sum(col("cents").cast(DecimalType(38, 0))).cast(LongType).as("rev"))
-      cands.map(c => base.join(c, Seq("l_partkey"), "left_semi")).getOrElse(base)
-    }
+    def winSum(months: Int) =
+      sum(when(col("mi") < col("m0") + months, col("cents")).otherwise(0L)
+        .cast(DecimalType(38, 0))).cast(LongType)
+    val pm = li.crossJoin(broadcast(m0))
+      .filter(col("mi") < col("m0") + 8)
+      .groupBy("l_partkey")
+      .agg(winSum(2).as("rev2"), winSum(4).as("rev4"), winSum(8).as("rev8"))
+      .sharedCache()
     def topHalf(df: DataFrame): (DataFrame, Long) = {
       val scanned = PrefixScan.withRankCumSum(df,
         Seq(col("rev").desc, col("l_partkey").asc), None, rankName = "rk")
       val keep = (scanned.n + 1) / 2
       (scanned.df.filter(col("rk") <= keep).select("l_partkey", "rev"), scanned.n)
     }
-    val r1 = roundRev(2, None)
-    val (s1, n1) = topHalf(r1)
-    val r2 = roundRev(4, Some(s1.sharedCache()))
-    val (s2, n2) = topHalf(r2)
-    val r3 = roundRev(8, Some(s2.sharedCache()))
-    val (s3, n3) = topHalf(r3)
+    val (s1, n1) = topHalf(
+      pm.filter(col("rev2") > 0).select(col("l_partkey"), col("rev2").as("rev")))
+    val (s2, n2) = topHalf(
+      pm.join(s1.sharedCache(), Seq("l_partkey"), "left_semi")
+        .select(col("l_partkey"), col("rev4").as("rev")))
+    val (s3, n3) = topHalf(
+      pm.join(s2.sharedCache(), Seq("l_partkey"), "left_semi")
+        .select(col("l_partkey"), col("rev8").as("rev")))
     val winner = s3.orderBy(col("rev").desc, col("l_partkey").asc).limit(1)
       .select(col("l_partkey").as("winner_part"), col("rev").as("winner_cents"))
     import s.implicits._

@@ -162,6 +162,22 @@ object Tables {
     try f finally s.conf.set(key, old)
   }
 
+  /** Scoped session-conf override for ops that exercise a specific
+    * runtime behavior (AQE skew split, runtime broadcast, coalesce).
+    * CAUTION: most runtime confs are read at EXECUTION, not at
+    * DataFrame construction — an op returning a lazy frame from this
+    * scope would execute under the RESTORED confs. Callers must
+    * materialize inside the scope (the results here are report-sized,
+    * so `localCheckpoint()` before returning). */
+  def withConfs[T](s: SparkSession, kv: (String, String)*)(f: => T): T = {
+    val olds = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** Scratch dir for sink round trips, namespaced by op name, dataset
     * dir AND the JVM pid — two interleaved runs must never share a
     * path, whether at different scale factors (a Bench at sf0.1

@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.olist.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** The "measured" half of the RelMore205 AQE family: each op's graded
+  * oracle proves RESULT invariance; these tests prove the adaptive
+  * behavior actually FIRED, by rebuilding each op's join/agg shape
+  * under the same scoped confs and inspecting the executed adaptive
+  * plan. Without this, "AQE rescues the skew" would be an assumption,
+  * not a measurement. */
+class AqeOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  /** Final (post-execution) adaptive plan string: materialize, then
+    * read the AdaptiveSparkPlanExec's current physical plan. */
+  private def executedPlanString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("join-aqe-skew-rescue: result matches plain join, skew split fired") {
+    // result invariance vs the plain (default-conf) join
+    val got = run("join-aqe-skew-rescue").collect().map(_.toSeq)
+    val plain = events(spark, sf).select(
+        when(col("user_id") % 10 < 8, 1L).otherwise(col("user_id")).as("k"),
+        col("value"))
+      .join(customer(spark, sf)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment")), Seq("k"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_events"),
+        outNum(sum(dec2(col("value")))).as("total_value"))
+      .orderBy("segment").collect().map(_.toSeq)
+    assert(got.toSeq == plain.toSeq)
+
+    // plan evidence: same shape under the op's confs must show the
+    // skew-split marker on the shuffle join after execution
+    val planStr = withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.files.maxPartitionBytes" -> "64KB",
+      "spark.sql.files.openCostInBytes" -> "1KB") {
+      val fact = events(spark, sf).select(
+        when(col("user_id") % 10 < 8, 1L).otherwise(col("user_id")).as("k"),
+        col("value"))
+        .repartition(16, col("k"), col("value"))
+      val dim = customer(spark, sf)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
+      // keep `value` in the aggregate: the shuffle must carry the
+      // incompressible payload column, or the constant hot key
+      // compresses below the byte thresholds the detector reads
+      executedPlanString(fact.join(dim, Seq("k"))
+        .groupBy("segment").agg(count(lit(1)).as("n"),
+          outNum(sum(dec2(col("value")))).as("total_value")))
+    }
+    assert(planStr.contains("skew=true"),
+      s"expected a skew-split shuffle join in the executed plan:\n$planStr")
+  }
+
+  test("join-aqe-runtime-broadcast: SMJ demoted to broadcast at runtime") {
+    val rows = run("join-aqe-runtime-broadcast").collect()
+    assert(rows.nonEmpty)
+
+    val planStr = withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB") {
+      val dim = customer(spark, sf)
+        .filter(substring(md5(col("c_custkey").cast("string")), 1, 1) === "a")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
+      val fact = orders(spark, sf).select(col("o_custkey").as("k"),
+        col("o_totalprice"))
+      executedPlanString(fact.join(dim, Seq("k"))
+        .groupBy("segment").agg(count(lit(1)).as("n")))
+    }
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"expected runtime broadcast demotion in the executed plan:\n$planStr")
+    // and the static plan really was NOT a broadcast (the demotion
+    // happened at runtime, it wasn't the planner's first choice)
+    val staticStr = withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val dim = customer(spark, sf)
+        .filter(substring(md5(col("c_custkey").cast("string")), 1, 1) === "a")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
+      val fact = orders(spark, sf).select(col("o_custkey").as("k"),
+        col("o_totalprice"))
+      executedPlanString(fact.join(dim, Seq("k"))
+        .groupBy("segment").agg(count(lit(1)).as("n")))
+    }
+    assert(!staticStr.contains("BroadcastHashJoin"),
+      "with the adaptive threshold also off, the join must stay a shuffle join")
+  }
+
+  test("agg-aqe-coalesce-partitions: 32 shuffle partitions coalesced") {
+    val rows = run("agg-aqe-coalesce-partitions").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("event_type")).distinct.length == rows.length)
+
+    val planStr = withConfs(spark,
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB") {
+      executedPlanString(events(spark, sf)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users")))
+    }
+    assert(planStr.contains("coalesced"),
+      s"expected a coalesced AQEShuffleRead in the executed plan:\n$planStr")
+  }
+}
