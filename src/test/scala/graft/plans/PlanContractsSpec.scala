@@ -1,0 +1,56 @@
+package graft.plans
+
+import graft.olist.SparkTestBase
+
+/** Central plan-shape contracts: the physical-plan properties
+  * SCALING.md claims for the engine's headline shapes, asserted so a
+  * regression (a dropped broadcast hint, a pruning-defeating select,
+  * a PrefixScan reverted to a global window) fails the suite instead
+  * of silently shipping. Complements the per-feature specs
+  * (TopKPerKeySpec, DotProductRewriteSpec, AqeOpsSpec) with the
+  * engine-wide basics. */
+class PlanContractsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def planOf(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("limit-topk: ORDER BY+LIMIT plans as TakeOrderedAndProject, no global sort") {
+    val p = planOf("limit-topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("agg-topk: column pruning reaches the lineitem scan") {
+    val p = planOf("agg-topk")
+    val scan = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).getOrElse(fail(p))
+    val readSchema = scan.split("ReadSchema: ").last
+    // 4 of lineitem's 11+ columns: the two grouping keys + price + discount
+    val nCols = readSchema.count(_ == ':')
+    assert(nCols <= 4, s"expected <=4 read columns, got $nCols: $readSchema")
+  }
+
+  test("join-left-translate: dim-sized side broadcasts") {
+    val p = planOf("join-left-translate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("agg-bradford-zones: PrefixScan leaves no WindowExec in the plan") {
+    val df = graft.SparkEntry.queries("agg-bradford-zones")(spark, sf)
+    val wins = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.isEmpty,
+      "the supplier-frame prefix sum must run through PrefixScan, not a window")
+  }
+
+  test("win-topk-per-key: the custom TopKPerKey physical operator is planned") {
+    val p = planOf("win-topk-per-key")
+    assert(p.contains("TopKPerKey"), p)
+  }
+
+  test("filt-range: predicate pushdown reaches the scan") {
+    val p = planOf("filt-range")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p)
+  }
+}
