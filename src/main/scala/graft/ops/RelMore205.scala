@@ -148,13 +148,67 @@ object RelMore205 {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** sink-rebalance-write — skew-aware write rebalancing, the fourth
+    * adaptive behavior (OptimizeSkewInRebalancePartitions). A
+    * partitioned write whose partition column is 80%-hot would give
+    * the hot directory to ONE writer task — the classic straggler
+    * that turns a 1000-executor write into a single-task wait, plus
+    * one giant file that defeats downstream split planning. The
+    * REBALANCE hint inserts a rebalance shuffle that AQE both
+    * coalesces (small partitions up to advisory) and SPLITS (skewed
+    * partitions down to advisory), so the hot directory is written by
+    * many tasks as many advisory-sized files. The graded output is
+    * the read-back per-partition rollup (rebalancing must be
+    * result-invariant); AqeOpsSpec asserts the hot directory really
+    * got multiple files and the written rows survive byte-exact. */
+  val sinkRebalanceWrite: Q = (s, d) => withConfs(s,
+    "spark.sql.adaptive.optimizeSkewsInRebalancePartitions.enabled" -> "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+    "spark.sql.files.maxPartitionBytes" -> "64KB",
+    "spark.sql.files.openCostInBytes" -> "1KB") {
+    val out = tmp("rebalance-write", d)
+    events(s, d).select(
+      when(col("user_id") % 10 < 8, lit("hot")).otherwise(lit("cold"))
+        .as("bucket"),
+      col("event_id"), col("value"))
+      // same map-output-granularity reality as join-aqe-skew-rescue: the
+      // rebalance skew split slices (reducer, mapIndex-range), so the
+      // single-row-group fixture file (one mapper) must be fanned out
+      // first — a 100 TB scan arrives many-mapper on its own
+      .repartition(16, col("event_id"))
+      // localCheckpoint barrier: without it the optimizer collapses the
+      // adjacent exchanges (repartition ⊂ rebalance) back to a
+      // single-mapper stage and the skew split has nothing to slice
+      .localCheckpoint()
+      .hint("rebalance", col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    s.read.parquet(out)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"),
+        outNum(sum(dec2(col("value")))).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+      .orderBy("bucket")
+      .localCheckpoint()
+  }
+
+  val sinkRebalanceWriteSql: String =
+    """SELECT CASE WHEN user_id % 10 < 8 THEN 'hot' ELSE 'cold' END AS bucket,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       CAST(sum(event_id) AS BIGINT) AS id_checksum
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "join-aqe-skew-rescue" -> joinAqeSkewRescue,
     "join-aqe-runtime-broadcast" -> joinAqeRuntimeBroadcast,
-    "agg-aqe-coalesce-partitions" -> aggAqeCoalescePartitions)
+    "agg-aqe-coalesce-partitions" -> aggAqeCoalescePartitions,
+    "sink-rebalance-write" -> sinkRebalanceWrite)
 
   val oracles: Map[String, String] = Map(
     "join-aqe-skew-rescue" -> joinAqeSkewRescueSql,
     "join-aqe-runtime-broadcast" -> joinAqeRuntimeBroadcastSql,
-    "agg-aqe-coalesce-partitions" -> aggAqeCoalescePartitionsSql)
+    "agg-aqe-coalesce-partitions" -> aggAqeCoalescePartitionsSql,
+    "sink-rebalance-write" -> sinkRebalanceWriteSql)
 }

@@ -121,4 +121,26 @@ class AqeOpsSpec extends SparkTestBase {
     assert(planStr.contains("coalesced"),
       s"expected a coalesced AQEShuffleRead in the executed plan:\n$planStr")
   }
+
+  test("sink-rebalance-write: hot partition written as multiple advisory-sized files") {
+    val rows = run("sink-rebalance-write").collect()
+    assert(rows.map(_.getAs[String]("bucket")).toSeq == Seq("cold", "hot"))
+    val hot = rows.find(_.getAs[String]("bucket") == "hot").get
+    val cold = rows.find(_.getAs[String]("bucket") == "cold").get
+    // the 80/20 split itself
+    assert(hot.getAs[Long]("n_events") > 3 * cold.getAs[Long]("n_events"))
+    // file-layout evidence: the skewed rebalance split must have spread
+    // the hot directory across multiple writer tasks / files, while the
+    // small cold directory stays compact
+    val out = new java.io.File(Tables.tmp("rebalance-write", sf))
+    def parquetFiles(sub: String) = {
+      val dir = new java.io.File(out, sub)
+      assert(dir.isDirectory, s"$dir missing")
+      dir.listFiles().count(f => f.getName.endsWith(".parquet"))
+    }
+    assert(parquetFiles("bucket=hot") > 1,
+      "the 80%-hot partition should be split across multiple files by " +
+        "OptimizeSkewInRebalancePartitions")
+    assert(parquetFiles("bucket=cold") >= 1)
+  }
 }

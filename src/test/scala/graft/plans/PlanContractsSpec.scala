@@ -53,4 +53,31 @@ class PlanContractsSpec extends SparkTestBase {
     val p = planOf("filt-range")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p)
   }
+
+  test("sink-bucketed-join benchmark pair: SMB join is exchange-free, raw twin is not") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Tables._
+    // bucketed side: building the op runs ensureBucketed, then joins the
+    // bucketed tables with a merge hint. The join keys must arrive
+    // pre-partitioned AND pre-sorted: no Exchange on either input.
+    val p = planOf("sink-bucketed-join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not shuffle its inputs:\n$p")
+    assert(p.contains("Bucketed: true"), p)
+
+    // raw twin: the same merge join over the plain parquet MUST shuffle
+    // both sides — this is the exchange the bucketing pays once to
+    // delete from every subsequent join ("bucket once, join forever")
+    val raw = lineitem(spark, sf).select(col("l_orderkey"), col("l_extendedprice"))
+      .hint("merge")
+      .join(orders(spark, sf).select(col("o_orderkey"), col("o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val rawPlan = raw.queryExecution.executedPlan.toString
+    assert(rawPlan.contains("Exchange hashpartitioning(l_orderkey") &&
+      rawPlan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"raw merge join should shuffle both inputs:\n$rawPlan")
+  }
 }
