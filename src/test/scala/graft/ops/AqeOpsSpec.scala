@@ -122,6 +122,29 @@ class AqeOpsSpec extends SparkTestBase {
       s"expected a coalesced AQEShuffleRead in the executed plan:\n$planStr")
   }
 
+  test("join-runtime-bloom-filter: the optimizer injects the bloom probe") {
+    val rows = run("join-runtime-bloom-filter").collect()
+    assert(rows.nonEmpty)
+
+    val planStr = withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB") {
+      val dim = orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      executedPlanString(lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n")))
+    }
+    assert(planStr.contains("might_contain") || planStr.contains("bloom"),
+      s"expected an injected runtime bloom filter in the executed plan:\n$planStr")
+  }
+
   test("sink-rebalance-write: hot partition written as multiple advisory-sized files") {
     val rows = run("sink-rebalance-write").collect()
     assert(rows.map(_.getAs[String]("bucket")).toSeq == Seq("cold", "hot"))
