@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** The ONE place the engine's bounded-iteration lifecycle lives
+  * (r9 verdict item 4). Seven graph ops (ktruss, kcore, label
+  * propagation, hash-min CC, pagerank, BFS, HITS) plus bradley-terry
+  * and the BPE trainer all iterate `state = step(state)` a bounded
+  * number of rounds; before this helper each hand-rolled its own
+  * persist → count → unpersist (or localCheckpoint) dance, and the
+  * one that got it wrong (bradley-terry, r8: lazy chaining nested
+  * each round's whole plan inside the next round's broadcast subtree,
+  * 65 s for 420 rows of state) cost a round of bench triage.
+  *
+  * Two disciplines, chosen per op — the choice criteria ARE the API
+  * docs, so the next op picks deliberately:
+  *
+  *  - [[eager]]: each round's state is `localCheckpoint()`ed — the
+  *    round executes NOW, its lineage truncates to a LogicalRDD leaf,
+  *    and round r+1 plans against constant-size input instead of
+  *    replaying rounds 1..r. Pick this when the step reads its state
+  *    MORE THAN ONCE (degree pass + semi join; adjacency self-join),
+  *    when rounds nest state inside broadcast subtrees (re-analysis
+  *    per reference — the bradley-terry failure), or when depth is
+  *    unbounded-ish (every plan-size cost is paid per round, so it
+  *    must be O(1) per round). The helper releases round r's
+  *    checkpoint storage once round r+1 is materialized, and asserts
+  *    the NO-PLAN-GROWTH contract: every round's analyzed step plan
+  *    must have the same node count (a growing count means state is
+  *    leaking un-truncated lineage into the next round).
+  *
+  *  - [[lazyChain]]: rounds chain as one lazy plan; the final action
+  *    runs each round's shuffle exactly once (per-stage shuffle
+  *    materialization is the checkpointing). Pick this for FIXED
+  *    SHALLOW depths whose step reads state once (hash-min CC,
+  *    pagerank at 5 rounds): per-round actions would add job-submission
+  *    overhead for nothing. The caller must still materialize the
+  *    result inside any conf scope (sharedCache + count — see
+  *    Tables.withShufflePartitions).
+  *
+  * On a real cluster, [[eager]]'s localCheckpoint becomes
+  * `checkpoint(reliableDir)` for fault tolerance at the same call
+  * sites — executor-local checkpoint blocks die with the executor.
+  */
+object IterativeFixpoint {
+
+  /** Per-round eagerly-checkpointed iteration. `step(state, r)` for
+    * r = 1..rounds; `state` passed to the first step is `init`
+    * checkpointed. Returns the LAST round's checkpointed frame
+    * (materialized; storage of all earlier rounds already released). */
+  def eager(init: DataFrame, rounds: Int)
+           (step: (DataFrame, Int) => DataFrame): DataFrame = {
+    var state = init.localCheckpoint()
+    var planNodes = -1
+    for (r <- 1 to rounds) {
+      val built = step(state, r)
+      val n = built.queryExecution.analyzed.collect { case p => p }.size
+      if (planNodes < 0) planNodes = n
+      else require(n == planNodes,
+        s"IterativeFixpoint: step plan grew from $planNodes to $n nodes at " +
+          s"round $r — state is leaking un-truncated lineage between rounds")
+      val next = built.localCheckpoint()
+      releaseCheckpoint(state)
+      state = next
+    }
+    state
+  }
+
+  /** [[eager]] with convergence: stops after `stop(prev, next, r)` is
+    * true or at `maxRounds`. Both frames handed to `stop` are
+    * materialized checkpoints, so count()-based convergence tests are
+    * cheap cache reads. */
+  def eagerUntil(init: DataFrame, maxRounds: Int)
+                (step: (DataFrame, Int) => DataFrame)
+                (stop: (DataFrame, DataFrame, Int) => Boolean): DataFrame = {
+    var state = init.localCheckpoint()
+    var r = 1
+    var done = false
+    while (!done && r <= maxRounds) {
+      val next = step(state, r).localCheckpoint()
+      done = stop(state, next, r)
+      releaseCheckpoint(state)
+      state = next
+      r += 1
+    }
+    state
+  }
+
+  /** Lazily-chained fixed-depth iteration — a documented fold. See the
+    * object scaladoc for when this beats [[eager]]. */
+  def lazyChain(init: DataFrame, rounds: Int)
+               (step: (DataFrame, Int) => DataFrame): DataFrame =
+    (1 to rounds).foldLeft(init)(step)
+
+  /** Free a checkpointed frame's storage. localCheckpoint persists the
+    * materialized rows in the block manager; once the NEXT round is
+    * materialized nothing references them, but the ContextCleaner only
+    * reclaims on GC — explicit release keeps a deep loop's footprint
+    * at two rounds of state. No-op on non-checkpointed frames. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: LogicalRDD =>
+        // Spark WARNs "lineage has been truncated and cannot be
+        // recomputed" on every unpersist of a locally-checkpointed RDD.
+        // Here that is the point — the round is dead by contract — so
+        // silence that one logger (the concrete RDD class) rather than
+        // spray a WARN per round into every bench/verify tail.
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          l.rdd.getClass.getName, org.apache.logging.log4j.Level.ERROR)
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

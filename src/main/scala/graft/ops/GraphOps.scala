@@ -72,17 +72,16 @@ object GraphOps {
     // re-running the 3-way join every iteration. r/deg stays the same
     // per-row double division, so the oracle's arithmetic is unchanged.
     val edgesDeg = edges.join(deg, "src").sharedCache()
-    var ranks = deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
-    // the loop stays LAZY: at a fixed 5 iterations the whole chain is one
-    // action whose 5 aggregate stages each run exactly once (per-stage
-    // shuffle materialization is the checkpointing), and the cached
-    // edgesDeg join side is reused by every stage. Per-iteration
-    // persist+count would add 5 extra job submissions for nothing at
-    // this depth — that pattern (or checkpoint every ~20 steps) only
-    // pays once iteration counts grow enough for plan-size blowup.
-    for (_ <- 1 to 5) {
-      ranks = edgesDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+    // IterativeFixpoint.lazyChain: at a fixed 5 iterations the whole
+    // chain is one action whose 5 aggregate stages each run exactly once
+    // (per-stage shuffle materialization is the checkpointing), and the
+    // cached edgesDeg join side is reused by every stage. Per-iteration
+    // checkpointing would add 5 extra job submissions for nothing at
+    // this depth — the helper's scaladoc carries the full criteria.
+    val ranks = graft.functions.IterativeFixpoint.lazyChain(
+      deg.select(col("src").as("node"), (lit(1.0) / lit(n)).as("r")), 5) { (rk, _) =>
+      edgesDeg
+        .join(rk.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"))
         .agg(round(lit(0.15 / n) + lit(0.85) * sum(col("r") / col("deg")), 8).as("r"))
         .select(col("dst").as("node"), col("r"))

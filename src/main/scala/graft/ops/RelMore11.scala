@@ -300,10 +300,13 @@ object RelMore11 {
       .union(pairs.select(col("v").as("src"), col("u").as("dst")))
       .union(nodes.select(col("node").as("src"), col("node").as("dst")))
       .sharedCache()
-    var labels = nodes.select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to 4) {
-      labels = edges
-        .join(labels.withColumnRenamed("node", "src"), "src")
+    // IterativeFixpoint.lazyChain: fixed shallow depth, state read once
+    // per round — the final action runs each round's shuffle exactly
+    // once (see the helper's criteria for lazy vs eager).
+    val labels = graft.functions.IterativeFixpoint.lazyChain(
+      nodes.select(col("node"), col("node").as("lbl")), 4) { (lbls, _) =>
+      edges
+        .join(lbls.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min("lbl").as("lbl"))
     }

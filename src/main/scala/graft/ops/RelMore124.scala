@@ -154,25 +154,44 @@ object RelMore124 {
     * clustered, just not on the query column). Sweepline via
     * +1/−1 events over the 32-interval-per-layout frame (the
     * win-sweepline-concurrency discipline on zone maps, never on
-    * rows). All exact. */
+    * rows). All exact.
+    *
+    * Zone computation is scale-safe (no unpartitioned row-level
+    * window): the ship-sorted layout's per-file min/max sd depends
+    * only on the DATE histogram (rows sharing sd are interchangeable
+    * under the (sd, orderkey, linenumber) order), so its zones come
+    * from [[graft.functions.PrefixScan.ntileSpans]] over a |dates|-row
+    * histogram — the same port that fixed layout-overscan-rows. The
+    * key-sorted layout orders by a UNIQUE key, so the histogram
+    * shortcut degenerates; its exact row rank comes from the
+    * distributed two-pass [[graft.functions.PrefixScan.withRankCumSum]]
+    * (range exchange + per-partition scan — no single-task
+    * WindowExec), folded to buckets arithmetically via ntileFromRank.
+    * The oracle keeps plain window SQL; results are bit-equal. */
   val layoutOverlapDepth: Q = (s, d) => {
     val li = lineitem(s, d).select(
       to_date(col("l_shipdate")).as("sd"), col("l_orderkey"), col("l_linenumber"))
-    val wShip = Window.orderBy(col("sd"), col("l_orderkey"), col("l_linenumber"))
-    val wKey = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
-    val assigned = li
-      .withColumn("f_ship", ntile(32).over(wShip))
-      .withColumn("f_key", ntile(32).over(wKey))
-      .withColumn("f_hash", expr(
-        "((instr('0123456789abcdef', substring(md5(CAST(l_orderkey AS STRING)), 1, 1)) - 1) * 16 + " +
-          "(instr('0123456789abcdef', substring(md5(CAST(l_orderkey AS STRING)), 2, 1)) - 1)) % 32"))
-      .select(col("sd"), explode(expr(
-        "array(named_struct('layout', 'ship_sorted', 'f', CAST(f_ship AS BIGINT)), " +
-          "named_struct('layout', 'key_sorted', 'f', CAST(f_key AS BIGINT)), " +
-          "named_struct('layout', 'hashed', 'f', CAST(f_hash AS BIGINT)))")).as("lf"))
-      .select(col("sd"), col("lf.layout").as("layout"), col("lf.f").as("f"))
-    val zones = assigned.groupBy("layout", "f")
+      .sharedCache()
+    val hist = li.groupBy("sd").agg(count(lit(1)).as("c"))
+    val spans = graft.functions.PrefixScan.ntileSpans(
+      hist, Seq(col("sd")), "c", 32L)
+    val shipZones = spans.df
+      .groupBy(lit("ship_sorted").as("layout"), col("f"))
       .agg(min("sd").as("zmin"), max("sd").as("zmax"))
+    val ranked = graft.functions.PrefixScan.withRankCumSum(
+      li, Seq(col("l_orderkey"), col("l_linenumber")), None, rankName = "__rk")
+    val keyZones = ranked.df
+      .withColumn("f", graft.functions.PrefixScan
+        .ntileFromRank(32L, ranked.n, col("__rk")).cast(LongType))
+      .groupBy(lit("key_sorted").as("layout"), col("f"))
+      .agg(min("sd").as("zmin"), max("sd").as("zmax"))
+    val hashZones = li
+      .withColumn("f", expr(
+        "CAST(((instr('0123456789abcdef', substring(md5(CAST(l_orderkey AS STRING)), 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(md5(CAST(l_orderkey AS STRING)), 2, 1)) - 1)) % 32 AS BIGINT)"))
+      .groupBy(lit("hashed").as("layout"), col("f"))
+      .agg(min("sd").as("zmin"), max("sd").as("zmax"))
+    val zones = shipZones.unionAll(keyZones).unionAll(hashZones)
     val events = zones.select(col("layout"), col("zmin").as("pt"), lit(1).as("delta"))
       .unionAll(zones.select(col("layout"), date_add(col("zmax"), 1).as("pt"),
         lit(-1).as("delta")))

@@ -235,25 +235,24 @@ object RelMore143 {
     val li = lineitem(s, d).filter(col("l_orderkey") % 29 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    var edges = li.as("a").join(li.as("b"), Seq("ok"))
+    val base = li.as("a").join(li.as("b"), Seq("ok"))
       .filter(col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
-      .persist()
-    edges.count() // materialize the persisted base edge list
-    for (_ <- 1 to 2) {
-      val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
-        .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+    // IterativeFixpoint.eager: the peel step reads its edge state three
+    // times (adjacency both directions + the survivor semi join), so
+    // per-round checkpointing is the right discipline per the helper's
+    // criteria; it also owns the release of round r-1's storage and the
+    // no-plan-growth assertion this loop used to hand-roll.
+    val edges = graft.functions.IterativeFixpoint.eager(base, 2) { (e, _) =>
+      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+        .union(e.select(col("v").as("node"), col("u").as("nbr")))
       val wedges = adj.as("x").join(adj.as("y"),
           col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
         .select(col("x.node").as("u"), col("y.node").as("v"))
-      val sup = wedges.join(edges, Seq("u", "v"), "left_semi")
+      val sup = wedges.join(e, Seq("u", "v"), "left_semi")
         .groupBy("u", "v").agg(count(lit(1)).as("support"))
-      val next = edges.join(sup.filter(col("support") >= 1), Seq("u", "v"), "left_semi")
-        .persist()
-      next.count() // materialize before releasing the parent cache
-      edges.unpersist()
-      edges = next
+      e.join(sup.filter(col("support") >= 1), Seq("u", "v"), "left_semi")
     }
     val adjF = edges.select(col("u").as("node"), col("v").as("nbr"))
       .union(edges.select(col("v").as("node"), col("u").as("nbr")))
@@ -266,7 +265,7 @@ object RelMore143 {
       .select(col("u"), col("v"), col("support"))
       .sharedCache()
     out.count()
-    edges.unpersist()
+    graft.functions.IterativeFixpoint.releaseCheckpoint(edges)
     out.orderBy(col("support").desc, col("u"), col("v"))
   }
 

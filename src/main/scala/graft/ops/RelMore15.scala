@@ -233,29 +233,26 @@ object RelMore15 {
       .filter(col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
-    var edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+    val base = pairs.select(col("u").as("src"), col("v").as("dst"))
       .union(pairs.select(col("v").as("src"), col("u").as("dst")))
-      .persist()
-    for (_ <- 1 to 3) {
-      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // IterativeFixpoint.eager: each peel reads its edge state three
+    // times (degree pass + two semi joins) — without per-round
+    // materialization the un-cached intermediate recomputes 2^rounds
+    // times through the whole pair-building join (measured 10s -> ~2s
+    // at sf0.1). The helper owns the round lifecycle and the
+    // no-plan-growth assertion.
+    val edges = graft.functions.IterativeFixpoint.eager(base, 3) { (e, _) =>
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= 2).select(col("src").as("node"))
-      // each round reads `edges` TWICE (degree pass + semi join): persist
-      // and materialize per round, or the un-cached intermediate is
-      // recomputed 2^rounds times through the whole pair-building join
-      // (measured 10s -> ~2s at sf0.1). Same discipline as dedup-cluster.
-      val next = edges
-        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+      e.join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .persist()
-      next.count() // materialize before dropping the parent's cache
-      edges.unpersist()
-      edges = next
     }
     val out = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_deg"))
       .sharedCache()
     out.count() // materialize inside the partition scope
+    graft.functions.IterativeFixpoint.releaseCheckpoint(edges)
     out.orderBy("node")
   }
 

@@ -36,7 +36,11 @@ object RelMore205 {
     * partition at real scale. Oracle = the plain unsalted join: the
     * skew split must be result-invariant. AqeOpsSpec asserts the
     * executed plan actually contains the skew-split markers. */
-  val joinAqeSkewRescue: Q = (s, d) => withConfs(s,
+  /** Confs and frame shared verbatim with AqeOpsSpec's plan-evidence
+    * test — factored so the graded op and its "the skew split actually
+    * fired" measurement cannot drift apart (r9 ADVICE). Same pattern
+    * for the other conf/frame pairs below. */
+  val skewRescueConfs: Seq[(String, String)] = Seq(
     "spark.sql.autoBroadcastJoinThreshold" -> "-1",
     "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
@@ -44,13 +48,17 @@ object RelMore205 {
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
     "spark.sql.files.maxPartitionBytes" -> "64KB",
-    "spark.sql.files.openCostInBytes" -> "1KB") {
+    "spark.sql.files.openCostInBytes" -> "1KB")
+
+  def skewRescueFrame(s: SparkSession, d: String): DataFrame = {
     // skew split granularity is MAP OUTPUTS: a PartialReducerPartitionSpec
     // is a (reducer, mapIndex-range) slice, so a hot reduce partition fed
     // by a single mapper can never be split, no matter how skewed. The
     // fixture parquet is one row group = one mapper; the (k, value) hash
     // repartition stands in for the many-mapper scan a 100 TB fact table
-    // is naturally (where this pre-shuffle does not exist).
+    // is naturally (where this pre-shuffle does not exist). The shuffle
+    // must also carry the incompressible `value` payload, or the constant
+    // hot key compresses below the byte thresholds the detector reads.
     val fact = events(s, d).select(
       when(col("user_id") % 10 < 8, 1L).otherwise(col("user_id")).as("k"),
       col("value"))
@@ -62,7 +70,10 @@ object RelMore205 {
       .agg(count(lit(1)).as("n_events"),
         outNum(sum(dec2(col("value")))).as("total_value"))
       .orderBy("segment")
-      .localCheckpoint()
+  }
+
+  val joinAqeSkewRescue: Q = (s, d) => withConfs(s, skewRescueConfs: _*) {
+    skewRescueFrame(s, d).localCheckpoint()
   }
 
   val joinAqeSkewRescueSql: String =
@@ -87,9 +98,11 @@ object RelMore205 {
     * 100 TB and moving nothing. Oracle = the same join in DuckDB
     * (md5 agrees across engines). AqeOpsSpec asserts the executed
     * adaptive plan ends in BroadcastHashJoin. */
-  val joinAqeRuntimeBroadcast: Q = (s, d) => withConfs(s,
+  val runtimeBroadcastConfs: Seq[(String, String)] = Seq(
     "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB") {
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB")
+
+  def runtimeBroadcastFrame(s: SparkSession, d: String): DataFrame = {
     val dim = customer(s, d)
       .filter(substring(md5(col("c_custkey").cast(StringType)), 1, 1) === "a")
       .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
@@ -100,8 +113,12 @@ object RelMore205 {
       .agg(count(lit(1)).as("n_orders"),
         outNum(sum(dec2(col("o_totalprice")))).as("revenue"))
       .orderBy("segment")
-      .localCheckpoint()
   }
+
+  val joinAqeRuntimeBroadcast: Q = (s, d) =>
+    withConfs(s, runtimeBroadcastConfs: _*) {
+      runtimeBroadcastFrame(s, d).localCheckpoint()
+    }
 
   val joinAqeRuntimeBroadcastSql: String =
     """SELECT c_mktsegment AS segment, count(*) AS n_orders,
@@ -126,19 +143,24 @@ object RelMore205 {
     * AQEShuffleRead is coalesced. countDistinct rides the same
     * shuffle (expand + two-phase agg), so the coalesce covers a
     * multi-stage reduce, not a trivial one. */
-  val aggAqeCoalescePartitions: Q = (s, d) => withConfs(s,
+  val coalescePartitionsConfs: Seq[(String, String)] = Seq(
     "spark.sql.shuffle.partitions" -> "32",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB") {
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB")
+
+  def coalescePartitionsFrame(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         outNum(sum(dec2(col("value")))).as("total_value"))
       .orderBy("event_type")
-      .localCheckpoint()
-  }
+
+  val aggAqeCoalescePartitions: Q = (s, d) =>
+    withConfs(s, coalescePartitionsConfs: _*) {
+      coalescePartitionsFrame(s, d).localCheckpoint()
+    }
 
   val aggAqeCoalescePartitionsSql: String =
     """SELECT event_type, count(*) AS n_events,
@@ -216,12 +238,14 @@ object RelMore205 {
     * the plain join (false positives are removed by the join, so the
     * filter must be result-invariant). AqeOpsSpec asserts the
     * executed plan contains the injected bloom probe. */
-  val joinRuntimeBloomFilter: Q = (s, d) => withConfs(s,
+  val runtimeBloomConfs: Seq[(String, String)] = Seq(
     "spark.sql.autoBroadcastJoinThreshold" -> "-1",
     "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
     "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
-    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB") {
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")
+
+  def runtimeBloomFrame(s: SparkSession, d: String): DataFrame = {
     val dim = orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))
@@ -232,7 +256,10 @@ object RelMore205 {
       .agg(count(lit(1)).as("n_items"),
         outNum(sum(dec2(col("l_extendedprice")))).as("revenue"))
       .orderBy("yr")
-      .localCheckpoint()
+  }
+
+  val joinRuntimeBloomFilter: Q = (s, d) => withConfs(s, runtimeBloomConfs: _*) {
+    runtimeBloomFrame(s, d).localCheckpoint()
   }
 
   val joinRuntimeBloomFilterSql: String =

@@ -86,17 +86,21 @@ object RelMore29 {
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
       .union(pairs.select(col("v").as("src"), col("u").as("dst")))
       .persist()
-    var labels = nodes.select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to 3) {
+    // IterativeFixpoint.lazyChain: fixed shallow depth (3) and the step
+    // reads its label state twice but both reads ride the SAME round's
+    // shuffles once the single final action runs — per-round actions
+    // would only add job submissions (see the helper's criteria).
+    val labels = graft.functions.IterativeFixpoint.lazyChain(
+      nodes.select(col("node"), col("node").as("lbl")), 3) { (lbls, _) =>
       val modes = edges
-        .join(labels.withColumnRenamed("node", "src"), "src")
+        .join(lbls.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("node").orderBy(desc("cnt"), col("lbl"))))
         .filter(col("rk") === 1)
         .select(col("node"), col("lbl").as("new_lbl"))
-      labels = labels.join(modes, Seq("node"), "left")
+      lbls.join(modes, Seq("node"), "left")
         .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
     }
     val out = labels.groupBy(col("lbl").as("community"))

@@ -91,27 +91,42 @@ object RelMore44 {
     val edges = lineitem(s, d)
       .select(col("l_suppkey").as("supp"), col("l_partkey").as("part"))
       .distinct().sharedCache()
-    var h = edges.select(col("supp")).distinct().select(col("supp"), lit(1000000L).as("hs"))
-    var a: DataFrame = null
-    for (_ <- 1 to 3) {
+    // IterativeFixpoint.eager over a role-encoded state (hub rows ∪
+    // authority rows): each round reads its hub state once but builds
+    // TWO normalized score tables whose argmax broadcasts nest state —
+    // the per-round (and mid-round, for the authority half) checkpoint
+    // keeps round r+1 planning against constant-size leaves instead of
+    // re-analyzing round r's broadcast subtrees (the bradley-terry
+    // failure mode the helper exists to prevent).
+    val init = edges.select(col("supp")).distinct()
+      .select(lit("hub").as("role"), col("supp").as("node_id"),
+        lit(1000000L).as("score_micro"))
+    val state = graft.functions.IterativeFixpoint.eager(init, 3) { (st, _) =>
+      val h = st.filter(col("role") === "hub")
+        .select(col("node_id").as("supp"), col("score_micro").as("hs"))
       val araw = edges.join(h, Seq("supp"))
         .groupBy("part").agg(sum("hs").as("araw"))
       val amax = araw.agg(max("araw").as("amax"))
-      a = araw.crossJoin(broadcast(amax))
+      // mid-round checkpoint: the authority table feeds BOTH the hub
+      // update and the round's output union — without it araw runs twice
+      val a = araw.crossJoin(broadcast(amax))
         .select(col("part"), expr("(araw * 1000000) div amax").as("as_"))
         .localCheckpoint()
       val hraw = edges.join(a, Seq("part"))
         .groupBy("supp").agg(sum("as_").as("hraw"))
       val hmax = hraw.agg(max("hraw").as("hmax"))
-      h = hraw.crossJoin(broadcast(hmax))
+      val h2 = hraw.crossJoin(broadcast(hmax))
         .select(col("supp"), expr("(hraw * 1000000) div hmax").as("hs"))
-        .localCheckpoint()
+      a.select(lit("authority").as("role"), col("part").as("node_id"),
+          col("as_").as("score_micro"))
+        .unionAll(h2.select(lit("hub").as("role"), col("supp").as("node_id"),
+          col("hs").as("score_micro")))
     }
-    val topAuth = a.select(lit("authority").as("role"), col("part").as("node_id"),
-        col("as_").as("score_micro"))
+    val topAuth = state.filter(col("role") === "authority")
+      .select(col("role"), col("node_id"), col("score_micro"))
       .orderBy(desc("score_micro"), col("node_id")).limit(10)
-    val topHub = h.select(lit("hub").as("role"), col("supp").as("node_id"),
-        col("hs").as("score_micro"))
+    val topHub = state.filter(col("role") === "hub")
+      .select(col("role"), col("node_id"), col("score_micro"))
       .orderBy(desc("score_micro"), col("node_id")).limit(10)
     topAuth.unionAll(topHub)
       .withColumn("rnk", row_number().over(

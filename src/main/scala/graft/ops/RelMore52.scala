@@ -138,9 +138,15 @@ object RelMore52 {
     // which is boilerplate, not near-duplication.
     val MaxDf = 50
     val dshAll = hashed.select(col("doc_id"), substring(col("h"), 1, 16).as("k")).distinct()
-    val dsh = dshAll.join(
-        dshAll.groupBy("k").agg(count(lit(1)).as("kdf")).filter(col("kdf") <= MaxDf),
-        Seq("k"))
+    // df-cap via a k-partitioned count window instead of groupBy+join:
+    // one shuffle on k and no join, and the cached result stays
+    // hash-partitioned on k so the truth self-join below adds NO
+    // exchange (r9 verdict item 3: this op ran its frame through three
+    // shuffles where two suffice)
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy("k")
+    val dsh = dshAll
+      .withColumn("kdf", count(lit(1)).over(wk))
+      .filter(col("kdf") <= MaxDf)
       .select("doc_id", "k").sharedCache()
     val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val truth = dsh.select(col("doc_id").as("doc_a"), col("k"))

@@ -28,22 +28,23 @@ object RelMore6 {
       .select(concat(lit("s"), col("l_suppkey")).as("src"),
         concat(lit("p"), col("l_partkey")).as("dst")).distinct()
     val edges = e1.unionAll(e1.select(col("dst").as("src"), col("src").as("dst"))).sharedCache()
-    var visited = s.createDataFrame(
+    val visited0 = s.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row("s1", 0)),
       new StructType().add("node", StringType).add("lvl", IntegerType))
-    var frontier = visited.select("node")
-    for (lvl <- 1 to 3) {
-      frontier = frontier.join(edges, frontier("node") === edges("src"))
+    // IterativeFixpoint.eager: each level reads the visited state twice
+    // (frontier filter + the already-seen anti join), and the frontier
+    // must not replay all prior level joins — state is the full
+    // (node, lvl) table, frontier = the previous round's level slice.
+    val visited = graft.functions.IterativeFixpoint.eager(visited0, 3) { (vis, lvl) =>
+      val frontier = vis.filter(col("lvl") === lvl - 1)
+        .join(edges, col("node") === edges("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited.select("node").as("v"), Seq("node"), "left_anti")
-        .sharedCache()
-      visited = visited.unionAll(frontier.withColumn("lvl", lit(lvl)))
+        .join(vis.select("node").as("v"), Seq("node"), "left_anti")
+      vis.unionAll(frontier.withColumn("lvl", lit(lvl)))
     }
-    // materialize the level joins inside the partition scope (see
-    // Tables.withShufflePartitions); the final small sort runs on cache
-    val out = visited.sharedCache()
-    out.count()
-    out.orderBy("lvl", "node")
+    // the eager loop materialized inside the partition scope already;
+    // the final small sort runs on the checkpointed rows
+    visited.orderBy("lvl", "node")
   }
 
   val graphBfsSql: String =

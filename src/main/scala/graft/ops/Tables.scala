@@ -168,7 +168,17 @@ object Tables {
     * DataFrame construction — an op returning a lazy frame from this
     * scope would execute under the RESTORED confs. Callers must
     * materialize inside the scope (the results here are report-sized,
-    * so `localCheckpoint()` before returning). */
+    * so `localCheckpoint()` before returning).
+    *
+    * CAUTION (concurrency): this mutates the SHARED session runtime
+    * conf with no guard — the engine's contract is one query builds
+    * and runs at a time per session (Verify/Bench/QTime are all
+    * sequential; ScalaTest suites here do not enable parallel
+    * execution). A future parallel runner must give each worker its
+    * own `spark.newSession()` (child session: shared catalog+cache,
+    * isolated runtime conf) instead of sharing one session through
+    * this scope, or concurrent queries would silently run under —
+    * or race the restore of — another op's overrides. */
   def withConfs[T](s: SparkSession, kv: (String, String)*)(f: => T): T = {
     val olds = kv.map { case (k, _) => k -> s.conf.getOption(k) }
     kv.foreach { case (k, v) => s.conf.set(k, v) }

@@ -41,29 +41,12 @@ class AqeOpsSpec extends SparkTestBase {
       .orderBy("segment").collect().map(_.toSeq)
     assert(got.toSeq == plain.toSeq)
 
-    // plan evidence: same shape under the op's confs must show the
-    // skew-split marker on the shuffle join after execution
-    val planStr = withConfs(spark,
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
-      "spark.sql.files.maxPartitionBytes" -> "64KB",
-      "spark.sql.files.openCostInBytes" -> "1KB") {
-      val fact = events(spark, sf).select(
-        when(col("user_id") % 10 < 8, 1L).otherwise(col("user_id")).as("k"),
-        col("value"))
-        .repartition(16, col("k"), col("value"))
-      val dim = customer(spark, sf)
-        .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
-      // keep `value` in the aggregate: the shuffle must carry the
-      // incompressible payload column, or the constant hot key
-      // compresses below the byte thresholds the detector reads
-      executedPlanString(fact.join(dim, Seq("k"))
-        .groupBy("segment").agg(count(lit(1)).as("n"),
-          outNum(sum(dec2(col("value")))).as("total_value")))
+    // plan evidence: the op's OWN frame under the op's OWN confs
+    // (RelMore205.skewRescueConfs/skewRescueFrame — shared vals, so op
+    // and evidence cannot drift) must show the skew-split marker on the
+    // shuffle join after execution
+    val planStr = withConfs(spark, RelMore205.skewRescueConfs: _*) {
+      executedPlanString(RelMore205.skewRescueFrame(spark, sf))
     }
     assert(planStr.contains("skew=true"),
       s"expected a skew-split shuffle join in the executed plan:\n$planStr")
@@ -73,31 +56,18 @@ class AqeOpsSpec extends SparkTestBase {
     val rows = run("join-aqe-runtime-broadcast").collect()
     assert(rows.nonEmpty)
 
-    val planStr = withConfs(spark,
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB") {
-      val dim = customer(spark, sf)
-        .filter(substring(md5(col("c_custkey").cast("string")), 1, 1) === "a")
-        .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
-      val fact = orders(spark, sf).select(col("o_custkey").as("k"),
-        col("o_totalprice"))
-      executedPlanString(fact.join(dim, Seq("k"))
-        .groupBy("segment").agg(count(lit(1)).as("n")))
+    val planStr = withConfs(spark, RelMore205.runtimeBroadcastConfs: _*) {
+      executedPlanString(RelMore205.runtimeBroadcastFrame(spark, sf))
     }
     assert(planStr.contains("BroadcastHashJoin"),
       s"expected runtime broadcast demotion in the executed plan:\n$planStr")
     // and the static plan really was NOT a broadcast (the demotion
-    // happened at runtime, it wasn't the planner's first choice)
+    // happened at runtime, it wasn't the planner's first choice):
+    // same shared frame, with the adaptive threshold also disabled
     val staticStr = withConfs(spark,
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
-      val dim = customer(spark, sf)
-        .filter(substring(md5(col("c_custkey").cast("string")), 1, 1) === "a")
-        .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
-      val fact = orders(spark, sf).select(col("o_custkey").as("k"),
-        col("o_totalprice"))
-      executedPlanString(fact.join(dim, Seq("k"))
-        .groupBy("segment").agg(count(lit(1)).as("n")))
+      executedPlanString(RelMore205.runtimeBroadcastFrame(spark, sf))
     }
     assert(!staticStr.contains("BroadcastHashJoin"),
       "with the adaptive threshold also off, the join must stay a shuffle join")
@@ -108,15 +78,8 @@ class AqeOpsSpec extends SparkTestBase {
     assert(rows.nonEmpty)
     assert(rows.map(_.getAs[String]("event_type")).distinct.length == rows.length)
 
-    val planStr = withConfs(spark,
-      "spark.sql.shuffle.partitions" -> "32",
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB") {
-      executedPlanString(events(spark, sf)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users")))
+    val planStr = withConfs(spark, RelMore205.coalescePartitionsConfs: _*) {
+      executedPlanString(RelMore205.coalescePartitionsFrame(spark, sf))
     }
     assert(planStr.contains("coalesced"),
       s"expected a coalesced AQEShuffleRead in the executed plan:\n$planStr")
@@ -126,20 +89,8 @@ class AqeOpsSpec extends SparkTestBase {
     val rows = run("join-runtime-bloom-filter").collect()
     assert(rows.nonEmpty)
 
-    val planStr = withConfs(spark,
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB") {
-      val dim = orders(spark, sf)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"), col("o_orderdate"))
-      executedPlanString(lineitem(spark, sf)
-        .select(col("l_orderkey"), col("l_extendedprice"))
-        .join(dim, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(year(col("o_orderdate")).as("yr"))
-        .agg(count(lit(1)).as("n")))
+    val planStr = withConfs(spark, RelMore205.runtimeBloomConfs: _*) {
+      executedPlanString(RelMore205.runtimeBloomFrame(spark, sf))
     }
     assert(planStr.contains("might_contain") || planStr.contains("bloom"),
       s"expected an injected runtime bloom filter in the executed plan:\n$planStr")

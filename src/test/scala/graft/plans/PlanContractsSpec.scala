@@ -11,9 +11,31 @@ import graft.olist.SparkTestBase
   * engine-wide basics. */
 class PlanContractsSpec extends SparkTestBase {
 
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
   private val sf = "/root/testdata/sf0.001"
   private def planOf(name: String): String =
     graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Collect matching nodes INCLUDING through adaptive and cache
+    * wrappers: SparkPlan.collect does not descend into
+    * AdaptiveSparkPlanExec / QueryStageExec, and an op that
+    * sharedCache()s an intermediate hides that subtree behind an
+    * InMemoryTableScanExec — a plain collect sees only the wrappers,
+    * which turns "no WindowExec" assertions into vacuous passes and
+    * "find the join" into List(). */
+  private def deepCollect[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(c.relation.cachedPlan)
+      case _ => p.children
+    }
+    here ++ kids.flatMap(deepCollect(_)(pf))
+  }
 
   test("limit-topk: ORDER BY+LIMIT plans as TakeOrderedAndProject, no global sort") {
     val p = planOf("limit-topk")
@@ -21,13 +43,34 @@ class PlanContractsSpec extends SparkTestBase {
   }
 
   test("agg-topk: column pruning reaches the lineitem scan") {
-    val p = planOf("agg-topk")
-    val scan = p.linesIterator.find(l =>
-      l.contains("FileScan parquet") && l.contains("lineitem")).getOrElse(fail(p))
-    val readSchema = scan.split("ReadSchema: ").last
-    // 4 of lineitem's 11+ columns: the two grouping keys + price + discount
-    val nCols = readSchema.count(_ == ':')
-    assert(nCols <= 4, s"expected <=4 read columns, got $nCols: $readSchema")
+    // assert on the FileSourceScanExec node's requiredSchema, not the
+    // rendered plan string — Spark truncates long lines ("... N more
+    // fields"), which would let a pruning regression pass a ':'-count
+    val df = graft.SparkEntry.queries("agg-topk")(spark, sf)
+    val scans = deepCollect(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => s
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    scans.foreach { s =>
+      val n = s.requiredSchema.fields.length
+      // 4 of lineitem's 11+ columns: the two grouping keys + price + discount
+      assert(n <= 4, s"expected <=4 read columns, got $n: ${s.requiredSchema.simpleString}")
+    }
+  }
+
+  test("layout-overlap-depth: zone computation leaves no unpartitioned WindowExec") {
+    // r9's one defect: two full-corpus ntile(32) global sorts. Now ported
+    // to PrefixScan (ntileSpans histogram spans + distributed rank); the
+    // only window left is the sweepline over <=33 zone events per layout,
+    // partitioned by layout.
+    val df = graft.SparkEntry.queries("layout-overlap-depth")(spark, sf)
+    val unpart = deepCollect(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty,
+      "layout-overlap-depth must compute zones via PrefixScan, not a global window")
   }
 
   test("join-left-translate: dim-sized side broadcasts") {
@@ -37,11 +80,55 @@ class PlanContractsSpec extends SparkTestBase {
 
   test("agg-bradford-zones: PrefixScan leaves no WindowExec in the plan") {
     val df = graft.SparkEntry.queries("agg-bradford-zones")(spark, sf)
-    val wins = df.queryExecution.executedPlan.collect {
+    val wins = deepCollect(df.queryExecution.executedPlan) {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
     assert(wins.isEmpty,
       "the supplier-frame prefix sum must run through PrefixScan, not a window")
+  }
+
+  test("dedup-minhash-lsh: pair generation is an equality join on (band, bk), never corpus²") {
+    // THE scale claim the dedup family rests on: pairwise work is
+    // confined to LSH bucket-mates, so the only self-join is keyed on
+    // the band-bucket columns. A corpus² regression would appear as a
+    // cartesian/nested-loop join or an equality join on other keys.
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = graft.SparkEntry.queries("dedup-minhash-lsh")(spark, sf).queryExecution.executedPlan
+    val unbounded = deepCollect(p) {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(unbounded.isEmpty, s"corpus²-shaped join in the LSH plan:\n$p")
+    // every join in the pipeline must be an EQUALITY join (bounded by
+    // its hash keys), and the pair-generation join specifically must
+    // key on exactly (band, bk). The walk descends cached subtrees, so
+    // it also sees the upstream shingle build's content_hash keeper
+    // join — an equality join, allowed; what it must never see is a
+    // join whose keys are empty (theta/cross) or a pair join on
+    // anything other than the band-bucket columns.
+    val joins = deepCollect(p) { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, p.toString)
+    joins.foreach { j =>
+      assert(j.leftKeys.nonEmpty,
+        s"non-equality join in the LSH plan:\n$j")
+    }
+    val keySets = joins.map(_.leftKeys.flatMap(_.references).map(_.name).toSet)
+    assert(keySets.contains(Set("band", "bk")),
+      s"LSH pair join keyed on (band, bk) not found; joins key on $keySets:\n$p")
+  }
+
+  test("ann-ivf: probe join is centroid-bucketed with the query side broadcast") {
+    // The IVF scale claim: probe work = per-cell candidates against a
+    // BROADCAST query table, keyed on the centroid assignment — the
+    // shuffle moves cell ids, never |queries| × |corpus|.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val p = graft.SparkEntry.queries("ann-ivf")(spark, sf).queryExecution.executedPlan
+    val probe = deepCollect(p) {
+      case j: BroadcastHashJoinExec
+          if j.leftKeys.flatMap(_.references).map(_.name).toSet == Set("centroid_id") => j
+    }
+    assert(probe.nonEmpty,
+      s"expected a broadcast hash join keyed on centroid_id:\n$p")
   }
 
   test("win-topk-per-key: the custom TopKPerKey physical operator is planned") {
