@@ -137,16 +137,19 @@ object RelMore52 {
     // only if its similarity rides on shingles that >MaxDf docs share,
     // which is boilerplate, not near-duplication.
     val MaxDf = 50
-    val dshAll = hashed.select(col("doc_id"), substring(col("h"), 1, 16).as("k")).distinct()
-    // df-cap via a k-partitioned count window instead of groupBy+join:
-    // one shuffle on k and no join, and the cached result stays
-    // hash-partitioned on k so the truth self-join below adds NO
-    // exchange (r9 verdict item 3: this op ran its frame through three
-    // shuffles where two suffice)
-    val wk = org.apache.spark.sql.expressions.Window.partitionBy("k")
-    val dsh = dshAll
-      .withColumn("kdf", count(lit(1)).over(wk))
-      .filter(col("kdf") <= MaxDf)
+    val dshAll = hashed.select(col("doc_id"), substring(col("h"), 1, 16).as("k"))
+      .distinct().sharedCache()
+    // df-cap via a BROADCAST ANTI join on the HOT keys only (r10, third
+    // shape for this cut): the set of shingles with df > MaxDf is tiny
+    // by construction (boilerplate), so the cap costs one map-combined
+    // groupBy to find them plus a broadcast anti probe — no WindowExec
+    // sort of the full inverted index (the r9 window form), no wide
+    // df-table join (the r8 form). At any corpus size the broadcast
+    // side stays |hot keys|, which the cap itself bounds to the
+    // boilerplate vocabulary.
+    val hotKeys = dshAll.groupBy("k").agg(count(lit(1)).as("kdf"))
+      .filter(col("kdf") > MaxDf).select("k")
+    val dsh = dshAll.join(broadcast(hotKeys), Seq("k"), "left_anti")
       .select("doc_id", "k").sharedCache()
     val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val truth = dsh.select(col("doc_id").as("doc_a"), col("k"))
