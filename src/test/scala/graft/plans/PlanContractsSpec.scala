@@ -131,6 +131,34 @@ class PlanContractsSpec extends SparkTestBase {
       s"expected a broadcast hash join keyed on centroid_id:\n$p")
   }
 
+  test("dedup-semdedup: centroid assignment broadcasts, pair join keys on the cluster") {
+    // The SemDeDup scale claim: assignment is a broadcast of the (tiny)
+    // centroid table against the corpus — never a shuffle of the corpus
+    // onto centroids — and pairwise pruning shuffles on the cluster key
+    // only, so per-cell work is bounded by cell population.
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    val p = graft.SparkEntry.queries("dedup-semdedup")(spark, sf).queryExecution.executedPlan
+    val bcast = deepCollect(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bcast.nonEmpty, s"expected the broadcast centroid cross join:\n$p")
+    val clusterKeyed = deepCollect(p) {
+      case j: BaseJoinExec
+          if j.leftKeys.flatMap(_.references).map(_.name).contains("cluster") => j
+    }
+    assert(clusterKeyed.nonEmpty,
+      s"expected the pair join keyed on the cluster assignment:\n$p")
+  }
+
+  test("win-ewma-irregular: keyed window only, top-k merge instead of global sort") {
+    val df = graft.SparkEntry.queries("win-ewma-irregular")(spark, sf)
+    val unpart = deepCollect(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, "the max-date window must stay partitioned on the key")
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "the top-20 must merge per-partition heaps, not sort globally")
+  }
+
   test("win-topk-per-key: the custom TopKPerKey physical operator is planned") {
     val p = planOf("win-topk-per-key")
     assert(p.contains("TopKPerKey"), p)
