@@ -57,9 +57,58 @@ object RelMore209 {
       |       CAST(1 AS INT) AS multi_batch
       |FROM events""".stripMargin
 
+  /** stream-state-reader — the Spark 4 state-store BATCH reader:
+    * `spark.read.format("statestore").load(checkpoint)` exposes a
+    * streaming aggregation's live state as a DataFrame (key struct,
+    * value struct = the agg buffer, partition_id), and
+    * `format("state-metadata")` lists the stateful operators behind
+    * it. At scale this is how streaming state gets audited, backfilled
+    * against, and debugged WITHOUT stopping the query or replaying the
+    * log — state for a 100 TB-backlog aggregation is itself a table,
+    * so every relational audit in this engine applies to it. The op
+    * runs a keyed count to a checkpoint, then grades the STATE
+    * contents (not the sink) against the batch truth; the metadata
+    * flag proves the operator enumeration read the same checkpoint.
+    * partition_id is config-dependent and deliberately excluded from
+    * the graded output. */
+  val streamStateReader: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = new java.io.File(Tables.tmp("state-reader-src", d))
+    s.read.parquet(s"$d/events.parquet").select(col("event_id"), col("event_type"))
+      .repartition(4).write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+    val schema = s.read.parquet(srcDir.getAbsolutePath).schema
+    val name = "stream_state_reader"
+    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val ckpt = Tables.tmp(s"ckpt-$name", d)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val q = s.readStream.schema(schema).parquet(srcDir.getAbsolutePath)
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val isAggState = s.read.format("state-metadata").load(ckpt)
+      .filter(col("operatorName") === "stateStoreSave").count() == 1L
+    s.read.format("statestore").load(ckpt)
+      .select(col("key.event_type").as("event_type"),
+        col("value.count").as("n_events"),
+        lit(if (isAggState) 1 else 0).as("agg_operator_listed"))
+      .orderBy("event_type")
+  }
+
+  val streamStateReaderSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(1 AS INT) AS agg_operator_listed
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "stream-progress-metrics" -> streamProgressMetrics)
+    "stream-progress-metrics" -> streamProgressMetrics,
+    "stream-state-reader" -> streamStateReader)
 
   val oracles: Map[String, String] = Map(
-    "stream-progress-metrics" -> streamProgressMetricsSql)
+    "stream-progress-metrics" -> streamProgressMetricsSql,
+    "stream-state-reader" -> streamStateReaderSql)
 }
