@@ -205,7 +205,9 @@ object Gold {
         spark.read.parquet(s"$warehouse/gold/fact_orders"),
         spark.read.parquet(s"$warehouse/gold/dim_product"),
         spark.read.parquet(s"$warehouse/gold/dim_seller"))),
-      writeFact("fact_reviews", "order_id", factReviews(silver("order_reviews"),
+      // fact_reviews drops the order natural key (it carries order_sk);
+      // its point-lookup key is review_id
+      writeFact("fact_reviews", "review_id", factReviews(silver("order_reviews"),
         spark.read.parquet(s"$warehouse/gold/fact_orders"))))
     results.toMap
   }

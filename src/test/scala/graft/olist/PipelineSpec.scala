@@ -33,6 +33,45 @@ class PipelineSpec extends SparkTestBase {
     assert(r.silverRows("geolocation") == 2)
   }
 
+  test("gold: fact footers carry the order_id bloom (read-optimized writes)") {
+    // Guards the Gold.writeFact tuning (REBALANCE + parquet bloom on
+    // order_id) measured at 30M orders in SCALING.md — a dropped write
+    // option would silently revert point lookups to full scans.
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val (wh, _) = result
+    Seq("fact_orders" -> "order_id", "fact_order_items" -> "order_id",
+        "fact_reviews" -> "review_id").foreach { case (t, key) =>
+      val parts = new java.io.File(s"$wh/gold/$t").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(parts.nonEmpty, s"no parquet under $wh/gold/$t")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      parts.foreach { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+        try reader.getFooter.getBlocks.asScala.foreach { b =>
+          val cols = b.getColumns.asScala
+          val ok = cols.find(_.getPath.toDotString == key).getOrElse(
+            fail(s"$t/${f.getName}: no $key column; has " +
+              cols.map(_.getPath.toDotString).mkString(", ")))
+          // parquet-mr intentionally OMITS the bloom when every data
+          // page is dictionary-encoded (the dictionary is an exact
+          // membership filter, strictly better): at fixture scale the
+          // 3-row facts dict-encode, at 30M the dictionary spills and
+          // the bloom is written (ScaleSkipProbe measured 32/32 groups
+          // with blooms). The contract is therefore: bloom present OR
+          // fully dictionary-encoded — either way the footer can
+          // answer point-membership without scanning the group.
+          val dictEncoded = ok.getEncodings.asScala.exists(e =>
+            e.name.contains("DICTIONARY"))
+          assert(ok.getBloomFilterOffset >= 0 || dictEncoded,
+            s"$t/${f.getName}: no bloom AND not dictionary-encoded on $key")
+        } finally reader.close()
+      }
+    }
+  }
+
   test("gold: star schema with dense deterministic SKs") {
     val (wh, r) = result
     assert(r.goldRows("dim_date") == 2558) // 2557 days + sentinel
