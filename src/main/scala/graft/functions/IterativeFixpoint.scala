@@ -3,15 +3,32 @@ package graft.functions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
 
-/** The ONE place the engine's bounded-iteration lifecycle lives
-  * (r9 verdict item 4). Seven graph ops (ktruss, kcore, label
-  * propagation, hash-min CC, pagerank, BFS, HITS) plus bradley-terry
-  * and the BPE trainer all iterate `state = step(state)` a bounded
-  * number of rounds; before this helper each hand-rolled its own
-  * persist → count → unpersist (or localCheckpoint) dance, and the
-  * one that got it wrong (bradley-terry, r8: lazy chaining nested
-  * each round's whole plan inside the next round's broadcast subtree,
-  * 65 s for 420 rows of state) cost a round of bench triage.
+/** The canonical home of the engine's bounded-iteration lifecycle
+  * (r9 verdict item 4). Every op that iterates a SINGLE state frame
+  * `state = step(state)` a bounded number of rounds runs through this
+  * helper: the seven graph ops (ktruss, kcore, label propagation,
+  * hash-min CC, pagerank, BFS, HITS), bradley-terry (RelMore187),
+  * BPE apply (RelMore30), power iteration (RelMore42), k-center
+  * coreset (RelMore44), reach doubling (RelMore39), ppr-seed
+  * (RelMore80), and the modularity label pass (RelMore46, lazyChain).
+  * Before this helper each hand-rolled its own persist → count →
+  * unpersist (or localCheckpoint) dance, and the one that got it
+  * wrong (bradley-terry, r8: lazy chaining nested each round's whole
+  * plan inside the next round's broadcast subtree, 65 s for 420 rows
+  * of state) cost a round of bench triage.
+  *
+  * Four loops intentionally stay hand-rolled because their round
+  * shape does not fit the single-state signature — each applies the
+  * same per-round localCheckpoint discipline in place: RelMore29 (BPE
+  * TRAINER: emits a side-log of one checkpointed merge row per round
+  * alongside the corpus state), RelMore51 (random walk: logs every
+  * step's frontier for the output union), RelMore106 (eigen
+  * deflation: two sequential passes sharing helper fns, pass 2 reads
+  * pass 1's pinned vector), RelMore172 (betweenness BFS: carries
+  * frontier AND accumulated distance table as separate frames).
+  * Porting those would mean threading multi-frame state through a
+  * tuple-typed variant of [[eager]] — more machinery than the four
+  * call sites justify; revisit if a fifth multi-state loop appears.
   *
   * Two disciplines, chosen per op — the choice criteria ARE the API
   * docs, so the next op picks deliberately:
@@ -104,11 +121,19 @@ object IterativeFixpoint {
         // Spark WARNs "lineage has been truncated and cannot be
         // recomputed" on every unpersist of a locally-checkpointed RDD.
         // Here that is the point — the round is dead by contract — so
-        // silence that one logger (the concrete RDD class) rather than
-        // spray a WARN per round into every bench/verify tail.
+        // silence that one logger (the concrete RDD class) for the
+        // duration of the synchronous unpersist call, then RESTORE it:
+        // the class (MapPartitionsRDD) covers nearly every RDD in the
+        // app, and a permanent ERROR pin would swallow unrelated
+        // WARN/INFO for the rest of the session (r10 ADVICE). The WARN
+        // is emitted inside RDD.unpersist itself, before the async
+        // block removal, so the scoped window is sufficient.
+        val cls = l.rdd.getClass.getName
+        val prev = org.apache.logging.log4j.LogManager.getLogger(cls).getLevel
         org.apache.logging.log4j.core.config.Configurator.setLevel(
-          l.rdd.getClass.getName, org.apache.logging.log4j.Level.ERROR)
-        l.rdd.unpersist(blocking = false)
+          cls, org.apache.logging.log4j.Level.ERROR)
+        try l.rdd.unpersist(blocking = false)
+        finally org.apache.logging.log4j.core.config.Configurator.setLevel(cls, prev)
       case _ => ()
     }
 }

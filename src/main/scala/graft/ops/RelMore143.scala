@@ -264,6 +264,15 @@ object RelMore143 {
     val out = supF.orderBy(col("support").desc, col("u"), col("v")).limit(10)
       .select(col("u"), col("v"), col("support"))
       .sharedCache()
+    // INVARIANT (r10 ADVICE): `out` must be FULLY materialized into its
+    // MEMORY_AND_DISK sharedCache (the count() above) before releasing
+    // `edges` — the checkpoint's lineage is truncated, so after release
+    // the cache blocks are the only copy and a recompute would fail. On
+    // a cluster, where cache blocks can die with an executor, prefer
+    // letting the ContextCleaner reclaim on GC instead of eager release
+    // (RelMore6/RelMore44 pattern); here the release bounds local bench
+    // footprint and the single-JVM MEMORY_AND_DISK cache cannot lose
+    // blocks short of process death.
     out.count()
     graft.functions.IterativeFixpoint.releaseCheckpoint(edges)
     out.orderBy(col("support").desc, col("u"), col("v"))

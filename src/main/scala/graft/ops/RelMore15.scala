@@ -251,7 +251,12 @@ object RelMore15 {
     val out = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_deg"))
       .sharedCache()
-    out.count() // materialize inside the partition scope
+    // materialize inside the partition scope — AND before the release:
+    // once `edges`' checkpoint storage is freed the sharedCache blocks
+    // are the only copy (truncated lineage cannot recompute). Safe in
+    // the single-JVM MEMORY_AND_DISK cache; on a cluster prefer
+    // ContextCleaner GC reclaim over eager release (see RelMore143).
+    out.count()
     graft.functions.IterativeFixpoint.releaseCheckpoint(edges)
     out.orderBy("node")
   }

@@ -306,25 +306,25 @@ object RelMore187 {
       .agg(count(lit(1)).as("n"), sum("awin").cast(LongType).as("w"))
       .sharedCache()
     val wins = nij.groupBy("a").agg(sum("w").as("wi"))
-    var pi: DataFrame = wins.select(col("a"), lit(1.0).as("p"))
-    for (_ <- 1 to 3) {
+    val pi0 = wins.select(col("a"), lit(1.0).as("p"))
+    // IterativeFixpoint.eager: each MM round reads π TWICE (the pa and
+    // pb sides of the denominator join) and nests it inside broadcast
+    // subtrees — without per-round truncation the final action pays a
+    // 2^k-deep re-analysis cascade (the original r8 defect: 65.6 s
+    // steady for a 420-row problem; ~2 s truncated). The helper now
+    // also releases prior rounds' storage and asserts no-plan-growth.
+    val pi = graft.functions.IterativeFixpoint.eager(pi0, 3) { (p0, _) =>
       val den = nij
-        .join(pi.select(col("a"), col("p").as("pa")), Seq("a"))
-        .join(pi.select(col("a").as("b"), col("p").as("pb")), Seq("b"))
+        .join(p0.select(col("a"), col("p").as("pa")), Seq("a"))
+        .join(p0.select(col("a").as("b"), col("p").as("pb")), Seq("b"))
         .groupBy("a")
         .agg(sum(col("n").cast(DoubleType) / (col("pa") + col("pb"))).as("dn"))
       val upd = wins.join(den, Seq("a"))
         .select(col("a"),
           round(col("wi").cast(DoubleType) / col("dn"), 9).as("p"))
       val mean = upd.agg(avg("p").as("mp"))
-      // localCheckpoint each round's 5-row strengths frame: without it
-      // every MM round embeds the previous round's whole plan inside a
-      // broadcast subtree, and the final action pays a 2^k-deep
-      // re-analysis cascade (the graph-scc lesson — 65.6 s steady for a
-      // 420-row problem; ~2 s with the truncation).
-      pi = upd.crossJoin(broadcast(mean))
+      upd.crossJoin(broadcast(mean))
         .select(col("a"), round(col("p") / col("mp"), 9).as("p"))
-        .localCheckpoint()
     }
     pi.join(wins, Seq("a"))
       .select(col("a").as("priority"), round(col("p"), 6).as("bt_strength"),

@@ -113,7 +113,15 @@ object RelMore207 {
     * would re-weight a customer's entire lifetime every refresh.
     * Determinism: each term is quantized to BIGINT cents BEFORE the
     * sum (house ordered-fold rule — the float sum would depend on
-    * association order across engines). */
+    * association order across engines), and the decay factor itself is
+    * rounded to 12 dp BEFORE the multiply: floor(cents · exp(Δ/-30))
+    * would otherwise flip at integer boundaries on a 1-ulp exp()
+    * divergence between JVM Math.exp and the oracle's libm — with the
+    * 12-dp quantize the graded value is exact by construction, not by
+    * libm coincidence (r10 ADVICE). Δ/30 ≤ 3 so exp ∈ [0.05, 1]; 12 dp
+    * keeps ~11 significant digits of the decay, far inside double
+    * precision, and a tie at the 12th decimal of a transcendental is
+    * not a realistic input. */
   val winEwmaIrregular: Q = (s, d) => {
     val wc = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
     orders(s, d)
@@ -123,7 +131,8 @@ object RelMore207 {
       .withColumn("delta", datediff(col("dlast"), col("o_orderdate")))
       .filter(col("delta") <= 90)
       .withColumn("term",
-        floor(col("cents") * exp(col("delta").cast(DoubleType) / lit(-30.0)))
+        floor(col("cents") *
+            round(exp(col("delta").cast(DoubleType) / lit(-30.0)), 12))
           .cast(LongType))
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("n_recent"), sum(col("term")).as("decayed_cents"))
@@ -139,8 +148,8 @@ object RelMore207 {
       |  FROM orders),
       |t AS (
       |  SELECT o_custkey,
-      |         CAST(floor(cents * exp(CAST(datediff('day', o_orderdate, dlast)
-      |           AS DOUBLE) / -30.0)) AS BIGINT) AS term
+      |         CAST(floor(cents * round(exp(CAST(datediff('day', o_orderdate, dlast)
+      |           AS DOUBLE) / -30.0), 12)) AS BIGINT) AS term
       |  FROM o WHERE datediff('day', o_orderdate, dlast) <= 90)
       |SELECT o_custkey, count(*) AS n_recent,
       |       CAST(sum(term) AS BIGINT) AS decayed_cents

@@ -199,7 +199,7 @@ object RelMore30 {
     * output is the artifact a data engineer actually inspects: which
     * subwords the corpus promoted, and how much mass they carry. */
   val textTokenizerApply: Q = (s, d) => {
-    var words = documents(s, d)
+    val words0 = documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word").rlike(s"^[a-z]{2,${RelMore29.BpeMaxWordLen}}$$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -209,14 +209,16 @@ object RelMore30 {
           lit(" ")).as("toks"),
         col("freq"))
       .groupBy("toks").agg(sum("freq").as("freq"))
-      // localCheckpoint after the corpus collapse and after every rewrite
-      // (RelMore39 graph-scc discipline): each merge round plans against a
-      // constant-size LogicalRDD leaf instead of replaying the corpus
-      // explode plus all prior rewrites — lineage replay is quadratic in
-      // merge count, fatal at a production ~30k-merge train.
-      .localCheckpoint()
-    for (_ <- 1 to 3) {
-      val best = words
+    // IterativeFixpoint.eager owns the merge-round lifecycle: each round
+    // plans against a constant-size LogicalRDD leaf instead of replaying
+    // the corpus explode plus all prior rewrites (lineage replay is
+    // quadratic in merge count, fatal at a production ~30k-merge train),
+    // prior rounds' checkpoint storage is released as soon as the next
+    // round materializes, and the no-plan-growth contract is asserted —
+    // the step reads its state TWICE (pair census + rewrite), the
+    // eager-discipline criterion per the helper's scaladoc.
+    val words = graft.functions.IterativeFixpoint.eager(words0, 3) { (w, _) =>
+      val best = w
         .select(col("freq"), expr(
           "transform(sequence(1, size(split(trim(toks), ' ')) - 1), " +
             "i -> struct(element_at(split(trim(toks), ' '), i) AS l, " +
@@ -226,12 +228,11 @@ object RelMore30 {
         .agg(sum("freq").as("pair_freq"))
         .orderBy(desc("pair_freq"), col("l"), col("r")).limit(1)
         .select(col("l"), col("r"))
-      words = words.crossJoin(broadcast(best))
+      w.crossJoin(broadcast(best))
         .select(
           expr("replace(toks, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ')").as("toks"),
           col("freq"))
         .groupBy("toks").agg(sum("freq").as("freq"))
-        .localCheckpoint()
     }
     words
       .select(explode(split(trim(col("toks")), " ")).as("token"), col("freq"))

@@ -49,13 +49,16 @@ object RelMore39 {
     // localCheckpoint replaces the plan with a LogicalRDD leaf, so every
     // round plans against a constant-size tree. On a real cluster use
     // checkpoint(reliable dir) for the same truncation plus fault tolerance.
-    var reach = tour.union(nodes.select(col("n").as("src"), col("n").as("dst")))
-      .distinct().localCheckpoint()
-    for (_ <- 1 to 5) {
-      val hop = reach.as("a")
-        .join(reach.as("b"), col("a.dst") === col("b.src"))
+    val reach0 = tour.union(nodes.select(col("n").as("src"), col("n").as("dst")))
+      .distinct()
+    // IterativeFixpoint.eager: the step reads reach TWICE (both sides of
+    // the doubling self-join) — the canonical eager-discipline case; the
+    // helper adds prior-round storage release + the no-plan-growth check.
+    val reach = graft.functions.IterativeFixpoint.eager(reach0, 5) { (rch, _) =>
+      val hop = rch.as("a")
+        .join(rch.as("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
-      reach = reach.union(hop).distinct().localCheckpoint()
+      rch.union(hop).distinct()
     }
     val mutual = reach.as("f")
       .join(reach.as("r"), col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))

@@ -31,20 +31,22 @@ object RelMore42 {
       .select(col("vec_id"), col("k"),
         floor(col("x").cast(DoubleType) * lit(1000.0) + lit(0.5)).cast(LongType).as("mq"))
       .sharedCache() // 2 scans/round x 3 rounds share one materialization
-    var v: DataFrame = s.range(64)
+    val v0 = s.range(64)
       .select(col("id").cast(IntegerType).as("k"), lit(1000000L).as("vq"))
-    for (_ <- 1 to 3) {
-      val sv = m.join(broadcast(v), Seq("k"))
+    // IterativeFixpoint.eager: v nests inside a broadcast subtree each
+    // round (the bradley-terry failure mode) — the helper truncates per
+    // round, releases prior rounds' storage, and asserts no-plan-growth.
+    val v = graft.functions.IterativeFixpoint.eager(v0, 3) { (vr, _) =>
+      val sv = m.join(broadcast(vr), Seq("k"))
         .groupBy("vec_id").agg(sum(col("mq") * col("vq")).as("sraw"))
         .select(col("vec_id"), expr("sraw div 1000000").as("sq"))
       val u = m.join(sv, Seq("vec_id"))
         .groupBy("k").agg(sum(col("mq") * col("sq")).as("u"))
       val mx = u.agg(max(abs(col("u"))).as("mx"))
-      v = u.crossJoin(broadcast(mx))
+      u.crossJoin(broadcast(mx))
         .select(col("k"), expr(
           "CASE WHEN u < 0 THEN -((-u * 1000000) div mx)" +
             " ELSE (u * 1000000) div mx END").as("vq"))
-        .localCheckpoint()
     }
     v.select(col("k").cast(LongType).as("k"), col("vq")).orderBy("k")
   }

@@ -31,10 +31,15 @@ object RelMore44 {
       .select(col("vec_id"), col("k"),
         floor(col("x").cast(DoubleType) * lit(1000.0) + lit(0.5)).cast(LongType).as("mq"))
       .sharedCache()
-    var sel: DataFrame = s.range(1).select(
+    val sel0 = s.range(1).select(
       lit(1L).as("sel_rank"), lit(0L).as("vec_id"), lit(0L).as("dmin_sq"))
-    for (r <- 2 to CoresetK) {
-      val msel = m.join(broadcast(sel.select(col("vec_id").as("sid"))),
+    // IterativeFixpoint.eager: the step reads `sel` twice (selected-set
+    // broadcast + the union carrying it forward) and nests it inside a
+    // broadcast subtree — per-round truncation, storage release, and the
+    // no-plan-growth assertion come from the helper. State grows one ROW
+    // per round but the step's plan SHAPE is constant (leaf ∪ pick).
+    val sel = graft.functions.IterativeFixpoint.eager(sel0, CoresetK - 1) { (se, r) =>
+      val msel = m.join(broadcast(se.select(col("vec_id").as("sid"))),
         col("vec_id") === col("sid"))
         .select(col("sid"), col("k"), col("mq").as("sq"))
       val dmin = m.join(broadcast(msel), Seq("k"))
@@ -42,8 +47,8 @@ object RelMore44 {
         .agg(sum((col("mq") - col("sq")) * (col("mq") - col("sq"))).as("dd"))
         .groupBy("vec_id").agg(min("dd").as("dmin_sq"))
       val next = dmin.orderBy(desc("dmin_sq"), col("vec_id")).limit(1)
-        .select(lit(r.toLong).as("sel_rank"), col("vec_id"), col("dmin_sq"))
-      sel = sel.unionAll(next).localCheckpoint()
+        .select(lit((r + 1).toLong).as("sel_rank"), col("vec_id"), col("dmin_sq"))
+      se.unionAll(next)
     }
     sel.orderBy("sel_rank")
   }

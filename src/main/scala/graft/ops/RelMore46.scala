@@ -34,14 +34,16 @@ object RelMore46 {
     val edgesCc = pairs.select(col("u").as("src"), col("v").as("dst"))
       .union(pairs.select(col("v").as("src"), col("u").as("dst")))
       .union(nodes.select(col("node").as("src"), col("node").as("dst")))
-    var labels = nodes.select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to 4) {
-      labels = edgesCc
-        .join(labels.withColumnRenamed("node", "src"), "src")
+    // IterativeFixpoint.lazyChain: fixed shallow depth (4), step reads
+    // its state exactly once — per-round actions would add job overhead
+    // for nothing; the single checkpoint after the chain materializes it.
+    val labels = graft.functions.IterativeFixpoint.lazyChain(
+      nodes.select(col("node"), col("node").as("lbl")), 4) { (lb, _) =>
+      edgesCc
+        .join(lb.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min("lbl").as("lbl"))
-    }
-    labels = labels.localCheckpoint()
+    }.localCheckpoint()
     val deg = pairs.select(col("u").as("node"))
       .unionAll(pairs.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))

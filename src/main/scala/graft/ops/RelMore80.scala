@@ -145,8 +145,13 @@ object RelMore80 {
     val edges = e1.unionAll(e1.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "src").sharedCache()
-    var ranks: DataFrame = s.sql("SELECT 's1' AS node, CAST(1.0 AS DOUBLE) AS r")
-    for (_ <- 1 to 5) {
+    val ranks0 = s.sql("SELECT 's1' AS node, CAST(1.0 AS DOUBLE) AS r")
+    // IterativeFixpoint.eager (was a hand-rolled per-round checkpoint
+    // loop): truncation per round keeps the 5-deep chain from nesting
+    // AND hands each round's rank⋈edges join a known (small) build side,
+    // so it plans as broadcast instead of a shuffle of the cached edge
+    // list; the helper adds storage release + the no-plan-growth check.
+    val ranks = graft.functions.IterativeFixpoint.eager(ranks0, 5) { (rk, _) =>
       // the restart term is a UNIONED constant row, never a CASE on the
       // flow aggregate: on a bipartite graph the flow frontier strictly
       // alternates sides, so a seed that happens to get no inflow this
@@ -154,18 +159,13 @@ object RelMore80 {
       // restart mass with it) — the power iteration re-injects the
       // restart unconditionally every step.
       val flow = edgesDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(rk.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst"))
         .agg((lit(0.85) * sum(col("r") / col("deg"))).as("r"))
         .select(col("dst").as("node"), col("r"))
-      // localCheckpoint per round (the bradley-terry/graph-scc lesson):
-      // truncates the 5-deep chained lineage AND hands the next round's
-      // join a known (small) build side, so the rank⋈edges join plans
-      // as broadcast instead of a shuffle of the cached edge list.
-      ranks = flow
+      flow
         .unionAll(s.sql("SELECT 's1' AS node, CAST(0.15 AS DOUBLE) AS r"))
         .groupBy("node").agg(round(sum("r"), 8).as("r"))
-        .localCheckpoint()
     }
     val out = ranks
     out.orderBy(col("r").desc, col("node").asc).limit(15)

@@ -64,10 +64,24 @@ object WindowAudit {
     val busM = sc.getClass.getMethods.find(_.getName == "listenerBus")
       .getOrElse(sys.error("SparkContext.listenerBus accessor not found"))
     val bus = busM.invoke(sc)
-    val waitM = bus.getClass.getMethods
-      .filter(_.getName == "waitUntilEmpty").minBy(_.getParameterCount)
-    if (waitM.getParameterCount == 0) waitM.invoke(bus)
-    else waitM.invoke(bus, java.lang.Long.valueOf(30000L))
+    // Private-API reflection: guard every shape assumption so a Spark
+    // upgrade degrades to a bounded sleep instead of failing the
+    // enforced census spec with an opaque minBy/invoke error (r10
+    // ADVICE). Accepted shapes: waitUntilEmpty() or waitUntilEmpty(long).
+    val candidates = bus.getClass.getMethods.filter(_.getName == "waitUntilEmpty")
+    val usable = candidates.find(_.getParameterCount == 0).orElse(
+      candidates.find(m => m.getParameterCount == 1 &&
+        (m.getParameterTypes()(0) == java.lang.Long.TYPE ||
+          m.getParameterTypes()(0) == classOf[java.lang.Long])))
+    usable match {
+      case Some(m) if m.getParameterCount == 0 => m.invoke(bus)
+      case Some(m) => m.invoke(bus, java.lang.Long.valueOf(30000L))
+      case None =>
+        // Method shape changed — drain by time instead. 2s is far past
+        // the bus's per-event latency at census volume; the EXEC lens
+        // only needs events delivered before the counts are read.
+        Thread.sleep(2000L)
+    }
   }
 
   /** Run the census over `names` (callers pre-filter stream-*). Errors
