@@ -57,6 +57,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "quantize_lattice_long takes exactly 2 arguments")
         QuantizeLatticeLong(exprs.head, exprs(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("hex_slice_long"),
+      new ExpressionInfo(classOf[HexSliceLong].getName, "hex_slice_long"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 3, "hex_slice_long takes exactly 3 arguments")
+        HexSliceLong(exprs.head, exprs(1), exprs(2))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("capped_distinct_list"),
+      new ExpressionInfo(classOf[CappedDistinctList].getName,
+        "capped_distinct_list"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          "capped_distinct_list takes exactly 2 arguments")
+        CappedDistinctList(exprs.head, exprs(1))
+      }))
     // optimizer rule: interpreted aggregate(zip_with(a, b, *), 0d, +)
     // folds become the codegen dot_product expression (see
     // DotProductRewrite) — declarative vector math gets the native loop

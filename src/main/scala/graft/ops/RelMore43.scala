@@ -30,16 +30,11 @@ object RelMore43 {
     * (never corpus²), exactly like dedup-minhash-lsh
     * (TextDedup.scala:64). */
   val dedupBandingCurve: Q = (s, d) => {
-    val shingles = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("sh"))
-    val hashed = shingles.select(col("doc_id"),
-      concat(md5(col("sh")), md5(concat(lit("#"), col("sh")))).as("h"))
-    val minCols = (1 to Seeds).map(j =>
-      min(substring(col("h"), (j - 1) * 5 + 1, 5)).as(s"m$j"))
-    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).sharedCache()
+    // sig via the shared TextDedup builder (r11): hex_slice_long LONG
+    // slots keep the aggregate in HashAggregate (min(STRING) forced a
+    // SortAggregate full sort of the occurrence table) and the three
+    // MinHash front doors can no longer drift apart.
+    val sig = TextDedup.minhashSigFrom(TextDedup.hashedShingles(s, d)).sharedCache()
     val stackArgs = (for ((b, r) <- BandConfigs; j <- 0 until b) yield {
       val slots = (1 to r).map(i => s"m${j * r + i}").mkString(", ")
       f"'$b%02dx$r%02d', $j, md5(concat_ws(',', $slots))"

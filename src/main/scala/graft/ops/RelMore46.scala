@@ -147,9 +147,9 @@ object RelMore46 {
         explode(expr("transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("sh"))
     val hashed = shingles.select(col("doc_id"),
       concat(md5(col("sh")), md5(concat(lit("#"), col("sh")))).as("h"))
-    val minCols = (1 to Seeds).map(j =>
-      min(substring(col("h"), (j - 1) * 5 + 1, 5)).as(s"m$j"))
-    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).sharedCache()
+    // shared LONG-slot signature builder (r11, see TextDedup.minhashSigFrom):
+    // same slot selection/equality, HashAggregate instead of SortAggregate
+    val sig = TextDedup.minhashSigFrom(hashed).sharedCache()
     val stackArgs = (0 until Seeds / 3).map { b =>
       s"$b, md5(concat_ws(',', m${3 * b + 1}, m${3 * b + 2}, m${3 * b + 3}))"
     }.mkString(", ")

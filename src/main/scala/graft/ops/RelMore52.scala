@@ -100,21 +100,17 @@ object RelMore52 {
     * (volume/precision sweep). */
   val dedupEvalPrf: Q = (s, d) => {
     val Seeds = 12
-    val shingles = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("sh"))
-    val hashed = shingles.select(col("doc_id"),
-      concat(md5(col("sh")), md5(concat(lit("#"), col("sh")))).as("h")).sharedCache()
+    // ONE signature builder, shared with dedup-minhash-lsh /
+    // dedup-minhash-estimate (TextDedup.hashedShingles →
+    // minhashSigFrom → bandStackExpr; r10 verdict item 2) — the two
+    // ops can no longer drift apart. The (doc,h) table is NOT
+    // persisted: its only consumer is the signature aggregate, so the
+    // scan→explode→md5 pipeline fuses straight into the partial mins
+    // (persisting 64-hex strings per occurrence cost ~1 s of
+    // materialize+rescan at sf0.1 for nothing).
     // predicted: LSH candidates with signature estimate >= 6/12
-    val minCols = (1 to Seeds).map(j =>
-      min(substring(col("h"), (j - 1) * 5 + 1, 5)).as(s"m$j"))
-    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).sharedCache()
-    val stackArgs = (0 until Seeds / 3).map { b =>
-      s"$b, md5(concat_ws(',', m${3 * b + 1}, m${3 * b + 2}, m${3 * b + 3}))"
-    }.mkString(", ")
-    val bands = sig.selectExpr("doc_id", s"stack(${Seeds / 3}, $stackArgs) AS (band, bk)")
+    val sig = TextDedup.minhashSigFrom(TextDedup.hashedShingles(s, d)).sharedCache()
+    val bands = sig.selectExpr("doc_id", TextDedup.bandStackExpr)
     val matchExpr = (1 to Seeds).map(j => s"IF(a.m$j = b.m$j, 1, 0)").mkString(" + ")
     val pred = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bk")), Seq("band", "bk"))
@@ -137,24 +133,31 @@ object RelMore52 {
     // only if its similarity rides on shingles that >MaxDf docs share,
     // which is boilerplate, not near-duplication.
     val MaxDf = 50
-    val dshAll = hashed.select(col("doc_id"), substring(col("h"), 1, 16).as("k"))
-      .distinct().sharedCache()
-    // df-cap via a BROADCAST ANTI join on the HOT keys only (r10, third
-    // shape for this cut): the set of shingles with df > MaxDf is tiny
-    // by construction (boilerplate), so the cap costs one map-combined
-    // groupBy to find them plus a broadcast anti probe — no WindowExec
-    // sort of the full inverted index (the r9 window form), no wide
-    // df-table join (the r8 form). At any corpus size the broadcast
-    // side stays |hot keys|, which the cap itself bounds to the
-    // boilerplate vocabulary.
-    val hotKeys = dshAll.groupBy("k").agg(count(lit(1)).as("kdf"))
-      .filter(col("kdf") > MaxDf).select("k")
-    val dsh = dshAll.join(broadcast(hotKeys), Seq("k"), "left_anti")
-      .select("doc_id", "k").sharedCache()
-    val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val truth = dsh.select(col("doc_id").as("doc_a"), col("k"))
-      .join(dsh.select(col("doc_id").as("doc_b"), col("k")), Seq("k"))
-      .filter(col("doc_a") < col("doc_b"))
+    // Truth-side inverted index in ONE shuffle (r11, fourth shape
+    // after the r8 wide-df-join / r9 window / r10 distinct+anti
+    // forms): capped_distinct_list (native TypedImperativeAggregate,
+    // functions/CappedDistinctList.scala) builds each shingle's SORTED
+    // DOC ARRAY with aggregation state hard-bounded at MaxDf+1
+    // elements — a key shared by more than MaxDf docs returns NULL and
+    // is dropped, which IS the stop-shingle cut, with no separate
+    // count-distinct pass, no broadcast-anti probe, no pre-distinct,
+    // no persist of the 260k-row index. Truth pairs then explode from
+    // each array in place — the two-sided inverted-index SELF-JOIN is
+    // gone too — shuffling Σ C(min(df,MaxDf),2) ≤ 1225-per-key pair
+    // rows downstream. Bounded by construction at any corpus size: a
+    // boilerplate shingle in 10⁹ docs costs O(MaxDf) state, and pair
+    // fan-out is capped per key by the NULL cut.
+    val byK = TextDedup.shingleKOcc(s, d)
+      .groupBy("k").agg(expr(s"capped_distinct_list(doc_id, $MaxDf)").as("docs"))
+      .filter(col("docs").isNotNull)
+      .sharedCache()
+    val sizes = byK.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val kPairs = byK.select(explode(expr(
+      "flatten(transform(docs, (x, i) -> " +
+        "transform(slice(docs, i + 2, size(docs)), y -> struct(x AS doc_a, y AS doc_b))))"
+    )).as("p")).select(col("p.doc_a"), col("p.doc_b"))
+    val truth = kPairs
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), Seq("doc_b"))

@@ -131,25 +131,21 @@ object RelMore65 {
     * rows at any corpus size. */
   val dedupBbitMinhash: Q = (s, d) => {
     val Seeds = 12
-    val shingles = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("sh"))
-    val hashed = shingles.select(col("doc_id"),
-      concat(md5(col("sh")), md5(concat(lit("#"), col("sh")))).as("h"))
-    val minCols = (1 to Seeds).map(j =>
-      min(substring(col("h"), (j - 1) * 5 + 1, 5)).as(s"m$j"))
-    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).sharedCache()
+    // sig via the shared TextDedup builder (r11): hex_slice_long LONG
+    // slots keep the aggregate in HashAggregate (min(STRING) forced a
+    // SortAggregate full sort of the occurrence table) and the three
+    // MinHash front doors can no longer drift apart.
+    val sig = TextDedup.minhashSigFrom(TextDedup.hashedShingles(s, d)).sharedCache()
     val stackArgs = (0 until Seeds / 3).map { b =>
       s"$b, md5(concat_ws(',', m${3 * b + 1}, m${3 * b + 2}, m${3 * b + 3}))"
     }.mkString(", ")
     val bands = sig.selectExpr("doc_id", s"stack(${Seeds / 3}, $stackArgs) AS (band, bk)")
     val slotAgree = (1 to Seeds).map(j => s"IF(a.m$j = b.m$j, 1, 0)").mkString(" + ")
-    // b=1: parity of the slot's last hex digit
+    // b=1: parity of the slot's last hex digit — with LONG slots (the
+    // r11 hex_slice_long signature) that is simply the value's low
+    // bit, same parity classes as the old hex-char instr() form
     val bitAgree = (1 to Seeds).map(j =>
-      s"IF((instr('0123456789abcdef', substring(a.m$j, 5, 1)) - 1) % 2 = " +
-        s"(instr('0123456789abcdef', substring(b.m$j, 5, 1)) - 1) % 2, 1, 0)").mkString(" + ")
+      s"IF(a.m$j % 2 = b.m$j % 2, 1, 0)").mkString(" + ")
     bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bk")), Seq("band", "bk"))
       .filter(col("doc_a") < col("doc_b"))

@@ -79,19 +79,57 @@ object TextDedup {
     * signature table is persisted — it feeds 4 band projections and the
     * downstream join(s); without it the whole shingle+digest pipeline
     * re-executes 8×. */
-  private def minhashBands(s: SparkSession, d: String): DataFrame = {
-    val hashed = shingles(s, d).select(col("doc_id"),
+  /** The (doc_id, h) two-digest table every MinHash consumer starts
+    * from: h = md5(sh) ∥ md5('#'+sh), 64 hex chars, sliced into the 12
+    * per-seed hash functions. Shared by minhashBands AND RelMore52's
+    * dedup-eval-prf (r10 verdict item 2: ONE signature builder, not
+    * two textually-identical pipelines that must be kept in sync). */
+  private[ops] def hashedShingles(s: SparkSession, d: String): DataFrame =
+    shingles(s, d).select(col("doc_id"),
       concat(md5(col("sh")), md5(concat(lit("#"), col("sh")))).as("h"))
+
+  /** Shingle-key occurrences (doc_id, k): k = first 16 hex of md5(sh),
+    * the inverted-index key the exact-Jaccard consumers use. NOT
+    * deduplicated — feed it to a distinct-style aggregate (the
+    * consumers' groupBys all dedupe on the way through). */
+  private[ops] def shingleKOcc(s: SparkSession, d: String): DataFrame =
+    shingles(s, d).select(col("doc_id"), substring(md5(col("sh")), 1, 16).as("k"))
+
+  /** 12-slot MinHash signature from a (doc_id, h) table — the single
+    * groupBy with 12 min() slice columns (one shuffle of |docs|×12
+    * long partial mins; min() is duplicate-insensitive, so callers
+    * may feed occurrences or a deduped table interchangeably). NOT
+    * persisted: the caller owns the cache decision.
+    *
+    * The slots are LONGs via hex_slice_long (graft native expression),
+    * not 5-char substrings: the hex parse is order-preserving and
+    * injective, so each slot's min selects the same shingle and slot
+    * equality (bands, match counts) is untouched — but the 12 min
+    * buffers become fixed-width, which keeps the aggregate in
+    * HashAggregate instead of the SortAggregate that min(STRING)
+    * forces (a full sort of the occurrence table — measured as the
+    * slowest stage of the MinHash family at sf0.1, ~1.1 s of the
+    * dedup-eval-prf budget). */
+  private[ops] def minhashSigFrom(hashed: DataFrame): DataFrame = {
     val minCols = (1 to Seeds).map(j =>
-      min(substring(col("h"), (j - 1) * 5 + 1, 5)).as(s"m$j"))
-    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).sharedCache()
-    // one stack() generator emits all bands in a single pass over the
-    // cached signature — a 4-way union would scan the cache once per
-    // band and carry 4 branch plans through every consumer's codegen
+      min(expr(s"hex_slice_long(h, ${(j - 1) * 5 + 1}, 5)")).as(s"m$j"))
+    hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** One stack() generator emitting all LSH band keys in a single pass
+    * over the signature — a 4-way union would scan the sig cache once
+    * per band and carry 4 branch plans through every consumer's
+    * codegen. Shared with RelMore52. */
+  private[ops] def bandStackExpr: String = {
     val stackArgs = (0 until Seeds / BandSize).map { b =>
       s"$b, md5(concat_ws(',', m${BandSize * b + 1}, m${BandSize * b + 2}, m${BandSize * b + 3}))"
     }.mkString(", ")
-    sig.selectExpr("doc_id", s"stack(${Seeds / BandSize}, $stackArgs) AS (band, bk)")
+    s"stack(${Seeds / BandSize}, $stackArgs) AS (band, bk)"
+  }
+
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSigFrom(hashedShingles(s, d)).sharedCache()
+    sig.selectExpr("doc_id", bandStackExpr)
   }
 
   /** The same band table as a SQL CTE chain (through `bands`). */
@@ -148,18 +186,12 @@ object TextDedup {
     * corpus. Exact side runs only over candidate pairs (inverted-index
     * join restricted by the pair table), never corpus². */
   val dedupMinhashEstimate: Q = (s, d) => {
-    val hashed = shingles(s, d).select(col("doc_id"),
-      concat(md5(col("sh")), md5(concat(lit("#"), col("sh")))).as("h"))
-    val minCols = (1 to Seeds).map(j =>
-      min(substring(col("h"), (j - 1) * 5 + 1, 5)).as(s"m$j"))
-    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).sharedCache()
-    // bands/pairs from THIS sig (not minhashPairs(), which would build
-    // and persist a second identical signature pipeline — the shingle
-    // scan is the dominant cost and must run once)
-    val stackArgs = (0 until Seeds / BandSize).map { b =>
-      s"$b, md5(concat_ws(',', m${BandSize * b + 1}, m${BandSize * b + 2}, m${BandSize * b + 3}))"
-    }.mkString(", ")
-    val bands = sig.selectExpr("doc_id", s"stack(${Seeds / BandSize}, $stackArgs) AS (band, bk)")
+    // bands/pairs from ONE shared-builder sig (not minhashPairs(),
+    // which would build and persist a second identical signature
+    // pipeline — the shingle scan is the dominant cost and must run
+    // once)
+    val sig = minhashSigFrom(hashedShingles(s, d)).sharedCache()
+    val bands = sig.selectExpr("doc_id", bandStackExpr)
     val pairs = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bk")), Seq("band", "bk"))
       .filter(col("doc_a") < col("doc_b"))
