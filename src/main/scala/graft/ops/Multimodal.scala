@@ -161,13 +161,136 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Real PNG / JPEG container bytes for doc `id` — the mm-decode-header
+    * fixture writer. These are genuine, spec-conformant headers (PNG
+    * signature + IHDR with a correct CRC32 + IEND; JPEG SOI + JFIF APP0
+    * + SOF0 component table + EOI), not hash-derived fakes: the decode
+    * op must find width/height at the offsets the container formats
+    * define. Dimensions derive from doc_id so the oracle can state the
+    * expected values independently of the parser under test. */
+  private[ops] def headerWidth(id: Long): Int = 320 + (id % 13).toInt * 8
+  private[ops] def headerHeight(id: Long): Int = 240 + (id % 7).toInt * 16
+  private[ops] def mediaBytes(id: Long): Array[Byte] = {
+    val w = headerWidth(id)
+    val h = headerHeight(id)
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    if ((id / 25) % 2 == 0) {
+      // PNG: 8-byte signature, IHDR chunk (13-byte payload, real CRC32
+      // over type+payload), empty IEND chunk — 45 bytes total
+      out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def chunk(ctype: String, payload: Array[Byte]): Unit = {
+        out.write(be32(payload.length.toLong))
+        val body = ctype.getBytes("US-ASCII") ++ payload
+        out.write(body)
+        val crc = new java.util.zip.CRC32()
+        crc.update(body)
+        out.write(be32(crc.getValue))
+      }
+      chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++
+        Array[Byte](8, 2, 0, 0, 0)) // bit depth 8, truecolor, no interlace
+      chunk("IEND", Array.emptyByteArray)
+    } else {
+      // JPEG: SOI, JFIF APP0 (16-byte segment), SOF0 (baseline, 3
+      // components), EOI — 41 bytes total
+      out.write(Array(0xff, 0xd8).map(_.toByte))
+      out.write(Array(0xff, 0xe0).map(_.toByte))
+      out.write(be16(16))
+      out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+      out.write(Array[Byte](1, 2, 0)) // version 1.2, aspect-ratio units
+      out.write(be16(1)); out.write(be16(1)) // density 1x1
+      out.write(Array[Byte](0, 0)) // no thumbnail
+      out.write(Array(0xff, 0xc0).map(_.toByte))
+      out.write(be16(17)) // segment length: 2 + 1 + 2 + 2 + 1 + 3*3
+      out.write(8) // precision
+      out.write(be16(h)); out.write(be16(w)) // SOF stores HEIGHT first
+      out.write(3) // components: Y (2x2 subsampled), Cb, Cr
+      out.write(Array[Byte](1, 0x22, 0)); out.write(Array[Byte](2, 0x11, 1))
+      out.write(Array[Byte](3, 0x11, 1))
+      out.write(Array(0xff, 0xd9).map(_.toByte))
+    }
+    out.toByteArray
+  }
+
+  /** mm-decode-header — image header decode from REAL bytes (r10
+    * verdict item 6, the stub upgrade): every 25th document is staged
+    * as a genuine PNG or JPEG file (spec-conformant signatures, IHDR
+    * with valid CRC, JFIF APP0 + SOF0), read back through the
+    * binaryFile source, and width/height/format are parsed FROM THE
+    * CONTAINER BYTES with pure built-ins — lower(hex(content)) then
+    * fixed-offset slices for PNG's IHDR (bytes 17-24) and a marker
+    * SCAN for JPEG's SOF0 (instr for 'ffc0', which moves with the APP0
+    * segment), hex_slice_long turning each field into an INT. Format
+    * is detected from the magic bytes, never from the filename. The
+    * oracle states the expected dimensions from the generator formula,
+    * so a parser that misreads any offset fails the compare. The
+    * mm-decode-stub key stays: it models the synthetic-corpus path
+    * where payloads are not containers. Scale shape: one row per file
+    * from binaryFile (small-file pressure documented at
+    * src-binaryfile), decode is a narrow per-row projection — no
+    * shuffle until the final order. */
+  val mmDecodeHeader: Q = (s, d) => {
+    val dir = new java.io.File(tmp("mm-decode-header", d))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    val dirPath = dir.getAbsolutePath
+    // executor-side staging, one genuine container file per sampled doc
+    documents(s, d).filter(col("doc_id") % 25 === 0).select(col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val id = r.getLong(0)
+          java.nio.file.Files.write(
+            new java.io.File(dirPath, f"img_$id%06d.img").toPath, mediaBytes(id))
+        }
+      }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.img")
+      .load(dirPath)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.img$", 1).cast(LongType).as("doc_id"),
+        col("length").as("n_bytes"),
+        lower(hex(col("content"))).as("hx"))
+      .withColumn("format",
+        when(substring(col("hx"), 1, 16) === "89504e470d0a1a0a", "png")
+          .when(substring(col("hx"), 1, 4) === "ffd8", "jpeg")
+          .otherwise("unknown"))
+      .withColumn("sof", expr("instr(hx, 'ffc0')"))
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        when(col("format") === "png",
+          expr("hex_slice_long(hx, 33, 8)")) // IHDR width: bytes 17-20
+          .when(col("format") === "jpeg",
+            expr("hex_slice_long(hx, sof + 14, 4)")) // SOF0: len,prec,H, then W
+          .cast(IntegerType).as("width"),
+        when(col("format") === "png",
+          expr("hex_slice_long(hx, 41, 8)")) // IHDR height: bytes 21-24
+          .when(col("format") === "jpeg",
+            expr("hex_slice_long(hx, sof + 10, 4)"))
+          .cast(IntegerType).as("height"))
+      .orderBy("doc_id")
+  }
+
+  val mmDecodeHeaderSql: String =
+    """SELECT doc_id,
+      |       CASE WHEN (doc_id // 25) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |       CAST(CASE WHEN (doc_id // 25) % 2 = 0 THEN 45 ELSE 41 END AS BIGINT) AS n_bytes,
+      |       CAST(320 + (doc_id % 13) * 8 AS INT) AS width,
+      |       CAST(240 + (doc_id % 7) * 16 AS INT) AS height
+      |FROM documents
+      |WHERE doc_id % 25 = 0
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm-decode-header" -> mmDecodeHeader,
     "mm-decode-stub" -> mmDecodeStub,
     "mm-frame-sample" -> mmFrameSample,
     "mm-resize-stub" -> mmResizeStub,
     "mm-feature-extract" -> mmFeatureExtract)
 
   val oracles: Map[String, String] = Map(
+    "mm-decode-header" -> mmDecodeHeaderSql,
     "mm-decode-stub" -> mmDecodeStubSql,
     "mm-frame-sample" -> mmFrameSampleSql,
     "mm-resize-stub" -> mmResizeStubSql,
