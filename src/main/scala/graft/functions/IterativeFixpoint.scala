@@ -56,11 +56,31 @@ import org.apache.spark.sql.execution.LogicalRDD
   *    result inside any conf scope (sharedCache + count — see
   *    Tables.withShufflePartitions).
   *
-  * On a real cluster, [[eager]]'s localCheckpoint becomes
-  * `checkpoint(reliableDir)` for fault tolerance at the same call
-  * sites — executor-local checkpoint blocks die with the executor.
+  * On a real cluster, [[eager]]'s localCheckpoint becomes a RELIABLE
+  * checkpoint for fault tolerance at the same call sites —
+  * executor-local checkpoint blocks die with the executor. That switch
+  * is a CONF, not a code change: set
+  * `spark.graft.reliableCheckpoints=true` and a SparkContext
+  * checkpoint dir (HDFS/object storage in production), and every
+  * round's state goes through `Dataset.checkpoint()` instead —
+  * same truncation, same release lifecycle, blocks survive executor
+  * loss (ReliableCheckpointSpec proves result-identity and lineage
+  * truncation on both paths). Checkpoint FILES of released rounds are
+  * reclaimed by the ContextCleaner when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`; otherwise
+  * they age out with the checkpoint dir's retention.
   */
 object IterativeFixpoint {
+
+  /** Round snapshot: reliable checkpoint when the engine is configured
+    * for it (conf flag + a checkpoint dir), executor-local otherwise. */
+  private def snap(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val reliable =
+      s.conf.getOption("spark.graft.reliableCheckpoints").contains("true") &&
+        s.sparkContext.getCheckpointDir.isDefined
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+  }
 
   /** Per-round eagerly-checkpointed iteration. `step(state, r)` for
     * r = 1..rounds; `state` passed to the first step is `init`
@@ -68,7 +88,7 @@ object IterativeFixpoint {
     * (materialized; storage of all earlier rounds already released). */
   def eager(init: DataFrame, rounds: Int)
            (step: (DataFrame, Int) => DataFrame): DataFrame = {
-    var state = init.localCheckpoint()
+    var state = snap(init)
     var planNodes = -1
     for (r <- 1 to rounds) {
       val built = step(state, r)
@@ -77,7 +97,7 @@ object IterativeFixpoint {
       else require(n == planNodes,
         s"IterativeFixpoint: step plan grew from $planNodes to $n nodes at " +
           s"round $r — state is leaking un-truncated lineage between rounds")
-      val next = built.localCheckpoint()
+      val next = snap(built)
       releaseCheckpoint(state)
       state = next
     }
@@ -91,11 +111,11 @@ object IterativeFixpoint {
   def eagerUntil(init: DataFrame, maxRounds: Int)
                 (step: (DataFrame, Int) => DataFrame)
                 (stop: (DataFrame, DataFrame, Int) => Boolean): DataFrame = {
-    var state = init.localCheckpoint()
+    var state = snap(init)
     var r = 1
     var done = false
     while (!done && r <= maxRounds) {
-      val next = step(state, r).localCheckpoint()
+      val next = snap(step(state, r))
       done = stop(state, next, r)
       releaseCheckpoint(state)
       state = next

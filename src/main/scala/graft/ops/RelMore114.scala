@@ -163,9 +163,12 @@ object RelMore114 {
     val daily = orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
       .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("v"))
-    val wd = Window.orderBy("dt")
-    val dd = daily
-      .withColumn("peak", max("v").over(wd))
+    // running peak via PrefixScan.withRunningMax (r11): the DATE axis
+    // grows with the observation window, so the unpartitioned max()
+    // OVER window's single-task sort becomes the distributed two-pass
+    // prefix max — bit-identical (max is associative + order-free)
+    val dd = graft.functions.PrefixScan
+      .withRunningMax(daily, Seq(col("dt")), "v", "peak", inclusive = true).df
       .select(floor((col("peak") - col("v")).cast(DoubleType) * lit(1e6) /
         col("peak")).cast(LongType).as("ddq"))
     dd.agg(count(lit(1)).as("n"),

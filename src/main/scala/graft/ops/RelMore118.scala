@@ -237,6 +237,10 @@ object RelMore118 {
     // windows below run over ≤150 already-limited rows.
     val top150 = o.orderBy(col("dt"), col("o_orderkey")).limit(150)
       .withColumn("rn", row_number().over(wAll)).sharedCache()
+    // single-stage cache fills: broadcast(last) and the main page jobs
+    // otherwise race to first-materialize o/top150 blocks
+    // ("Block rdd_N already exists" — see RelMore42)
+    o.count(); top150.count()
     val offsetPage = top150.filter(col("rn") > 100 && col("rn") <= 150)
       .select(col("rn"), col("o_orderkey").as("k_offset"), col("dt").as("dt_offset"))
     val last = top150.filter(col("rn") === 100)

@@ -240,6 +240,10 @@ object RelMore139 {
       .select(col("label"), col("dim"),
         floor(col("x").cast(DoubleType) * lit(1e6)).cast(LongType).as("xq"))
       .sharedCache()
+    // single-stage cache fill: ranges' broadcast job and the bucketed
+    // main job otherwise race to first-materialize the same blocks
+    // ("Block rdd_N already exists" — see RelMore42)
+    comps.count()
     val ranges = comps.groupBy("dim").agg(min("xq").as("mn"), max("xq").as("mx"))
     val bucketed = comps.join(broadcast(ranges), Seq("dim"))
       .select(col("label"), col("dim"),

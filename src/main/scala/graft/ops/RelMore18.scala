@@ -207,9 +207,15 @@ object RelMore18 {
       .groupBy("user_id")
       .agg(min(date_format(col("ts"), "yyyy-MM-dd HH")).as("h"))
     val hourly = firstHour.groupBy("h").agg(count(lit(1)).as("new_users"))
-    val w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hourly
-      .withColumn("cum_users", sum("new_users").over(w))
+    // running total via PrefixScan (r11): the hour axis grows with the
+    // observation window, so the old unpartitioned sum() OVER window —
+    // a single-task global sort — is replaced by the distributed
+    // two-pass rank/cumsum (range exchange + per-partition offsets),
+    // bit-identical to the window form at any partition count
+    graft.functions.PrefixScan
+      .withRankCumSum(hourly, Seq(col("h")), Some("new_users"),
+        rankName = "rn_", cumName = "cum_users").df
+      .select(col("h"), col("new_users"), col("cum_users"))
       .orderBy("h")
   }
 

@@ -31,6 +31,15 @@ object RelMore42 {
       .select(col("vec_id"), col("k"),
         floor(col("x").cast(DoubleType) * lit(1000.0) + lit(0.5)).cast(LongType).as("mq"))
       .sharedCache() // 2 scans/round x 3 rounds share one materialization
+    // Materialize the cache in ONE stage before the loop: round 1's
+    // plan scans m in two INDEPENDENT stages (the s and u branches)
+    // that launch concurrently; over a cold cache both compute the
+    // same partitions and race to put the same blocks — the loser logs
+    // "Block rdd_N already exists; not re-adding it" and the partition
+    // was computed twice (the r10 bench-tail WARN, run to ground in
+    // r11). One count() populates the blocks once; the branches then
+    // only read.
+    m.count()
     val v0 = s.range(64)
       .select(col("id").cast(IntegerType).as("k"), lit(1000000L).as("vq"))
     // IterativeFixpoint.eager: v nests inside a broadcast subtree each

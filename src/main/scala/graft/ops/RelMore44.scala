@@ -31,6 +31,11 @@ object RelMore44 {
       .select(col("vec_id"), col("k"),
         floor(col("x").cast(DoubleType) * lit(1000.0) + lit(0.5)).cast(LongType).as("mq"))
       .sharedCache()
+    // single-stage cache fill before the loop: each round scans m from
+    // two concurrent stages (msel + dmin) — over a cold cache they race
+    // to put the same blocks and one partition computes twice (the
+    // "Block rdd_N already exists" WARN; see RelMore42)
+    m.count()
     val sel0 = s.range(1).select(
       lit(1L).as("sel_rank"), lit(0L).as("vec_id"), lit(0L).as("dmin_sq"))
     // IterativeFixpoint.eager: the step reads `sel` twice (selected-set

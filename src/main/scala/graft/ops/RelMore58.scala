@@ -110,15 +110,24 @@ object RelMore58 {
     val tot = daily.agg(count(lit(1)).as("n"), sum(col("rev_cents")).as("srev"))
     val cent = daily.crossJoin(broadcast(tot))
       .select(col("day"), (col("rev_cents") * col("n") - col("srev")).as("c"))
-    val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cent.withColumn("cum", sum(col("c")).over(wCum))
-      .withColumn("runmax", max(col("cum")).over(wCum))
+    // cumulative curve + running peak via PrefixScan (r11): two
+    // distributed prefix passes (cumsum, then runmax OF the cumsum —
+    // a genuine sequential dependency, so it is a second scan by
+    // construction) replace the unpartitioned windows' single-task
+    // global sorts; the top-5 rank is stamped by a third PrefixScan
+    // over the ≤5-row post-limit frame instead of a row_number window
+    val cum = graft.functions.PrefixScan
+      .withRankCumSum(cent, Seq(col("day")), Some("c"),
+        rankName = "rn_", cumName = "cum").df
+    val top = graft.functions.PrefixScan
+      .withRunningMax(cum, Seq(col("day")), "cum", "runmax", inclusive = true).df
       .withColumn("dd_scaled", col("runmax") - col("cum"))
       .orderBy(col("dd_scaled").desc, col("day").asc)
       .limit(5)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("dd_scaled").desc, col("day").asc)).cast(IntegerType))
-      .select(col("rk"), col("day"), col("dd_scaled"))
+    graft.functions.PrefixScan
+      .withRankCumSum(top, Seq(col("dd_scaled").desc, col("day").asc), None,
+        rankName = "rk_").df
+      .select(col("rk_").cast(IntegerType).as("rk"), col("day"), col("dd_scaled"))
       .orderBy("rk")
   }
 

@@ -173,6 +173,10 @@ object RelMore89 {
       .orderBy(col("cents").desc, col("o_orderkey").asc)
       .limit(HillK)
       .sharedCache()
+    // single-stage cache fill: xk's broadcast job and the main terms
+    // job otherwise race to first-materialize the same blocks
+    // ("Block rdd_N already exists" — see RelMore42)
+    top.count()
     val xk = top.agg(min("cents").as("xk"))
     // top k−1 by the same total order — drops exactly the k-th row;
     // ties at x_k inside the kept set contribute ln(1) = 0, the

@@ -224,8 +224,11 @@ object RelMore95 {
       .groupBy(to_date(col("o_orderdate")).as("dt"))
       .agg(sum(floor(col("o_totalprice") * 100).cast(DecimalType(38, 0)))
         .cast(LongType).as("y"))
-    val w = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, -1)
-    daily.withColumn("prior_max", max("y").over(w))
+    // prior peak via PrefixScan.withRunningMax EXCLUSIVE (r11): same
+    // semantics as max() OVER (ROWS ... AND 1 PRECEDING) — NULL for
+    // the first day — without the unpartitioned window's global sort
+    graft.functions.PrefixScan
+      .withRunningMax(daily, Seq(col("dt")), "y", "prior_max", inclusive = false).df
       .withColumn("is_record",
         (col("prior_max").isNull || col("y") > col("prior_max")).cast(IntegerType))
       .groupBy(year(col("dt")).as("yr"))

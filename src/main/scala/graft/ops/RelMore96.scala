@@ -151,8 +151,12 @@ object RelMore96 {
       .select(col("dt"), lit(0L).as("delta"))
     val daily = deltas.unionByName(dense)
       .groupBy("dt").agg(sum("delta").as("net"))
-    val w = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, 0)
-    val bal = daily.withColumn("balance", sum("net").over(w))
+    // balance = running sum over the dense DATE axis — grows with the
+    // observation window, so PrefixScan (two-pass distributed cumsum)
+    // replaces the unpartitioned window's single-task global sort (r11)
+    val bal = graft.functions.PrefixScan
+      .withRankCumSum(daily, Seq(col("dt")), Some("net"),
+        rankName = "rn_", cumName = "balance").df
     bal.groupBy(year(col("dt")).as("yr"), month(col("dt")).as("mo"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("balance").cast(DecimalType(38, 0))).as("balsum"),

@@ -27,20 +27,36 @@ import graft.tools.WindowAudit
   */
 class UnpartitionedWindowCensusSpec extends SparkTestBase {
 
-  /** Keys justified as bounded-frame per the round-10 adjudication
-    * (125 = round 9's 126 census minus layout-overlap-depth, fixed).
-    * Families: agg-* fold month/quarter/decile/designed-grid frames;
-    * dq- and win- run over date-grain series (bounded by the calendar,
-    * not the corpus); text-, emb- and sample- rank value-domain
-    * histograms or post-limit lists; the rest are ≤k-row report
-    * frames. */
+  /** Keys justified as bounded-frame per the round-10/11 adjudication
+    * (120 = round 10's 125 minus the five r11 PrefixScan ports:
+    * win-drawdown, win-ulcer-index, win-record-highs [runmax via
+    * withRunningMax], win-open-balance, agg-cumulative-uniques
+    * [cumsum via withRankCumSum] — those windowed the growing DATE
+    * axis, the largest frames on the list).
+    *
+    * Remaining families, with the numeric frame bound at sf1 (frames
+    * scale with the CALENDAR or a designed constant, not the corpus):
+    *  - month/quarter grain (agg-dow-seasonality, agg-dtw-monthly,
+    *    win-holt-brown, …): ≤ 84 rows (7 years × 12 months);
+    *  - date grain over a fixed lookback or test series (dq-ks-drift,
+    *    dq-page-hinkley, win-rsi, win-rolling-*, …): ≤ 2,406 rows
+    *    (the full TPC-H calendar) — kept windowed because each needs
+    *    lag/rolling frames PrefixScan doesn't model; the single-task
+    *    sort of ≤2.4k rows is O(ms) at any corpus size;
+    *  - designed grids / deciles / k-row reports (agg-decile-report
+    *    10, agg-box-cox-grid 11, agg-skyline-2d post-limit ≤100,
+    *    agg-topk-merge k=10, …): ≤ designed k ≤ ~100;
+    *  - value-domain histograms (text-zipf-fit top-200 vocab,
+    *    dq-binning-advisor 32 bins, ann-cell-balance |cells|=4096,
+    *    emb-pq-usage 256 codes, …): bounded by the declared domain,
+    *    stated in each op's scaladoc. */
   private val allowlist: Set[String] = Set(
     "agg-adstock-fit", "agg-almon-lag", "agg-arch-lm-test", "agg-auc-exact",
     "agg-bass-diffusion", "agg-bcg-matrix", "agg-box-cox-grid",
     "agg-calmar-ratio", "agg-capm-beta", "agg-capture-ratios",
     "agg-champion-regret", "agg-changepoint-cusum", "agg-cointegration",
     "agg-conformal-interval", "agg-cornish-fisher-var",
-    "agg-cumulative-uniques", "agg-cusum-changepoint", "agg-decile-report",
+    "agg-cusum-changepoint", "agg-decile-report",
     "agg-dft-weekly-power", "agg-dhondt-apportion", "agg-dickey-fuller",
     "agg-diebold-mariano", "agg-directional-accuracy", "agg-dow-seasonality",
     "agg-dtw-monthly", "agg-erlang-c-staffing", "agg-extremal-index",
@@ -71,13 +87,11 @@ class UnpartitionedWindowCensusSpec extends SparkTestBase {
     "sample-curriculum-schedule", "sample-psis-khat",
     "sample-weighted-alloc", "sql-keyset-pagination", "text-ndcg-eval",
     "text-oov-coverage", "text-truncation-loss", "text-vocab-stats",
-    "text-zipf-fit", "win-amihud-illiq", "win-binseg-split", "win-drawdown",
-    "win-hampel-filter", "win-holt-brown", "win-kaufman-er",
-    "win-level-shift", "win-open-balance", "win-peak-detect",
-    "win-record-highs", "win-rolling-corr", "win-rolling-skew",
+    "text-zipf-fit", "win-amihud-illiq", "win-binseg-split",     "win-hampel-filter", "win-holt-brown", "win-kaufman-er",
+    "win-level-shift", "win-peak-detect",
+     "win-rolling-corr", "win-rolling-skew",
     "win-rolling-zscore", "win-rsi", "win-rsi-indicator",
-    "win-seasonal-decompose", "win-sweepline-concurrency", "win-theil-sen",
-    "win-ulcer-index")
+    "win-seasonal-decompose", "win-sweepline-concurrency", "win-theil-sen")
 
   test("unpartitioned-window census matches the justified allowlist exactly") {
     val names = WindowAudit.auditNames()
