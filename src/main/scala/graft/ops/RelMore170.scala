@@ -28,21 +28,35 @@ object RelMore170 {
     * FPP, 16 ≈ 0.05%, and the curve makes the bits→scan-savings
     * trade explicit. Set + probe tables are n·k rows, never m. */
   val layoutBloomFppCurve: Q = (s, d) => {
-    val keys = orders(s, d).select(col("o_orderkey").as("key")).distinct()
+    // r11 hash family: slice-one-strong-hash (the MinHash trick). The
+    // old form paid one md5 + one interpreted conv() PER (key, hash,
+    // config) — 28 digests per key across the ladder. Now each key is
+    // digested exactly 3× (96 hex chars = 12 independent 32-bit
+    // slices, enough for k ≤ 11) into ONE cached table all four
+    // configs slice via hex_slice_long (codegen). Same for the probe
+    // side. Measured FPP still tracks the model — the columns are the
+    // proof the slice family is bloom-grade.
+    def digested(df: DataFrame): DataFrame =
+      df.select(col("key"), concat(
+        md5(concat(col("key").cast(StringType), lit(":0"))),
+        md5(concat(col("key").cast(StringType), lit(":1"))),
+        md5(concat(col("key").cast(StringType), lit(":2")))).as("h"))
+    val hk = digested(orders(s, d).select(col("o_orderkey").as("key")).distinct())
       .sharedCache()
-    val n = keys.count()
+    // single-stage cache fills: the four config branches of the final
+    // union otherwise race to first-materialize these blocks
+    val n = hk.count()
     val nProbes = 20000L
-    def hashPos(keyExpr: String, m: Long, k: Int): org.apache.spark.sql.Column =
+    val ph = digested(s.range(1, nProbes + 1).select((-col("id")).as("key")))
+      .sharedCache()
+    ph.count()
+    def posCol(m: Long, k: Int): org.apache.spark.sql.Column =
       expr(s"transform(sequence(0, ${k - 1}), i -> " +
-        s"CAST(conv(substring(md5(CAST($keyExpr AS STRING) || ':' || i), 1, 8), 16, 10) " +
-        s"AS BIGINT) % ${m}L)")
+        s"hex_slice_long(h, i * 8 + 1, 8) % ${m}L)")
     val perConfig = configs.map { case (b, k) =>
       val m = n * b
-      val bits = keys.select(explode(hashPos("key", m, k)).as("pos")).distinct()
-        .sharedCache()
-      val probes = s.range(1, nProbes + 1)
-        .select((-col("id")).as("key"))
-        .select(col("key"), explode(hashPos("key", m, k)).as("pos"))
+      val bits = hk.select(explode(posCol(m, k)).as("pos")).distinct()
+      val probes = ph.select(col("key"), explode(posCol(m, k)).as("pos"))
       val fp = probes.join(bits, Seq("pos"))
         .groupBy("key").agg(count(lit(1)).as("hits"))
         .filter(col("hits") === k)
@@ -63,31 +77,37 @@ object RelMore170 {
          |       COALESCE((
          |         SELECT CAST(count(*) AS BIGINT) FROM (
          |           SELECT pk FROM (
-         |             SELECT p.pk, CAST(('0x' || substring(md5(CAST(p.pk AS VARCHAR) || ':' || i.i), 1, 8))::BIGINT
+         |             SELECT p.pk, CAST(('0x' || substring(p.h, i.i * 8 + 1, 8))::BIGINT
          |                          AS BIGINT) % ((SELECT n FROM nk) * $b) AS pos
          |             FROM probes p CROSS JOIN (SELECT unnest(generate_series(0, ${k - 1})) AS i) i) pp
          |           WHERE pos IN (
          |             SELECT DISTINCT
-         |               CAST(('0x' || substring(md5(CAST(key AS VARCHAR) || ':' || j.j), 1, 8))::BIGINT
+         |               CAST(('0x' || substring(hk.h, j.j * 8 + 1, 8))::BIGINT
          |                    AS BIGINT) % ((SELECT n FROM nk) * $b)
-         |             FROM keys CROSS JOIN (SELECT unnest(generate_series(0, ${k - 1})) AS j) j)
+         |             FROM hk CROSS JOIN (SELECT unnest(generate_series(0, ${k - 1})) AS j) j)
          |           GROUP BY pk HAVING count(*) = $k)), 0) AS false_positives,
          |       round(COALESCE((
          |         SELECT CAST(count(*) AS BIGINT) FROM (
          |           SELECT pk FROM (
-         |             SELECT p.pk, CAST(('0x' || substring(md5(CAST(p.pk AS VARCHAR) || ':' || i.i), 1, 8))::BIGINT
+         |             SELECT p.pk, CAST(('0x' || substring(p.h, i.i * 8 + 1, 8))::BIGINT
          |                          AS BIGINT) % ((SELECT n FROM nk) * $b) AS pos
          |             FROM probes p CROSS JOIN (SELECT unnest(generate_series(0, ${k - 1})) AS i) i) pp
          |           WHERE pos IN (
          |             SELECT DISTINCT
-         |               CAST(('0x' || substring(md5(CAST(key AS VARCHAR) || ':' || j.j), 1, 8))::BIGINT
+         |               CAST(('0x' || substring(hk.h, j.j * 8 + 1, 8))::BIGINT
          |                    AS BIGINT) % ((SELECT n FROM nk) * $b)
-         |             FROM keys CROSS JOIN (SELECT unnest(generate_series(0, ${k - 1})) AS j) j)
+         |             FROM hk CROSS JOIN (SELECT unnest(generate_series(0, ${k - 1})) AS j) j)
          |           GROUP BY pk HAVING count(*) = $k)), 0) / 20000.0, 6) AS measured_fpp""".stripMargin
     s"""WITH keys AS (SELECT DISTINCT o_orderkey AS key FROM orders),
        |nk AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keys),
-       |probes AS (SELECT -CAST(g AS BIGINT) AS pk
-       |           FROM (SELECT unnest(generate_series(1, 20000)) AS g))
+       |hk AS (SELECT key, md5(CAST(key AS VARCHAR) || ':0')
+       |                || md5(CAST(key AS VARCHAR) || ':1')
+       |                || md5(CAST(key AS VARCHAR) || ':2') AS h FROM keys),
+       |probes AS (SELECT pk, md5(CAST(pk AS VARCHAR) || ':0')
+       |                   || md5(CAST(pk AS VARCHAR) || ':1')
+       |                   || md5(CAST(pk AS VARCHAR) || ':2') AS h
+       |           FROM (SELECT -CAST(g AS BIGINT) AS pk
+       |                 FROM (SELECT unnest(generate_series(1, 20000)) AS g)))
        |${configs.map { case (b, k) => cfg(b, k) }.mkString("\nUNION ALL\n")}
        |ORDER BY bits_per_key""".stripMargin
   }

@@ -528,21 +528,32 @@ object TextDedup {
   val dedupNgramJaccard: Q = (s, d) => {
     // join/group on a 16-hex digest of the shingle, not the raw string —
     // fixed-width keys shuffle and compare cheaper (collision odds at
-    // 64 bits are negligible vs corpus size)
-    // persist: the distinct shingle set feeds the df-cap aggregate, both
-    // sides of the inverted-index self-join, and the size table — five
-    // re-executions of the split/explode/digest pipeline without it
-    val sh = shingles(s, d)
-      .select(col("doc_id"), substring(md5(col("sh")), 1, 16).as("sh"))
-      .distinct().sharedCache()
-    val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxDf).select("sh")
-    val fs = sh.join(keep, Seq("sh")).sharedCache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = fs.as("a")
-      .join(fs.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
+    // 64 bits are negligible vs corpus size).
+    // r11 shape (the dedup-eval-prf rewrite, RelMore52): the inverted
+    // index is built in ONE shuffle as per-shingle sorted doc arrays
+    // via capped_distinct_list — state hard-bounded at MaxDf+1, NULL =
+    // stop-shingle (exactly the old df ≤ MaxDf keep-filter) — and
+    // common counts explode from each array in place. Deletes the old
+    // pipeline's pre-distinct persist, keep-join persist, and the
+    // two-sided inverted-index self-join; sizes (per-doc DISTINCT
+    // count over ALL shingles, hot included — unchanged semantics)
+    // come from one count_distinct pass over the same occurrences.
+    // One distinct pass serves BOTH aggregates (unlike dedup-eval-prf,
+    // whose size table is over NON-HOT shingles only and falls out of
+    // byK for free — here sizes legitimately count ALL distinct
+    // shingles, hot included, so the (doc,k) distinct is paid once and
+    // cached instead of re-deriving it inside a count_distinct expand)
+    val dsh = shingleKOcc(s, d).distinct().sharedCache()
+    dsh.count() // single-stage fill; byK and sizes scan it concurrently
+    val byK = dsh
+      .groupBy("k").agg(expr(s"capped_distinct_list(doc_id, $MaxDf)").as("docs"))
+      .filter(col("docs").isNotNull)
+    val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = byK.select(explode(expr(
+      "flatten(transform(docs, (x, i) -> " +
+        "transform(slice(docs, i + 2, size(docs)), y -> struct(x AS doc_a, y AS doc_b))))"
+    )).as("p")).select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
     common
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
