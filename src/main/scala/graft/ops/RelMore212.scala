@@ -1,0 +1,301 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Round-11 batch B: the materialized-layer algebra — incremental view
+  * maintenance by partial-state merge, and a mergeable-sketch rolling
+  * layer. Both model the 100 TB warehouse pattern where the full fact
+  * is never rescanned: you keep ALGEBRAIC STATE per group (counts,
+  * sums, extrema, K-minimum-values) and answer refreshes / rolling
+  * windows by merging states, paying O(|delta|) or O(|key domain|)
+  * instead of O(|fact|). The oracle for each op is the FULL RECOMPUTE
+  * over the raw table, so the driver's comparison is exactly the IVM /
+  * sketch-merge correctness theorem, checked end to end.
+  */
+object RelMore212 {
+
+  private def cents(c: String) =
+    expr(s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)")
+
+  /** agg-mv-delta-refresh — incremental view maintenance of a per-key
+    * aggregate MV. The view `V = SELECT custkey, count, sum(cents),
+    * count_if(status='O'), max(ts) GROUP BY custkey` is kept as
+    * algebraic partial states; a delta batch (orders at/after the
+    * split timestamp) arrives and the refresh is: aggregate the DELTA
+    * ALONE, then full-outer-merge states with the stored MV —
+    * counts/sums add, extrema take greatest, derived columns (the
+    * integer-cents mean) are recomputed from merged states at read
+    * time, never merged themselves. The oracle recomputes the view
+    * from the whole table, so a pass certifies the merge algebra is
+    * exactly the Gray et al. "algebraic aggregate" contract.
+    * SCALE: refresh cost is agg(|delta|) + a merge join on the key
+    * domain; with the MV bucketed by custkey the merge is shuffle-free
+    * (SMB) and the base fact — 100 TB — is never read. The anti-case
+    * (holistic aggregates: exact median, distinct) is what
+    * agg-kmv-rolling-merge's sketch states are for. */
+  val aggMvDeltaRefresh: Q = (s, d) => {
+    val split = to_timestamp(lit("1997-06-01"))
+    def states(df: DataFrame): DataFrame =
+      df.groupBy("o_custkey").agg(
+        count(lit(1)).as("n"),
+        sum(cents("o_totalprice")).as("sum_cents"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        max(col("o_orderdate")).as("last_ts"))
+    val o = orders(s, d)
+    // the "stored MV": everything before the split — in production this
+    // frame is the parquet/Delta MV table, bucketed by o_custkey
+    val mv = states(o.filter(col("o_orderdate") < split))
+    // the delta batch: aggregated alone — O(|delta|), the whole point
+    val delta = states(o.filter(col("o_orderdate") >= split))
+    val m = mv.as("b").join(delta.as("d"), Seq("o_custkey"), "full_outer")
+    m.select(
+        col("o_custkey"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("b.sum_cents"), lit(0L)) +
+          coalesce(col("d.sum_cents"), lit(0L))).as("sum_cents"),
+        (coalesce(col("b.n_open"), lit(0L)) +
+          coalesce(col("d.n_open"), lit(0L))).as("n_open"),
+        // Spark's greatest skips nulls; a key present on one side only
+        // keeps that side's extremum
+        greatest(col("b.last_ts"), col("d.last_ts")).as("last_ts"))
+      .withColumn("avg_cents", expr("sum_cents div n"))
+      .orderBy("o_custkey")
+  }
+
+  val aggMvDeltaRefreshSql: String =
+    """WITH c AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_custkey,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |       max(o_orderdate) AS last_ts,
+      |       CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_cents
+      |FROM c
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  /** agg-kmv-rolling-merge — a mergeable-sketch materialized layer for
+    * the holistic aggregate IVM can't do: rolling COUNT DISTINCT. Per
+    * month, keep a K-minimum-values partial — the K smallest 52-bit
+    * md5-derived hashes of that month's distinct customers (built
+    * BOUNDED: distinct (month, h) then a month-partitioned row_number
+    * ≤ K, never an unbounded collect). A 3-month rolling window is
+    * answered by MERGING partials: range-join the ~|months| partial
+    * rows to the broadcast month dimension, dedup hashes, re-rank, and
+    * the K-th smallest of the union IS the K-th smallest of the full
+    * window (any global top-K element is inside its month's top-K) —
+    * the KMV merge theorem (Beyer et al., "On Synopses for Distinct-
+    * Value Estimation Under Multiset Operations", SIGMOD'07). The
+    * estimate is exact-integer by construction: (K-1)·2^52 div kth.
+    * The oracle computes the K-th smallest FROM THE FULL DISTINCT SET
+    * per window — independent of the partial construction — so a hash
+    * match certifies the merge theorem itself, and the op also emits
+    * the exact rolling distinct + per-mille error so the estimate's
+    * quality is measured, not asserted. SCALE: partial state is
+    * K·|months| rows regardless of fact size; the rolling answer
+    * never rescans the fact. Months with window-distinct < K drop out
+    * (the sketch is exact below K only if you keep the partial sizes —
+    * by design this op reports the estimating regime). */
+  val aggKmvRollingMerge: Q = (s, d) => {
+    val K = 24
+    // distinct (month, hash) — the only fact-sized pass
+    val mh = orders(s, d).select(
+        to_date(date_trunc("month", col("o_orderdate"))).as("m"),
+        expr("hex_slice_long(md5(CAST(o_custkey AS STRING)), 1, 13)").as("h"))
+      .distinct()
+      .sharedCache()
+    // single-stage fill: mh feeds the broadcast month-dim build AND the
+    // probe-side scans concurrently (the r11 block-race rule)
+    mh.count()
+    // per-month KMV partial: K smallest distinct hashes, bounded by
+    // the month-partitioned rank (no unbounded collect anywhere)
+    val partial = mh
+      .withColumn("rn", row_number().over(Window.partitionBy("m").orderBy("h")))
+      .filter(col("rn") <= K).select("m", "h")
+    val months = mh.select("m").distinct()
+    // merge = range-join partials to the tiny month dimension
+    val merged = partial.as("p")
+      .join(broadcast(months.as("w")),
+        col("p.m") >= add_months(col("w.m"), -2) && col("p.m") <= col("w.m"))
+      .select(col("w.m").as("wm"), col("h"))
+      .distinct()
+    val kth = merged
+      .withColumn("rn", row_number().over(Window.partitionBy("wm").orderBy("h")))
+      .filter(col("rn") === K)
+      .select(col("wm"), col("h").as("kth_hash"))
+    // exact rolling distinct (for the error report): same range join
+    // over the un-truncated distinct set
+    val exact = mh.as("p")
+      .join(broadcast(months.as("w")),
+        col("p.m") >= add_months(col("w.m"), -2) && col("p.m") <= col("w.m"))
+      .groupBy(col("w.m").as("wm"))
+      .agg(countDistinct(col("h")).as("exact_distinct"))
+    kth.join(exact, Seq("wm"))
+      .select(
+        col("wm").as("m"),
+        col("kth_hash"),
+        expr(s"(${K - 1}L * ${1L << 52}L) div kth_hash").as("est_distinct"),
+        col("exact_distinct"))
+      .withColumn("err_permille",
+        expr("abs(est_distinct - exact_distinct) * 1000L div exact_distinct"))
+      .withColumn("est_high", col("est_distinct") >= col("exact_distinct"))
+      .orderBy("m")
+  }
+
+  val aggKmvRollingMergeSql: String =
+    """WITH mh AS (
+      |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |         CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+      |  FROM orders),
+      |months AS (SELECT DISTINCT m FROM mh),
+      |win AS (
+      |  SELECT DISTINCT w.m AS wm, mh.h
+      |  FROM months w JOIN mh
+      |    ON mh.m BETWEEN w.m - INTERVAL 2 MONTH AND w.m),
+      |ranked AS (
+      |  SELECT wm, h, row_number() OVER (PARTITION BY wm ORDER BY h) AS rn
+      |  FROM win),
+      |ex AS (SELECT wm, CAST(count(*) AS BIGINT) AS exact_distinct FROM win GROUP BY wm),
+      |kth AS (SELECT wm, h AS kth_hash FROM ranked WHERE rn = 24)
+      |SELECT kth.wm AS m, kth.kth_hash,
+      |       (23 * 4503599627370496) // kth.kth_hash AS est_distinct,
+      |       ex.exact_distinct,
+      |       abs((23 * 4503599627370496) // kth.kth_hash - ex.exact_distinct) * 1000
+      |         // ex.exact_distinct AS err_permille,
+      |       (23 * 4503599627370496) // kth.kth_hash >= ex.exact_distinct AS est_high
+      |FROM kth JOIN ex ON kth.wm = ex.wm
+      |ORDER BY m""".stripMargin
+
+  /** graph-cc-incremental — the fixpoint face of view maintenance:
+    * connected components kept warm across an edge-batch arrival. The
+    * part↔part co-purchase graph (ok % 31 sample; cf. graph-cc-hashmin
+    * RelMore11.scala:277 for why the part side and not the 100-supplier
+    * hub layer) is split into a BASE edge set (even orderkeys) whose
+    * hash-min labels are converged and stored, and a DELTA batch (odd
+    * orderkeys) that arrives later. The refresh seeds hash-min with the
+    * STORED labels (new nodes get self labels) and iterates over the
+    * merged edge set to convergence. Rounds saved by the warm start are
+    * DATA-DEPENDENT — measured here (DuckDB replay, sf0.01): base 13
+    * rounds, warm refresh 11 vs 11 cold, because the delta welds two
+    * large components and hash-min still pays the relabel wave across
+    * the merged one; that is the known bound of label-propagation IVM
+    * (diameter-free CC — large-star/small-star pointer doubling — is
+    * the production escape when deltas merge giants). Unlike
+    * graph-cc-hashmin's bounded-4-rounds contract this op runs
+    * eagerUntil to the TRUE fixpoint, so the oracle can be fully
+    * independent: a recursive CTE enumerating every (node, reachable
+    * label) pair and taking the min, no round-mirroring anywhere.
+    * SCALE: each round is one shuffle on the edge key; per-round state
+    * is localCheckpointed (reliable-dir on a real cluster — see
+    * IterativeFixpoint's scaladoc); the convergence probe exploits
+    * monotonicity — labels only ever decrease, so sum(lbl) unchanged
+    * ⟺ fixpoint — one tiny aggregate per round on the just-
+    * checkpointed state instead of a prev⋈next diff join.
+    * COST CONTRACT (measured, sf0.1 local[32]): two converges by
+    * design (the stored MV build + the warm refresh — the dedup-
+    * eval-prf shape), ~12 chunks × ~0.65 s of local-mode job floor
+    * ≈ 4.5-5 s steady — inside the bounded-iteration graph family
+    * band (closeness 3.8, betweenness-sampled 6.0); partitions-4,
+    * chunk-5 and diff-join variants all measured no better. */
+  val graphCcIncremental: Q = (s, d) => withShufflePartitions(s, 8) {
+    val li = lineitem(s, d).filter(col("l_orderkey") % 31 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .sharedCache()
+    li.count() // single-stage fill: li fans out to base and delta pair builds
+    def pairsOf(df: DataFrame): DataFrame =
+      df.as("a").join(df.as("b"), Seq("ok"))
+        .filter(col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+    // edges cached PRE-PARTITIONED on the join key: InMemoryRelation
+    // preserves its outputPartitioning, so the per-round join reuses
+    // it and only the (tiny) label side shuffles each round
+    def symm(pairs: DataFrame, nodes: DataFrame): DataFrame =
+      pairs.select(col("u").as("src"), col("v").as("dst"))
+        .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+        .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+        .repartition(col("src"))
+    def converge(edges: DataFrame, init: DataFrame): DataFrame = {
+      // 3 hash-min rounds per checkpoint: the step reads its state
+      // exactly once, so chaining a short fixed chunk lazily is the
+      // lazyChain criterion applied inside eagerUntil — 3× fewer
+      // checkpoint+probe actions for the same round count. The
+      // monotone-sum fixpoint probe: every step takes a min over the
+      // previous labels, so labels never increase and an unchanged
+      // sum(lbl) is exactly "no label moved" (a converged state is a
+      // fixed point of any further rounds, so chunk granularity never
+      // changes the answer).
+      var lastSum = Long.MinValue
+      graft.functions.IterativeFixpoint.eagerUntil(init, 12) { (lbls, _) =>
+        (1 to 3).foldLeft(lbls) { (cur, _) =>
+          edges
+            .join(cur.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"))
+            .agg(min("lbl").as("lbl"))
+        }
+      } { (_, next, _) =>
+        val s = next.agg(sum("lbl")).head.getLong(0)
+        val done = s == lastSum
+        lastSum = s
+        done
+      }
+    }
+    val basePairs = pairsOf(li.filter(col("ok") % 2 === 0))
+    val baseNodes = li.filter(col("ok") % 2 === 0)
+      .select(col("pk").as("node")).distinct()
+    // the stored MV: converged labels of the base graph
+    val baseLabels = converge(symm(basePairs, baseNodes).sharedCache(),
+      baseNodes.select(col("node"), col("node").as("lbl")))
+    // delta arrives: merge edge sets, seed with stored labels + self
+    // labels for first-seen nodes, converge again (few rounds)
+    val allNodes = li.select(col("pk").as("node")).distinct()
+    val newNodes = allNodes.join(baseNodes, Seq("node"), "left_anti")
+    val warmInit = baseLabels
+      .unionByName(newNodes.select(col("node"), col("node").as("lbl")))
+    val allEdges = symm(pairsOf(li), allNodes).sharedCache()
+    allEdges.count() // filled once before the per-round fan-out
+    val labels = converge(allEdges, warmInit)
+    labels.groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(desc("n_nodes"), col("component"))
+      .limit(20)
+  }
+
+  val graphCcIncrementalSql: String =
+    """WITH RECURSIVE li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem WHERE l_orderkey % 31 = 0),
+      |pairs AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |nodes AS (SELECT DISTINCT pk AS node FROM li),
+      |edges AS (SELECT u AS src, v AS dst FROM pairs
+      |          UNION SELECT v, u FROM pairs),
+      |reach AS (
+      |  SELECT node, node AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      |final AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+      |SELECT lbl AS component, CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM final
+      |GROUP BY lbl
+      |ORDER BY n_nodes DESC, component
+      |LIMIT 20""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "agg-mv-delta-refresh" -> aggMvDeltaRefresh,
+    "agg-kmv-rolling-merge" -> aggKmvRollingMerge,
+    "graph-cc-incremental" -> graphCcIncremental)
+
+  val oracles: Map[String, String] = Map(
+    "agg-mv-delta-refresh" -> aggMvDeltaRefreshSql,
+    "agg-kmv-rolling-merge" -> aggKmvRollingMergeSql,
+    "graph-cc-incremental" -> graphCcIncrementalSql)
+}

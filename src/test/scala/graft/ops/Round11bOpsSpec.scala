@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.olist.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-11 batch B invariants: the materialized-layer algebra ops.
+  * Each op's oracle is a full recompute, so these specs check the
+  * MERGE-SIDE theorems directly in Spark (independent of DuckDB). */
+class Round11bOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("agg-mv-delta-refresh: merged states equal the full recompute") {
+    val merged = run("agg-mv-delta-refresh")
+    // independent recompute in Spark itself (no split, no merge)
+    val o = Tables.orders(spark, sf)
+    val full = o.groupBy("o_custkey").agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("sum_cents"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        max(col("o_orderdate")).as("last_ts"))
+      .withColumn("avg_cents", expr("sum_cents div n"))
+      .select("o_custkey", "n", "sum_cents", "n_open", "last_ts", "avg_cents")
+    assert(merged.count() == full.count())
+    assert(merged.except(full).isEmpty && full.except(merged).isEmpty)
+    // both sides of the split must be non-trivially represented, or the
+    // test degenerates to a plain group-by
+    val split = to_timestamp(lit("1997-06-01"))
+    assert(o.filter(col("o_orderdate") < split).count() > 0)
+    assert(o.filter(col("o_orderdate") >= split).count() > 0)
+  }
+
+  test("agg-kmv-rolling-merge: merged-partial kth equals full-set kth") {
+    val out = run("agg-kmv-rolling-merge").collect()
+    assert(out.nonEmpty)
+    // recompute one window's kth smallest hash from the FULL distinct
+    // set (no per-month truncation) — the KMV merge theorem instance
+    val r0 = out.head
+    val m0 = r0.getAs[java.sql.Date]("m")
+    val full = Tables.orders(spark, sf)
+      .select(to_date(date_trunc("month", col("o_orderdate"))).as("m"),
+        expr("hex_slice_long(md5(CAST(o_custkey AS STRING)), 1, 13)").as("h"))
+      .filter(col("m") >= add_months(lit(m0), -2) && col("m") <= lit(m0))
+      .select("h").distinct()
+      .orderBy("h").limit(24).collect().map(_.getLong(0))
+    assert(full.length == 24)
+    assert(full.last == r0.getAs[Long]("kth_hash"))
+    out.foreach { r =>
+      val est = r.getAs[Long]("est_distinct")
+      val exact = r.getAs[Long]("exact_distinct")
+      assert(exact >= 24)          // rn=K existed, so the window had >= K
+      assert(est > 0)
+      assert(r.getAs[Long]("err_permille") ==
+        math.abs(est - exact) * 1000L / exact)
+      assert(r.getAs[Boolean]("est_high") == (est >= exact))
+    }
+  }
+
+  test("graph-cc-incremental: warm-start fixpoint equals cold recompute") {
+    val warm = run("graph-cc-incremental")
+    // cold recompute: hash-min to fixpoint over the FULL edge set with
+    // self labels — no base/delta split, no warm seed
+    val li = Tables.lineitem(spark, sf).filter(col("l_orderkey") % 31 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val nodes = li.select(col("pk").as("node")).distinct()
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+    val cold = graft.functions.IterativeFixpoint.eagerUntil(
+      nodes.select(col("node"), col("node").as("lbl")), 30) { (lbls, _) =>
+      edges.join(lbls.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min("lbl").as("lbl"))
+    } { (prev, next, _) =>
+      next.as("n").join(prev.as("p"), Seq("node"))
+        .filter(col("n.lbl") =!= col("p.lbl")).isEmpty
+    }
+    val coldOut = cold.groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(desc("n_nodes"), col("component")).limit(20)
+    assert(warm.collect().toSeq == coldOut.collect().toSeq)
+    // the split must be non-degenerate: base and delta both contribute
+    assert(li.filter(col("ok") % 2 === 0).count() > 0)
+    assert(li.filter(col("ok") % 2 === 1).count() > 0)
+  }
+
+  test("layout-manifest-prune: hierarchy wins iff predicates align") {
+    val out = run("layout-manifest-prune").collect()
+    val (pts, ranges) = out.partition(_.getAs[String]("kind") == "point-month")
+    assert(pts.nonEmpty && ranges.nonEmpty)
+    pts.foreach { r =>
+      // partition-aligned probe: exactly one file survives, and the
+      // two-tier read touches far fewer stats rows than the flat scan
+      assert(r.getAs[Long]("files_scanned") == 1L)
+      assert(r.getAs[Long]("stats_hier") < r.getAs[Long]("stats_flat"))
+    }
+    ranges.foreach { r =>
+      // unaligned probe: nothing prunes; hier pays the manifest tier
+      // ON TOP of (almost) all file stats
+      assert(r.getAs[Long]("files_scanned") >= 1L)
+      assert(r.getAs[Long]("stats_hier") > r.getAs[Long]("files_scanned"))
+    }
+  }
+}
