@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * partials built once from the fact, rolling 7-day distinct answered
   * from partials alone vs. recomputed from raw rows.
   *
-  * Usage: runMain graft.tools.IvmScaleBench [nRows] [workDir]
+  * Usage: runMain graft.tools.IvmScaleBench [nRows] [workDir] [nKeys]
   */
 object IvmScaleBench {
 
@@ -22,6 +22,7 @@ object IvmScaleBench {
     val nRows = args.headOption.map(_.toLong).getOrElse(30000000L)
     val work = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("ivm-scale").toString)
+    val nKeysArg = args.lift(2).map(_.toLong)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,7 +40,7 @@ object IvmScaleBench {
       r
     }
 
-    val nKeys = math.max(1000L, nRows / 30L)
+    val nKeys = nKeysArg.getOrElse(math.max(1000L, nRows / 30L))
     def fact(n: Long, idOffset: Long): DataFrame =
       spark.range(n)
         .select(

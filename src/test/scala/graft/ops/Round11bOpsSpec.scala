@@ -106,4 +106,16 @@ class Round11bOpsSpec extends SparkTestBase {
       assert(r.getAs[Long]("stats_hier") > r.getAs[Long]("files_scanned"))
     }
   }
+
+  test("func-ip-cidr-suite: parse round-trip is total and blocks are sane") {
+    val out = run("func-ip-cidr-suite").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // every synthesized dotted quad must survive aton→ntoa unchanged
+      assert(r.getAs[Long]("n_roundtrip_ok") == r.getAs[Long]("n_ips"))
+      assert(r.getAs[Long]("n_subnets24") <= r.getAs[Long]("n_ips"))
+      assert(r.getAs[Long]("min_host") <= r.getAs[Long]("max_host"))
+      assert(r.getAs[String]("cidr").endsWith(".0.0/16"))
+    }
+  }
 }

@@ -195,4 +195,67 @@ class PlanContractsSpec extends SparkTestBase {
       rawPlan.contains("Exchange hashpartitioning(o_orderkey"),
       s"raw merge join should shuffle both inputs:\n$rawPlan")
   }
+
+  test("agg-mv-delta-refresh: split filters push to the scans, merge is full outer on the key") {
+    val df = graft.SparkEntry.queries("agg-mv-delta-refresh")(spark, sf)
+    val p = df.queryExecution.executedPlan
+    // both the MV build and the delta agg must reach parquet with their
+    // o_orderdate split pushed — an unfiltered scan means the refresh
+    // rescans the whole fact, the exact thing IVM exists to avoid
+    val scans = deepCollect(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("orders")) => s
+    }
+    assert(scans.size == 2, p.toString)
+    scans.foreach { s =>
+      val pushed = s.metadata.getOrElse("PushedFilters", "[]")
+      assert(pushed.contains("o_orderdate"),
+        s"split predicate not pushed: $pushed")
+    }
+    assert(p.toString.contains("FullOuter"), p.toString)
+  }
+
+  test("agg-kmv-rolling-merge: partial merge range-joins a broadcast month dim, windows keyed") {
+    val p = graft.SparkEntry.queries("agg-kmv-rolling-merge")(spark, sf)
+      .queryExecution.executedPlan
+    // the rolling merge must be partials × BROADCAST month dimension
+    // (a non-equi range join → BroadcastNestedLoopJoin with the tiny
+    // side as build) — never a shuffle of the fact-derived side
+    val bnlj = deepCollect(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.nonEmpty, p.toString)
+    // every rank window is month-partitioned
+    val unpart = deepCollect(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, s"unpartitioned window in kmv plan:\n$p")
+  }
+
+  test("layout-manifest-prune: probe replay joins broadcast metadata, grid window keyed") {
+    val p = graft.SparkEntry.queries("layout-manifest-prune")(spark, sf)
+      .queryExecution.executedPlan
+    val bcast = deepCollect(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bcast.nonEmpty, p.toString)
+    val unpart = deepCollect(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, s"unpartitioned window in manifest-prune plan:\n$p")
+  }
+
+  test("func-ip-cidr-suite: only the key column is read from orders") {
+    val df = graft.SparkEntry.queries("func-ip-cidr-suite")(spark, sf)
+    val scans = deepCollect(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("orders")) => s
+    }
+    assert(scans.nonEmpty)
+    scans.foreach(s => assert(s.requiredSchema.fields.length == 1,
+      s.requiredSchema.simpleString))
+  }
 }
