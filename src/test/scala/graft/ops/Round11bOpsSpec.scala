@@ -107,6 +107,23 @@ class Round11bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("agg-histogram-quantile-merge: estimate brackets the exact kth by one bucket") {
+    val out = run("agg-histogram-quantile-merge").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // the k-th element lives inside the chosen bucket, so
+      // 0 <= exact - est < W structurally — the op's error contract
+      assert(r.getAs[Boolean]("gap_ok"),
+        s"gap ${r.getAs[Long]("gap_cents")} outside [0, 65536)")
+      assert(r.getAs[Long]("est_cents") % 65536L == 0L)
+    }
+    // p50 <= p90 <= p99 per window (monotone quantiles)
+    out.groupBy(_.getAs[java.sql.Date]("m")).foreach { case (_, rows) =>
+      val byQ = rows.sortBy(_.getAs[Long]("q")).map(_.getAs[Long]("exact_cents"))
+      assert(byQ.sameElements(byQ.sorted))
+    }
+  }
+
   test("func-ip-cidr-suite: parse round-trip is total and blocks are sane") {
     val out = run("func-ip-cidr-suite").collect()
     assert(out.nonEmpty)
