@@ -137,6 +137,10 @@ object GraphOps {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).sharedCache()
     val n = deg.count().toDouble
     val edgesDeg = edges.join(deg, "src").sharedCache()
+    // single-stage fill (r11 block-race rule): the 5 chained step joins
+    // otherwise race partitions of this cache on the first write job
+    // (WarnProbe attributed one "Block already exists" put here)
+    edgesDeg.count()
     def step(prev: DataFrame): DataFrame = edgesDeg
       .join(prev.withColumnRenamed("node", "src"), "src")
       .groupBy(col("dst"))
