@@ -124,6 +124,19 @@ class Round11bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("stream-mv-incremental: merged MV state equals the batch recompute") {
+    val mv = run("stream-mv-incremental")
+    val full = Tables.t(spark, sf, "events")
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("sum_cents"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        max(col("event_id")).as("max_event_id"))
+      .select("user_id", "n", "sum_cents", "n_click", "max_event_id")
+    assert(mv.count() == full.count())
+    assert(mv.except(full).isEmpty && full.except(mv).isEmpty)
+  }
+
   test("func-ip-cidr-suite: parse round-trip is total and blocks are sane") {
     val out = run("func-ip-cidr-suite").collect()
     assert(out.nonEmpty)
