@@ -124,6 +124,27 @@ class Round11bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("agg-histogram-width-curve: one stored grain serves the whole ladder") {
+    val out = run("agg-histogram-width-curve").collect()
+    assert(out.length == 15) // 5 widths × 3 quantiles
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("gap_ok"))
+      // the estimate is a multiple of ITS width (derived bucketing)
+      assert(r.getAs[Long]("est_cents") % r.getAs[Long]("w") == 0L)
+    }
+    // exact kth is width-independent: same exact_cents across the ladder
+    out.groupBy(_.getAs[Long]("q")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("exact_cents")).distinct.length == 1)
+    }
+    // the chosen bucket always CONTAINS the k-th element, so
+    // est = floor(exact / w) * w — coarser grids floor lower or equal
+    out.foreach { r =>
+      val (w, est, exact) =
+        (r.getAs[Long]("w"), r.getAs[Long]("est_cents"), r.getAs[Long]("exact_cents"))
+      assert(est == (exact / w) * w)
+    }
+  }
+
   test("stream-mv-incremental: merged MV state equals the batch recompute") {
     val mv = run("stream-mv-incremental")
     val full = Tables.t(spark, sf, "events")
