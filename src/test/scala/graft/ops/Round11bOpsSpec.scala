@@ -158,6 +158,58 @@ class Round11bOpsSpec extends SparkTestBase {
     assert(mv.except(full).isEmpty && full.except(mv).isEmpty)
   }
 
+  test("agg-mv-lambda-read: lambda view is point-in-time consistent") {
+    val out = run("agg-mv-lambda-read")
+    val full = Tables.orders(spark, sf).groupBy("o_custkey").agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("sum_cents"),
+        max(col("o_orderdate")).as("last_ts"))
+    // core state identical to the recompute; provenance columns sane
+    assert(out.select("o_custkey", "n", "sum_cents", "last_ts")
+      .except(full).isEmpty)
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("n_tail") <= r.getAs[Long]("n"))
+      val inMv = r.getAs[Int]("in_mv")
+      assert(inMv == 0 || inMv == 1)
+      // every key comes from the MV, the tail, or both
+      assert(inMv == 1 || r.getAs[Long]("n_tail") == r.getAs[Long]("n"))
+    }
+  }
+
+  test("join-ip-longest-prefix: specificity order is /24 > /16 > /8") {
+    val out = run("join-ip-longest-prefix").collect()
+    assert(out.nonEmpty)
+    val byClass = out.map(r =>
+      r.getAs[String]("label_class") -> r.getAs[Int]("matched_len")).toMap
+    // each label class resolves at its own prefix length, never mixed
+    byClass.get("edge").foreach(l => assert(l == 24))
+    byClass.get("dc").foreach(l => assert(l == 16))
+    byClass.get("corp").foreach(l => assert(l == 8))
+    // an /24-eligible IP must never fall through to /16 or /8: classes
+    // are disjoint per (label_class, matched_len) row by construction
+    assert(out.map(_.getAs[String]("label_class")).distinct.length == out.length)
+  }
+
+  test("stream-kmv-incremental: streamed sketch equals the batch sketch") {
+    val out = run("stream-kmv-incremental").collect()
+    assert(out.nonEmpty)
+    // batch-side KMV from all events at once
+    val batch = Tables.t(spark, sf, "events")
+      .select(col("event_type"),
+        expr("hex_slice_long(md5(CAST(user_id AS STRING)), 1, 13)").as("h"))
+      .distinct()
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") === 8)
+      .select(col("event_type"), col("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("kth_hash") == batch(r.getAs[String]("event_type")))
+      assert(r.getAs[Int]("n_slots") == 8)
+    }
+  }
+
   test("func-ip-cidr-suite: parse round-trip is total and blocks are sane") {
     val out = run("func-ip-cidr-suite").collect()
     assert(out.nonEmpty)
