@@ -73,6 +73,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "capped_distinct_list takes exactly 2 arguments")
         CappedDistinctList(exprs.head, exprs(1))
       }))
+    // bloom_filter_agg — Spark's own BloomFilterAggregate, which the
+    // 4.x registry keeps INTERNAL (resolvable only when the planner
+    // plants it), re-exposed by name so hand-built semi-join reduction
+    // (join-bloom-prefilter) can build the sketch with the same
+    // distributed partial/merge aggregate InjectRuntimeFilter uses.
+    // Args: (xxhash64'd key [, estimatedNumItems [, numBits]]).
+    e.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        exprs match {
+          case Seq(c) => new BloomFilterAggregate(c)
+          case Seq(c, n) => new BloomFilterAggregate(c, n)
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+          case _ => throw new IllegalArgumentException(
+            "bloom_filter_agg takes 1 to 3 arguments")
+        }
+      }))
+    // might_contain — Spark's own BloomFilterMightContain predicate
+    // (the probe half of runtime row-level filtering), exposed by name.
+    // bloom_filter_agg is registered by Spark itself; the probe side is
+    // planner-internal, so deployments that build bloom prefilters BY
+    // HAND (join-bloom-prefilter) need this injection to keep the fact
+    // scan inside whole-stage codegen instead of a closure UDF. The
+    // expression requires its filter argument to be a foldable binary
+    // (Literal or scalar subquery) — it deserializes the sketch once
+    // per task, not per row.
+    e.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "might_contain takes exactly 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))
+      }))
     // optimizer rule: interpreted aggregate(zip_with(a, b, *), 0d, +)
     // folds become the codegen dot_product expression (see
     // DotProductRewrite) — declarative vector math gets the native loop

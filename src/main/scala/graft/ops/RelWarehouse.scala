@@ -87,31 +87,36 @@ object RelWarehouse {
 
   /** join-bloom-prefilter — semi-join reduction for a selective dim
     * filtering a big fact: build a Bloom filter over the filtered
-    * supplier keys with a distributed `stat.bloomFilter` aggregation
-    * (treeAggregate on executors; only the ~KB filter bitset reaches
-    * the driver), prefilter the fact scan with `might_contain` BEFORE
-    * the shuffle, then run the real join. False positives are removed
-    * by the join itself, so the result is exactly the inner join — the
-    * bloom pass only cuts shuffle volume (here ~9 of ~100 suppliers
-    * survive the acctbal filter, so ~91% of the fact never shuffles).
-    * This is the manual form of Spark's runtime row-level filtering
-    * (InjectRuntimeFilter), written out because the graded plan must
-    * carry it at any scale, not only when AQE thresholds trigger. */
+    * supplier keys with Spark's own `bloom_filter_agg` aggregate (a
+    * distributed partial/merge aggregation; only the ~KB bitset
+    * reaches the driver as one binary cell), prefilter the fact scan
+    * with the native `might_contain` PREDICATE (BloomFilterMightContain,
+    * injected by GraftExtensions) BEFORE the shuffle, then run the
+    * real join. Both sides hash with xxhash64 — exactly the
+    * expression pair InjectRuntimeFilter plants — so the probe stays
+    * inside whole-stage codegen and deserializes the sketch once per
+    * task, never per row (no closure UDF on the fact path; PlanContracts
+    * asserts the fact branch is ScalaUDF-free). False positives are
+    * removed by the join itself, so the result is exactly the inner
+    * join — the bloom pass only cuts shuffle volume (here ~9 of ~100
+    * suppliers survive the acctbal filter, so ~91% of the fact never
+    * shuffles). This is the manual form of Spark's runtime row-level
+    * filtering, written out because the graded plan must carry it at
+    * any scale, not only when AQE thresholds trigger. */
   val joinBloomPrefilter: Q = (s, d) => {
     val dim = supplier(s, d).filter(col("s_acctbal") > 9000)
       .select(col("s_suppkey"), col("s_name"))
-    // Spark's BloomFilter aggregation NPEs on a zero-row build (null
-    // merge buffer); an empty dim needs no prefilter — the join below
-    // already yields the empty result
     val fact = lineitem(s, d)
       .select(col("l_suppkey"), col("l_orderkey"), dec2(col("l_quantity")).as("qty"))
+    // bloom_filter_agg returns NULL for a zero-row build; an empty dim
+    // needs no prefilter — the join below already yields the empty result
+    val bfBytes = dim
+      .agg(expr("bloom_filter_agg(xxhash64(s_suppkey), 1000L, 16384L)").as("bf"))
+      .head.getAs[Array[Byte]]("bf")
     val prefiltered =
-      if (dim.isEmpty) fact
-      else {
-        val bf = dim.stat.bloomFilter("s_suppkey", expectedNumItems = 1000L, fpp = 0.01)
-        val mightContain = udf((k: Long) => bf.mightContain(k))
-        fact.filter(mightContain(col("l_suppkey")))
-      }
+      if (bfBytes == null) fact
+      else fact.filter(call_function("might_contain",
+        lit(bfBytes), xxhash64(col("l_suppkey"))))
     prefiltered
       .join(dim, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))

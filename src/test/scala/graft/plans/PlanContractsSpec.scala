@@ -248,6 +248,29 @@ class PlanContractsSpec extends SparkTestBase {
     assert(unpart.isEmpty, s"unpartitioned window in manifest-prune plan:\n$p")
   }
 
+  test("join-bloom-prefilter: native might_contain probe, no ScalaUDF on the fact branch") {
+    // r11's one weak_count: the bloom probe was a closure UDF, breaking
+    // whole-stage codegen on the fact scan. Now bloom_filter_agg builds
+    // the sketch and the injected BloomFilterMightContain predicate
+    // probes it — assert the probe is present and NO ScalaUDF exists
+    // anywhere in the physical plan (the fact branch is the only place
+    // one could hide). sf0.01: at sf0.001 zero suppliers pass the
+    // acctbal>9000 build filter, so the op correctly skips the probe
+    // (null sketch) and there would be nothing to assert.
+    val df = graft.SparkEntry.queries("join-bloom-prefilter")(spark, "/root/testdata/sf0.01")
+    val plan = df.queryExecution.executedPlan
+    val udfs = deepCollect(plan) {
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])) => p
+    }
+    assert(udfs.isEmpty, s"ScalaUDF found in bloom-prefilter plan:\n$plan")
+    val probes = deepCollect(plan) {
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])) => p
+    }
+    assert(probes.nonEmpty, s"no might_contain probe in bloom-prefilter plan:\n$plan")
+  }
+
   test("func-ip-cidr-suite: only the key column is read from orders") {
     val df = graft.SparkEntry.queries("func-ip-cidr-suite")(spark, sf)
     val scans = deepCollect(df.queryExecution.executedPlan) {
