@@ -23,15 +23,22 @@ object RelMore216 {
     * SCALE: per batch the stream pays agg(|batch|) + a merge join on
     * the touched key domain; the events fact is never rescanned —
     * 100 TB of history costs the same per batch as 100 MB. Exactly-
-    * once here rides AvailableNow + the checkpoint (replayed batches
-    * would double-count into an additive MV, so the atomic
-    * write-then-swap plus Spark's batch-id dedup in foreachBatch is
-    * the required discipline; the op keeps the swap atomic the same
-    * way stream-foreachbatch-upsert does). */
+    * once: the checkpoint gives at-least-once batch delivery into
+    * foreachBatch, and a replayed batch would DOUBLE-COUNT these
+    * additive counters — so every commit goes through GenerationStore,
+    * which (a) swaps a manifest pointer atomically (a crash at any
+    * point leaves the previous MV readable, never a half-deleted
+    * store) and (b) records the last-applied batchId IN THE SAME
+    * commit, so a replay whose swap completed before the offset
+    * commit is detected (`alreadyApplied`) and skipped. That pairing —
+    * state and applied-watermark committed in one atomic unit — is
+    * what upgrades at-least-once delivery to exactly-once effect for
+    * non-idempotent merges; GenerationStoreSpec kills a writer between
+    * the data write and the pointer swap and replays to prove it. */
   val streamMvIncremental: Q = (s, d) => {
-    val target = new java.io.File(Tables.tmp("stream-mv-target", d))
+    val root = Tables.tmp("stream-mv-target", d)
     val ckpt = Tables.tmp("ckpt-stream-mv", d)
-    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     val srcDir = new java.io.File(Tables.tmp("stream-mv-src", d))
     org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
@@ -55,11 +62,13 @@ object RelMore216 {
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.getAbsolutePath)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (GenerationStore.alreadyApplied(root, batchId)) ()
+        else {
         val pb = states(batch)
-        val merged =
-          if (target.exists()) {
-            val mv = s.read.parquet(target.getPath)
+        val merged = GenerationStore.read(root).dataDir match {
+          case Some(dir) =>
+            val mv = s.read.parquet(dir)
             mv.as("b").join(pb.as("p"), Seq("user_id"), "full_outer")
               .select(
                 col("user_id"),
@@ -71,18 +80,18 @@ object RelMore216 {
                   coalesce(col("p.n_click"), lit(0L))).as("n_click"),
                 greatest(col("b.max_event_id"), col("p.max_event_id"))
                   .as("max_event_id"))
-          } else pb
-        val next = new java.io.File(target.getPath + ".next")
-        merged.write.mode("overwrite").parquet(next.getPath)
-        org.apache.commons.io.FileUtils.deleteDirectory(target)
-        org.apache.commons.io.FileUtils.moveDirectory(next, target)
+          case None => pb
+        }
+        GenerationStore.commit(root, batchId)(
+          merged.write.mode("overwrite").parquet(_))
+        }
         ()
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(target.getPath)
+    s.read.parquet(GenerationStore.read(root).dataDir.get)
       .select("user_id", "n", "sum_cents", "n_click", "max_event_id")
       .orderBy("user_id")
   }

@@ -28,11 +28,19 @@ object RelMore219 {
     * same state as a trickle. Per-batch KMVs use collect_set bounded
     * by the per-type distinct-user domain of ONE micro-batch (and the
     * merge immediately re-caps at K); a firehose deployment swaps that
-    * for the capped_distinct_list aggregate, same contract. */
+    * for the capped_distinct_list aggregate, same contract. State
+    * commits go through GenerationStore (full next state into a
+    * private gen dir, then an atomic manifest-pointer swap + replayed-
+    * batch guard), so a crash at ANY point leaves a readable sketch —
+    * the r11 delete-then-move swap had a window with no target at all.
+    * Types whose distinct-user domain is still < K are DROPPED from
+    * the output (a KMV below capacity estimates nothing; its kth slot
+    * is undefined), matching both the oracle's WHERE rn = K and
+    * agg-kmv-rolling-merge's documented drop-out semantics. */
   val streamKmvIncremental: Q = (s, d) => {
-    val target = new java.io.File(Tables.tmp("stream-kmv-target", d))
+    val root = Tables.tmp("stream-kmv-target", d)
     val ckpt = Tables.tmp("ckpt-stream-kmv", d)
-    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     val srcDir = new java.io.File(Tables.tmp("stream-kmv-src", d))
     org.apache.commons.io.FileUtils.deleteQuietly(srcDir)
@@ -52,28 +60,32 @@ object RelMore219 {
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.getAbsolutePath)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val pb = kmvOf(batch)
-        val merged =
-          if (target.exists()) {
-            val st = s.read.parquet(target.getPath)
-            st.as("b").join(pb.as("p"), Seq("event_type"), "full_outer")
-              .select(col("event_type"),
-                slice(array_sort(array_distinct(concat(
-                  coalesce(col("b.ks"), emptyArr),
-                  coalesce(col("p.ks"), emptyArr)))), 1, K).as("ks"))
-          } else pb
-        val next = new java.io.File(target.getPath + ".next")
-        merged.write.mode("overwrite").parquet(next.getPath)
-        org.apache.commons.io.FileUtils.deleteDirectory(target)
-        org.apache.commons.io.FileUtils.moveDirectory(next, target)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // KMV merge is idempotent, so the replay guard is belt and
+        // braces here (contrast RelMore216, where it's load-bearing)
+        if (!GenerationStore.alreadyApplied(root, batchId)) {
+          val pb = kmvOf(batch)
+          val merged = GenerationStore.read(root).dataDir match {
+            case Some(dir) =>
+              s.read.parquet(dir).as("b")
+                .join(pb.as("p"), Seq("event_type"), "full_outer")
+                .select(col("event_type"),
+                  slice(array_sort(array_distinct(concat(
+                    coalesce(col("b.ks"), emptyArr),
+                    coalesce(col("p.ks"), emptyArr)))), 1, K).as("ks"))
+            case None => pb
+          }
+          GenerationStore.commit(root, batchId)(
+            merged.write.mode("overwrite").parquet(_))
+        }
         ()
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(target.getPath)
+    s.read.parquet(GenerationStore.read(root).dataDir.get)
+      .filter(size(col("ks")) === K)
       .select(col("event_type"),
         element_at(col("ks"), K).as("kth_hash"),
         size(col("ks")).cast("int").as("n_slots"))
