@@ -237,7 +237,8 @@ object RelMore212 {
       // fixed point of any further rounds, so chunk granularity never
       // changes the answer).
       var lastSum = Long.MinValue
-      graft.functions.IterativeFixpoint.eagerUntil(init, 12) { (lbls, _) =>
+      var converged = false
+      val out = graft.functions.IterativeFixpoint.eagerUntil(init, 12) { (lbls, _) =>
         (1 to 3).foldLeft(lbls) { (cur, _) =>
           edges
             .join(cur.withColumnRenamed("node", "src"), "src")
@@ -246,10 +247,17 @@ object RelMore212 {
         }
       } { (_, next, _) =>
         val s = next.agg(sum("lbl")).head.getLong(0)
-        val done = s == lastSum
+        converged = s == lastSum
         lastSum = s
-        done
+        converged
       }
+      // eagerUntil returns the last state unconditionally at maxRounds;
+      // a deeper graph than the budget covers must fail LOUDLY here, not
+      // surface as an opaque oracle mismatch downstream
+      require(converged,
+        "graph-cc-incremental: hash-min fixpoint not reached within " +
+          "12 chunks x 3 rounds — graph diameter exceeds the budget; raise maxRounds")
+      out
     }
     val baseNodes = li.filter(col("ok") % 2 === 0)
       .select(col("pk").as("node")).distinct()
@@ -262,9 +270,15 @@ object RelMore212 {
     // also hands the warm converge a lineage-free leaf.
     val baseDir = tmp("cc-incr-base-labels", d)
     val baseLabels = {
+      // only "store not there yet" falls through to a rebuild; fatal
+      // Throwables (OOM, interrupt) must propagate, not silently retrigger
+      // the expensive base convergence
       val stored =
         try { val x = s.read.parquet(baseDir); if (x.isEmpty) None else Some(x) }
-        catch { case _: Throwable => None }
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+          case _: java.io.IOException => None
+        }
       stored.getOrElse {
         val basePairs = pairsOf(li.filter(col("ok") % 2 === 0))
         converge(symm(basePairs, baseNodes).sharedCache(),

@@ -34,9 +34,14 @@ object RelMore218 {
     val o = orders(s, d)
     // the stored MV: history partials, materialized once per process
     val mvDir = tmp("mv-lambda-store", d)
+    // only "store not there yet" falls through to a rebuild; fatal
+    // Throwables (OOM, interrupt) must propagate, not silently rebuild
     val stored =
       try { val x = s.read.parquet(mvDir); if (x.isEmpty) None else Some(x) }
-      catch { case _: Throwable => None }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+        case _: java.io.IOException => None
+      }
     if (stored.isEmpty)
       states(o.filter(col("o_orderdate") < split))
         .write.mode(SaveMode.Overwrite).parquet(mvDir)
