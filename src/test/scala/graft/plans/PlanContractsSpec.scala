@@ -199,14 +199,18 @@ class PlanContractsSpec extends SparkTestBase {
   test("agg-mv-delta-refresh: split filters push to the scans, merge is full outer on the key") {
     val df = graft.SparkEntry.queries("agg-mv-delta-refresh")(spark, sf)
     val p = df.queryExecution.executedPlan
-    // both the MV build and the delta agg must reach parquet with their
-    // o_orderdate split pushed — an unfiltered scan means the refresh
-    // rescans the whole fact, the exact thing IVM exists to avoid
+    // ONLY the delta agg may touch the orders fact at query time (with
+    // the o_orderdate split pushed); the MV side reads its bucketed
+    // store — an orders scan there means the refresh rescans the whole
+    // fact, the exact thing IVM exists to avoid. (r12: was 2 scans when
+    // the MV was recomputed per query; the bucketed store removed one.)
     val scans = deepCollect(p) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
-          if s.relation.location.rootPaths.exists(_.toString.contains("orders")) => s
+          if s.relation.location.rootPaths.exists(p =>
+            p.toString.contains("orders") &&
+              !p.toString.contains("graft_mv_custstats")) => s
     }
-    assert(scans.size == 2, p.toString)
+    assert(scans.size == 1, p.toString)
     scans.foreach { s =>
       val pushed = s.metadata.getOrElse("PushedFilters", "[]")
       assert(pushed.contains("o_orderdate"),
@@ -246,6 +250,34 @@ class PlanContractsSpec extends SparkTestBase {
           if w.partitionSpec.isEmpty => w
     }
     assert(unpart.isEmpty, s"unpartitioned window in manifest-prune plan:\n$p")
+  }
+
+  test("agg-mv-delta-refresh: stored-MV side merges with no Exchange (SMB)") {
+    // the scaladoc's claim, enforced: the MV is stored bucketed by
+    // o_custkey, so the full-outer merge must read it shuffle-free —
+    // no ShuffleExchangeExec may sit between the MV table scan and the
+    // join. (The delta side SHOULD shuffle — to the bucket layout.)
+    val df = graft.SparkEntry.queries("agg-mv-delta-refresh")(spark, sf)
+    df.collect() // materialize through AQE so the final plan is real
+    val plan = df.queryExecution.executedPlan
+    def subtreeHasMvScan(p: SparkPlan): Boolean = deepCollect(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("graft_mv_custstats")) => s
+    }.nonEmpty
+    assert(subtreeHasMvScan(plan), s"no MV table scan found:\n$plan")
+    val smj = deepCollect(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, s"expected a sort-merge join for the MV merge:\n$plan")
+    // the join child that reads the MV must be Exchange-free BELOW the
+    // join (the query's final ORDER BY legitimately shuffles above it)
+    val mvSide = smj.head.children.filter(subtreeHasMvScan)
+    assert(mvSide.nonEmpty, s"MV scan not under the merge join:\n$plan")
+    val shufflesOverMv = mvSide.flatMap(deepCollect(_) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    })
+    assert(shufflesOverMv.isEmpty,
+      s"Exchange found on the bucketed MV side of the merge join:\n$plan")
   }
 
   test("join-bloom-prefilter: native might_contain probe, no ScalaUDF on the fact branch") {
