@@ -287,7 +287,8 @@ object RelMore212 {
       // Throwables (OOM, interrupt) must propagate, not silently retrigger
       // the expensive base convergence
       val stored =
-        try { val x = s.read.parquet(baseDir); if (x.isEmpty) None else Some(x) }
+        if (!new java.io.File(baseDir).exists()) None
+        else try { val x = s.read.parquet(baseDir); if (x.isEmpty) None else Some(x) }
         catch {
           case _: org.apache.spark.sql.AnalysisException => None
           case _: java.io.IOException => None

@@ -37,7 +37,8 @@ object RelMore218 {
     // only "store not there yet" falls through to a rebuild; fatal
     // Throwables (OOM, interrupt) must propagate, not silently rebuild
     val stored =
-      try { val x = s.read.parquet(mvDir); if (x.isEmpty) None else Some(x) }
+      if (!new java.io.File(mvDir).exists()) None
+      else try { val x = s.read.parquet(mvDir); if (x.isEmpty) None else Some(x) }
       catch {
         case _: org.apache.spark.sql.AnalysisException => None
         case _: java.io.IOException => None

@@ -34,7 +34,7 @@ object RelMore43 {
     // slots keep the aggregate in HashAggregate (min(STRING) forced a
     // SortAggregate full sort of the occurrence table) and the three
     // MinHash front doors can no longer drift apart.
-    val sig = TextDedup.minhashSigFrom(TextDedup.hashedShingles(s, d)).sharedCache()
+    val sig = TextDedup.minhashSigStored(s, d).sharedCache()
     val stackArgs = (for ((b, r) <- BandConfigs; j <- 0 until b) yield {
       val slots = (1 to r).map(i => s"m${j * r + i}").mkString(", ")
       f"'$b%02dx$r%02d', $j, md5(concat_ws(',', $slots))"

@@ -109,7 +109,7 @@ object RelMore52 {
     // (persisting 64-hex strings per occurrence cost ~1 s of
     // materialize+rescan at sf0.1 for nothing).
     // predicted: LSH candidates with signature estimate >= 6/12
-    val sig = TextDedup.minhashSigFrom(TextDedup.hashedShingles(s, d)).sharedCache()
+    val sig = TextDedup.minhashSigStored(s, d).sharedCache()
     val bands = sig.selectExpr("doc_id", TextDedup.bandStackExpr)
     val matchExpr = (1 to Seeds).map(j => s"IF(a.m$j = b.m$j, 1, 0)").mkString(" + ")
     val pred = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))

@@ -135,7 +135,7 @@ object RelMore65 {
     // slots keep the aggregate in HashAggregate (min(STRING) forced a
     // SortAggregate full sort of the occurrence table) and the three
     // MinHash front doors can no longer drift apart.
-    val sig = TextDedup.minhashSigFrom(TextDedup.hashedShingles(s, d)).sharedCache()
+    val sig = TextDedup.minhashSigStored(s, d).sharedCache()
     val stackArgs = (0 until Seeds / 3).map { b =>
       s"$b, md5(concat_ws(',', m${3 * b + 1}, m${3 * b + 2}, m${3 * b + 3}))"
     }.mkString(", ")
