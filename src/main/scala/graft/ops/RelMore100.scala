@@ -168,11 +168,12 @@ object RelMore100 {
     val signed = daily.crossJoin(broadcast(tot))
       .select(col("dt"), col("n"),
         (col("rev") * col("n") > col("trev")).cast(IntegerType).as("hi"))
-    val wd = Window.orderBy("dt")
-    val runs = signed
+    // r12: neighbor stitch, not a global-sort lag window (census port)
+    val runs = graft.functions.PrefixScan
+      .withNeighbor(signed, Seq(col("dt")), Seq("hi"))
       .withColumn("switch",
-        when(lag("hi", 1).over(wd).isNull ||
-          lag("hi", 1).over(wd) =!= col("hi"), 1L).otherwise(0L))
+        when(col("hi_adj").isNull || col("hi_adj") =!= col("hi"), 1L)
+          .otherwise(0L))
     runs.groupBy("n")
       .agg(sum("switch").as("r"), sum("hi").as("n1"))
       .select(col("n").as("n_days"), col("r").as("runs"),

@@ -23,7 +23,9 @@ object RelMore110 {
     * DW numerator/denominator are then exact integer sums and only
     * the final ratio is floating-point. The 1.5 rule-of-thumb bound
     * is a declared constant (exact dL tables are out of scope and
-    * said so). One day rollup + one lag window. */
+    * said so). One day rollup + one PrefixScan neighbor stitch (r12:
+    * was a global-sort lag window over the date axis — the largest
+    * remaining frame class on the census allowlist). */
   val dqDurbinWatson: Q = (s, d) => {
     val daily = orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
@@ -44,9 +46,9 @@ object RelMore110 {
           - col("num") * col("n") * col("x") + col("num") * col("sx")).cast(DoubleType)
           / (col("n") * col("den") * lit(100)).cast(DoubleType))
           .cast(LongType).as("eq"))
-    val wd = Window.orderBy("dt")
-    val dw = resid
-      .withColumn("el", lag("eq", 1).over(wd))
+    val dw = graft.functions.PrefixScan
+      .withNeighbor(resid, Seq(col("dt")), Seq("eq"))
+      .withColumnRenamed("eq_adj", "el")
       .select(col("n"), expr("CAST(eq AS DECIMAL(38,0))").as("e"),
         expr("CAST(eq - el AS DECIMAL(38,0))").as("de"))
       .groupBy("n")
@@ -99,16 +101,21 @@ object RelMore110 {
     * denominator score identical days); only the final √ratio is
     * floating-point. agg-forecast-backtest grades models against a
     * holdout; U2 is the one-number pre-screen that needs no split.
-    * One rollup + one two-lag window. */
+    * One rollup + a PrefixScan rank stamp and two rank-shifted
+    * equi-self-joins (r12: was a global-sort two-lag window; lag(k)
+    * for k>1 has no neighbor-stitch form, but rn = rn−k is a plain
+    * shuffle join — scale-safe at any series length, and the inner
+    * joins reproduce the both-lags-present filter exactly). */
   val aggTheilU2: Q = (s, d) => {
     val daily = orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
       .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("y"))
-    val wd = Window.orderBy("dt")
-    val sums = daily
-      .withColumn("l1", lag("y", 1).over(wd))
-      .withColumn("l7", lag("y", 7).over(wd))
-      .filter(col("l1").isNotNull && col("l7").isNotNull)
+    val ranked = graft.functions.PrefixScan
+      .withRankCumSum(daily, Seq(col("dt")), None).df
+      .select("rn", "y").sharedCache()
+    val sums = ranked
+      .join(ranked.select((col("rn") + 1).as("rn"), col("y").as("l1")), "rn")
+      .join(ranked.select((col("rn") + 7).as("rn"), col("y").as("l7")), "rn")
       .select(expr("CAST(y - l7 AS DECIMAL(38,0))").as("e7"),
         expr("CAST(y - l1 AS DECIMAL(38,0))").as("e1"))
       .agg(count(lit(1)).as("n"),

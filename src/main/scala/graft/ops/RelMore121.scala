@@ -25,10 +25,14 @@ object RelMore121 {
     val daily = orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
       .agg(count(lit(1)).as("x"))
-    val wd = Window.orderBy("dt")
-    val tp = daily
-      .withColumn("xl", lag("x", 1).over(wd))
-      .withColumn("xr", lead("x", 1).over(wd))
+    // r12: two neighbor stitches (lag then lead), not a global-sort
+    // lag/lead window over the date axis (census port)
+    val lagged = graft.functions.PrefixScan
+      .withNeighbor(daily, Seq(col("dt")), Seq("x"), lead = false, suffix = "_lft")
+    val tp = graft.functions.PrefixScan
+      .withNeighbor(lagged, Seq(col("dt")), Seq("x"), lead = true, suffix = "_rgt")
+      .withColumnRenamed("x_lft", "xl")
+      .withColumnRenamed("x_rgt", "xr")
       .filter(col("xl").isNotNull && col("xr").isNotNull)
       .agg(count(lit(1)).as("ni"),
         sum(when((col("x") > col("xl") && col("x") > col("xr")) ||

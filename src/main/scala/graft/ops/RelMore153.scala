@@ -230,9 +230,10 @@ object RelMore153 {
       .groupBy(to_date(col("o_orderdate")).as("dt"))
       .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))"))
         .as("v"))
-    val wd = Window.orderBy("dt")
-    val stats = daily
-      .withColumn("prev", lag("v", 1).over(wd))
+    // r12: neighbor stitch, not a global-sort lag window (census port)
+    val stats = graft.functions.PrefixScan
+      .withNeighbor(daily, Seq(col("dt")), Seq("v"))
+      .withColumnRenamed("v_adj", "prev")
       .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
         sum("v").as("sv"), sum(expr("v * v")).as("svv"),
         sum(expr("CASE WHEN prev IS NOT NULL THEN (v - prev) * (v - prev) END"))
