@@ -300,6 +300,11 @@ object RelMore11 {
       .union(pairs.select(col("v").as("src"), col("u").as("dst")))
       .union(nodes.select(col("node").as("src"), col("node").as("dst")))
       .sharedCache()
+    // single-stage fill (r12 WarnProbe attribution): the 4 lazy rounds
+    // land in ONE final action whose concurrently-launched join stages
+    // otherwise race to first-fill the edges cache (block-put WARN,
+    // double-computed partitions)
+    edges.count()
     // IterativeFixpoint.lazyChain: fixed shallow depth, state read once
     // per round — the final action runs each round's shuffle exactly
     // once (see the helper's criteria for lazy vs eager).

@@ -92,6 +92,11 @@ object RelMore124 {
       .select(col("a.sk").as("u"), col("b.sk").as("v"))
       .distinct()
       .sharedCache()
+    // single-stage fills (r12 WarnProbe attribution): the one final
+    // action launches the exact-triangle scans, the sample build and
+    // the edge counts concurrently — unfilled, they race to first-put
+    // the cache blocks (block-put WARN, double-computed partitions)
+    e.count()
     val exact = e.as("e1")
       .join(e.as("e2"), col("e2.u") === col("e1.v"))
       .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
@@ -101,6 +106,7 @@ object RelMore124 {
       "((instr('0123456789abcdef', substring(md5(concat(CAST(u AS STRING), '_', CAST(v AS STRING))), 1, 1)) - 1) * 16 + " +
         "(instr('0123456789abcdef', substring(md5(concat(CAST(u AS STRING), '_', CAST(v AS STRING))), 2, 1)) - 1)) < 128"))
       .sharedCache()
+    es.count()
     val nS = es.as("e1")
       .join(es.as("e2"), col("e2.u") === col("e1.v"))
       .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))

@@ -303,6 +303,21 @@ class PlanContractsSpec extends SparkTestBase {
     assert(probes.nonEmpty, s"no might_contain probe in bloom-prefilter plan:\n$plan")
   }
 
+  test("sink-bucket-prune: the point lookup reads a strict subset of buckets") {
+    val df = graft.SparkEntry.queries("sink-bucket-prune")(spark, sf)
+    val scans = deepCollect(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("graft_bucketed_orders")) => s
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    scans.foreach { s =>
+      val sel = s.optionalBucketSet
+      assert(sel.isDefined, "no bucket pruning on the bucketed scan")
+      assert(sel.get.cardinality() < 8,
+        s"expected <8 selected buckets, got ${sel.get.cardinality()}")
+    }
+  }
+
   test("func-ip-cidr-suite: only the key column is read from orders") {
     val df = graft.SparkEntry.queries("func-ip-cidr-suite")(spark, sf)
     val scans = deepCollect(df.queryExecution.executedPlan) {
