@@ -31,9 +31,17 @@ import Tables._
   * agg-kmv-rolling-merge).
   *
   * SCALE: per-set state is K hashes regardless of set size; the only
-  * fact-sized pass is the distinct (type, hash) projection. The
-  * overlap MATRIX costs |types|² · K sketch rows — at 100 TB you ship
-  * K longs per audience to the driver-sized merge, never the users.
+  * fact-sized pass is the distinct (group, hash) projection. The
+  * overlap MATRIX costs |groups|² · K sketch rows — at 100 TB you ship
+  * K longs per cohort to the driver-sized merge, never the members.
+  * Measured at 30M rows / 8 shards (graft.tools.ThetaScaleBench):
+  * 98.7 KB of sketches answer the 28-pair matrix in 1.4 s vs 5.7 s
+  * for exact fact-sized joins, 1539× less read volume. SIZING RULE
+  * (measured, see the bench): the error unit is 1/sqrt(intersection
+  * SAMPLE), not 1/sqrt(K), and theta intersections carry
+  * super-binomial variance (both thresholds random — per-pair z ≈
+  * 1.1-1.7 vs the 0.80 binomial floor), so K must be scaled to the
+  * smallest overlap the analysis must resolve.
   */
 object RelMore220 {
 
