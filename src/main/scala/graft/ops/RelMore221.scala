@@ -37,14 +37,23 @@ object RelMore221 {
     * walk + exact-rank verification both ride PrefixScan (no
     * unpartitioned window anywhere; the exact k-th over the full fact
     * is the withRankCumSum rank, scale-safe). */
+  /** Exact integer log-bucket index over a BIGINT column `c`: unit
+    * buckets below 16, else 16·MSB + 4 mantissa bits (base 2^(1/16)).
+    * Shared with stream-ddsketch-incremental (RelMore222). */
+  private[ops] val idxExpr: String = "CASE WHEN c < 16 THEN c ELSE " +
+    "16 * (length(conv(CAST(c AS STRING), 10, 2)) - 1) + " +
+    "(c div shiftleft(1L, length(conv(CAST(c AS STRING), 10, 2)) - 5) - 16) END"
+
+  /** Bucket lower/upper cent bounds from an index (same base). */
+  private[ops] val loExpr: String =
+    "CASE WHEN idx < 16 THEN idx ELSE (16 + idx % 16) * shiftleft(1L, idx div 16 - 4) END"
+  private[ops] val hiExpr: String =
+    "CASE WHEN idx < 16 THEN idx ELSE (17 + idx % 16) * shiftleft(1L, idx div 16 - 4) - 1 END"
+
   val aggDdsketchQuantile: Q = (s, d) => {
     val cents = orders(s, d).select(
       expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c"),
       col("o_orderstatus").as("shard"))
-    // exact integer bucket index: unit buckets below 16, else 16e + m
-    val idxExpr = "CASE WHEN c < 16 THEN c ELSE " +
-      "16 * (length(conv(CAST(c AS STRING), 10, 2)) - 1) + " +
-      "(c div shiftleft(1L, length(conv(CAST(c AS STRING), 10, 2)) - 5) - 16) END"
     // per-shard partials: the state a 1000-executor fleet would ship
     val partial = cents.withColumn("idx", expr(idxExpr))
       .groupBy("shard", "idx").agg(count(lit(1)).as("cnt"))
@@ -63,8 +72,8 @@ object RelMore221 {
     val hit = qs.join(scanned.df, col("cum") >= col("k"))
       .groupBy("q_pm", "k").agg(min("idx").as("idx"))
     val est = hit.select(col("q_pm"), col("k"), col("idx"),
-        expr("CASE WHEN idx < 16 THEN idx ELSE (16 + idx % 16) * shiftleft(1L, idx div 16 - 4) END").as("lo"),
-        expr("CASE WHEN idx < 16 THEN idx ELSE (17 + idx % 16) * shiftleft(1L, idx div 16 - 4) - 1 END").as("hi"))
+        expr(loExpr).as("lo"),
+        expr(hiExpr).as("hi"))
       .select(col("q_pm"), col("k"), col("idx").as("bucket_idx"),
         expr("(lo + hi) div 2").as("est_cents"),
         expr("(hi - lo + 1) * 500 div lo").as("bound_pm"))

@@ -39,6 +39,15 @@ class Round12bOpsSpec extends SparkTestBase {
     assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
   }
 
+  test("stream-ddsketch-incremental: four additive merge generations equal the batch sketch") {
+    // the streamed sketch must be row-identical to the one-shot batch
+    // op — bucket counts are associative/commutative under addition,
+    // and GenerationStore's replay guard keeps them exactly-once
+    val streamed = run("stream-ddsketch-incremental").collect().toSet
+    val batch = run("agg-ddsketch-quantile").collect().toSet
+    assert(streamed == batch, s"streamed $streamed\nbatch $batch")
+  }
+
   test("graph-cc-pointer-doubling: matches a driver-side union-find ground truth") {
     val li = Tables.lineitem(spark, sf).filter(col("l_orderkey") % 23 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
