@@ -334,14 +334,19 @@ object StreamingOps {
     * exercised, not vacuously true. The per-key winner is
     * argmax(event_ts, event_id), a total order, so the final target is
     * invariant to the batch split and equals the batch window oracle.
-    * Each merge writes the new generation to a sibling dir before
-    * swapping it in — the read of the current generation and the
-    * overwrite never race. */
+    * State commits ride GenerationStore (r12): each merge writes its
+    * full next generation to a private dir and an atomic
+    * manifest-pointer move publishes it — a crash at any byte boundary
+    * leaves the previous generation readable (the old delete-then-move
+    * swap had a window with no target at all). The latest-wins merge
+    * is idempotent, so the store's batchId replay guard is belt and
+    * braces here (contrast stream-mv-incremental, where it's
+    * load-bearing). */
   val streamForeachUpsert: Q = (s, d) => withStatePartitions(s, 4) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val target = new java.io.File(Tables.tmp("stream-upsert-target", d))
+    val root = Tables.tmp("stream-upsert-target", d)
     val ckpt = Tables.tmp("ckpt-stream-upsert", d)
-    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     val srcDir = new java.io.File(Tables.tmp("stream-src-upsert", d))
     srcDir.mkdirs()
@@ -364,21 +369,23 @@ object StreamingOps {
     def winners(df: DataFrame): DataFrame =
       df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = winners(batch)
-        val merged = if (target.exists()) winners(s.read.parquet(target.getPath).unionByName(b))
-        else b
-        val next = new java.io.File(target.getPath + ".next")
-        merged.write.mode("overwrite").parquet(next.getPath)
-        org.apache.commons.io.FileUtils.deleteDirectory(target)
-        org.apache.commons.io.FileUtils.moveDirectory(next, target)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!GenerationStore.alreadyApplied(root, batchId)) {
+          val b = winners(batch)
+          val merged = GenerationStore.read(root).dataDir match {
+            case Some(dir) => winners(s.read.parquet(dir).unionByName(b))
+            case None => b
+          }
+          GenerationStore.commit(root, batchId)(
+            merged.write.mode("overwrite").parquet(_))
+        }
         ()
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(target.getPath)
+    s.read.parquet(GenerationStore.read(root).dataDir.get)
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_type"), col("value").as("last_value"))
       .orderBy("user_id")
