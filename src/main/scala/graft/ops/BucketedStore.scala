@@ -36,6 +36,25 @@ object BucketedStore {
     * Verify's sf0.01 bucketed tables mid-join). */
   def suffixOf(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** The canonical shared bucketed-orders table — ONE (defn, projection)
+    * owned here so every consumer (sink-bucketed-join in RelScale,
+    * sink-bucket-prune in RelMore220, any future SMB op) reuses the same
+    * fingerprint. When the tuple was duplicated at the call sites, a
+    * drift in either copy made alternating runs of the two ops rebuild
+    * the table every time (fingerprint ping-pong) instead of reusing it;
+    * hoisting makes the coupling structural. */
+  def sharedOrders(s: SparkSession, d: String): DataFrame =
+    ensure(s, d, s"graft_bucketed_orders_${suffixOf(d)}",
+      "o_orderkey", "orders", "v3:o_orderkey,o_orderstatus:bucket8:1fpb")(
+      Tables.orders(s, d).selectExpr("o_orderkey", "o_orderstatus"))
+
+  /** The canonical shared bucketed-lineitem table (sink-bucketed-join's
+    * probe side) — same single-owner discipline as [[sharedOrders]]. */
+  def sharedLineitem(s: SparkSession, d: String): DataFrame =
+    ensure(s, d, s"graft_bucketed_lineitem_${suffixOf(d)}",
+      "l_orderkey", "lineitem", "v3:l_orderkey,l_extendedprice:bucket8:1fpb")(
+      Tables.lineitem(s, d).selectExpr("l_orderkey", "l_extendedprice"))
+
   /** Ensure `table` exists as an 8-bucket parquet table CLUSTERED+SORTED
     * by `key`, built from `df` (lazily evaluated — not touched when the
     * stored files are current), fingerprinted against `$d/$srcName

@@ -43,11 +43,18 @@ object GenerationStore {
     if (!Files.exists(m)) State(None, -1L)
     else {
       // manifest is {"gen":"gen-<id>","batchId":<id>} — written by this
-      // object only, parsed with the same minimal grammar
+      // object only; validate the shape so a truncated/legacy/corrupt
+      // manifest fails with the root and contents named rather than an
+      // opaque ArrayIndexOutOfBounds deep inside foreachBatch
       val s = Files.readString(m)
-      val gen = s.split("\"gen\":\"")(1).split("\"")(0)
-      val bid = s.split("\"batchId\":")(1).split("}")(0).trim.toLong
-      State(Some(Paths.get(root, gen).toString), bid)
+      val shape = """\{"gen":"(gen-\d+)","batchId":(\d+)\}""".r
+      s.trim match {
+        case shape(gen, bid) => State(Some(Paths.get(root, gen).toString), bid.toLong)
+        case other => throw new IllegalStateException(
+          s"GenerationStore manifest at $m is corrupt or from an " +
+          s"incompatible version; refusing to guess. Contents: <$other>. " +
+          "Manual intervention required: delete the store root to rebuild.")
+      }
     }
   }
 

@@ -113,6 +113,10 @@ object RelMore110 {
     val ranked = graft.functions.PrefixScan
       .withRankCumSum(daily, Seq(col("dt")), None).df
       .select("rn", "y").sharedCache()
+    // single-stage fill before the two self-join reads in one action —
+    // the concurrent-first-fill block-put race WarnProbe attributed in
+    // RelMore11/124 (r12); tiny frame, the count is a no-op cost-wise
+    ranked.count()
     val sums = ranked
       .join(ranked.select((col("rn") + 1).as("rn"), col("y").as("l1")), "rn")
       .join(ranked.select((col("rn") + 7).as("rn"), col("y").as("l7")), "rn")

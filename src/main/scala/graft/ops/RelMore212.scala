@@ -194,32 +194,37 @@ object RelMore212 {
     * hash-min labels are converged and stored, and a DELTA batch (odd
     * orderkeys) that arrives later. The refresh seeds hash-min with the
     * STORED labels (new nodes get self labels) and iterates over the
-    * merged edge set to convergence. Rounds saved by the warm start are
-    * DATA-DEPENDENT — measured here (DuckDB replay, sf0.01): base 13
-    * rounds, warm refresh 11 vs 11 cold, because the delta welds two
-    * large components and hash-min still pays the relabel wave across
-    * the merged one; that is the known bound of label-propagation IVM
-    * (diameter-free CC — large-star/small-star pointer doubling — is
-    * the production escape when deltas merge giants). Unlike
-    * graph-cc-hashmin's bounded-4-rounds contract this op runs
-    * eagerUntil to the TRUE fixpoint, so the oracle can be fully
+    * merged edge set to convergence — since r13 via the SHARED
+    * Shiloach-Vishkin shortcutting fixpoint (CcDoubling, the
+    * RelMore221 alternation), not pure hash-min. The history that
+    * forced the port: measured at sf0.01 (r11), pure hash-min's warm
+    * refresh took 11 rounds vs 11 cold, because the delta welds two
+    * large components and label propagation pays the O(diameter)
+    * relabel wave across the merged giant — the warm seed bought
+    * nothing. Pointer doubling caps the wave at O(log n) regardless of
+    * diameter, making the warm start worth what IVM promises. This op
+    * runs eagerUntil to the TRUE fixpoint, so the oracle stays fully
     * independent: a recursive CTE enumerating every (node, reachable
     * label) pair and taking the min, no round-mirroring anywhere.
-    * SCALE: each round is one shuffle on the edge key; per-round state
-    * is localCheckpointed (reliable-dir on a real cluster — see
-    * IterativeFixpoint's scaladoc); the convergence probe exploits
-    * monotonicity — labels only ever decrease, so sum(lbl) unchanged
-    * ⟺ fixpoint — one tiny aggregate per round on the just-
-    * checkpointed state instead of a prev⋈next diff join.
-    * COST CONTRACT (measured, sf0.1 local[32]): the base convergence
-    * (~7 chunks) is the ONE-TIME cost IVM amortizes — it runs on the
+    * SCALE: each doubled round is one E-shuffle (hash-min half; edges
+    * cached pre-partitioned on src, so only labels move) + one V-sized
+    * label self-join (jump half); per-round state is localCheckpointed
+    * (reliable-dir on a real cluster — see IterativeFixpoint's
+    * scaladoc); the convergence probe exploits monotonicity — labels
+    * only ever decrease, so sum(lbl) unchanged ⟺ fixpoint — one tiny
+    * aggregate per round on the just-checkpointed state instead of a
+    * prev⋈next diff join.
+    * COST CONTRACT (measured, sf0.1 local[32], r13): the base
+    * convergence is the ONE-TIME cost IVM amortizes — it runs on the
     * first execution per process and is stored as parquet (per-PID
     * tmp, the guard-already-loaded pattern), so steady-state
-    * executions pay only graph build + warm refresh (~5 chunks);
-    * first 10.7 s → steady ~3.5 s, inside the bounded-iteration
-    * graph family band (closeness 3.8, betweenness-sampled 6.0).
-    * Chunk-5, partitions-4 and diff-join probe variants all measured
-    * no better than chunk-3 + monotone-sum. */
+    * executions pay only graph build + warm refresh; steady ~2.9 s
+    * (r12 quiet band 2.4-2.7 on pure hash-min), inside the bounded-
+    * iteration graph family band. Strict 1+1 hash-min/jump alternation
+    * measured steady 3.5 s — the probe/checkpoint actions per doubled
+    * round outweigh the rounds saved on the nearly-converged warm
+    * refresh, hence the 3-lazy-rounds-per-jump chunk (CcDoubling's
+    * hashMinPerChunk knob). */
   val graphCcIncremental: Q = (s, d) => withShufflePartitions(s, 8) {
     val li = lineitem(s, d).filter(col("l_orderkey") % 31 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -239,39 +244,22 @@ object RelMore212 {
         .union(pairs.select(col("v").as("src"), col("u").as("dst")))
         .union(nodes.select(col("node").as("src"), col("node").as("dst")))
         .repartition(col("src"))
-    def converge(edges: DataFrame, init: DataFrame): DataFrame = {
-      // 3 hash-min rounds per checkpoint: the step reads its state
-      // exactly once, so chaining a short fixed chunk lazily is the
-      // lazyChain criterion applied inside eagerUntil — 3× fewer
-      // checkpoint+probe actions for the same round count. The
-      // monotone-sum fixpoint probe: every step takes a min over the
-      // previous labels, so labels never increase and an unchanged
-      // sum(lbl) is exactly "no label moved" (a converged state is a
-      // fixed point of any further rounds, so chunk granularity never
-      // changes the answer).
-      var lastSum = Long.MinValue
-      var converged = false
-      val out = graft.functions.IterativeFixpoint.eagerUntil(init, 12) { (lbls, _) =>
-        (1 to 3).foldLeft(lbls) { (cur, _) =>
-          edges
-            .join(cur.withColumnRenamed("node", "src"), "src")
-            .groupBy(col("dst").as("node"))
-            .agg(min("lbl").as("lbl"))
-        }
-      } { (_, next, _) =>
-        val s = next.agg(sum("lbl")).head.getLong(0)
-        converged = s == lastSum
-        lastSum = s
-        converged
-      }
-      // eagerUntil returns the last state unconditionally at maxRounds;
-      // a deeper graph than the budget covers must fail LOUDLY here, not
-      // surface as an opaque oracle mismatch downstream
-      require(converged,
-        "graph-cc-incremental: hash-min fixpoint not reached within " +
-          "12 chunks x 3 rounds — graph diameter exceeds the budget; raise maxRounds")
-      out
-    }
+    // r13: both the base build and the warm refresh run the SHARED
+    // Shiloach-Vishkin shortcutting fixpoint (CcDoubling) instead of
+    // chunked hash-min label propagation. The r12 measurement that
+    // motivated it: the delta welds two giant components, and pure
+    // hash-min paid the O(diameter) relabel wave across the merged
+    // giant (11 warm rounds vs 11 cold — the warm seed bought nothing).
+    // Pointer doubling caps the wave at O(log n) rounds regardless of
+    // diameter, so the warm refresh converges in the few rounds the
+    // IVM story always promised.
+    // 3 lazy hash-min rounds + 1 jump per eager chunk: the warm refresh
+    // is nearly converged, so wide cheap chunks beat strict alternation
+    // (see CcDoubling's knob rationale); the jump per chunk still caps
+    // chunk count at O(log n) when a delta welds giants.
+    def converge(edges: DataFrame, init: DataFrame): DataFrame =
+      CcDoubling.converge(edges, init, 12, "graph-cc-incremental",
+        hashMinPerChunk = 3)
     val baseNodes = li.filter(col("ok") % 2 === 0)
       .select(col("pk").as("node")).distinct()
       .sharedCache()

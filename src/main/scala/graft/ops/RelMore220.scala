@@ -278,10 +278,7 @@ object RelMore220 {
     * sink-bucketed-join's orders table via BucketedStore (same
     * fingerprint → zero extra build). */
   val sinkBucketPrune: Q = (s, d) => {
-    val o = BucketedStore.ensure(s, d,
-      s"graft_bucketed_orders_${BucketedStore.suffixOf(d)}",
-      "o_orderkey", "orders", "v3:o_orderkey,o_orderstatus:bucket8:1fpb")(
-      orders(s, d).select(col("o_orderkey"), col("o_orderstatus")))
+    val o = BucketedStore.sharedOrders(s, d)
     o.filter(col("o_orderkey").isin(1L, 7L, 32L, 33L, 64L, 128L))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),

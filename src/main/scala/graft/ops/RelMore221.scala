@@ -155,32 +155,11 @@ object RelMore221 {
       .union(nodes.select(col("node").as("src"), col("node").as("dst")))
       .sharedCache()
     edges.count() // single-stage fill before the per-round fan-out
-    var lastSum = Long.MinValue
-    var converged = false
-    val labels = graft.functions.IterativeFixpoint.eagerUntil(
-      nodes.select(col("node"), col("node").as("lbl")), 12) { (lbls, _) =>
-      // hash-min half: pull the minimum label from the neighborhood.
-      // Checkpointed because the jump half reads it TWICE (self-join) —
-      // without the cut each round would run its E-sized join twice.
-      val hm = edges
-        .join(lbls.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(min("lbl").as("lbl"))
-        .localCheckpoint()
-      // pointer-jump half: adopt the label's own label (shortcut)
-      hm.as("x")
-        .join(hm.as("y"), col("x.lbl") === col("y.node"), "left")
-        .select(col("x.node"),
-          least(col("x.lbl"), coalesce(col("y.lbl"), col("x.lbl"))).as("lbl"))
-    } { (_, next, _) =>
-      val sm = next.agg(sum("lbl")).head.getLong(0)
-      converged = sm == lastSum
-      lastSum = sm
-      converged
-    }
-    require(converged,
-      "graph-cc-pointer-doubling: fixpoint not reached in 12 doubled rounds — " +
-        "component chain deeper than 2^12; raise maxRounds")
+    // the alternation itself lives in CcDoubling (hoisted r13 so
+    // graph-cc-incremental's warm refresh rides the same shortcutting)
+    val labels = CcDoubling.converge(edges,
+      nodes.select(col("node"), col("node").as("lbl")), 12,
+      "graph-cc-pointer-doubling")
     labels.groupBy(col("lbl").as("component"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(desc("n_nodes"), col("component"))

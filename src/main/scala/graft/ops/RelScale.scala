@@ -155,13 +155,8 @@ object RelScale {
   val sinkBucketedJoin: Q = (s, d) => {
     // bucketing machinery lives in BucketedStore (factored out in r12,
     // shared with agg-mv-delta-refresh's stored MV)
-    val suffix = BucketedStore.suffixOf(d)
-    val o = BucketedStore.ensure(s, d, s"graft_bucketed_orders_$suffix",
-      "o_orderkey", "orders", "v3:o_orderkey,o_orderstatus:bucket8:1fpb")(
-      orders(s, d).select(col("o_orderkey"), col("o_orderstatus")))
-    val l = BucketedStore.ensure(s, d, s"graft_bucketed_lineitem_$suffix",
-      "l_orderkey", "lineitem", "v3:l_orderkey,l_extendedprice:bucket8:1fpb")(
-      lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")))
+    val o = BucketedStore.sharedOrders(s, d)
+    val l = BucketedStore.sharedLineitem(s, d)
     // force sort-merge (hint) so the plan shows the point of bucketing:
     // both sides arrive pre-partitioned and pre-sorted on the key — no
     // Exchange, no Sort before the join. (At testdata scale Catalyst

@@ -149,8 +149,21 @@ object TextDedup {
         case _: java.io.IOException => None
       }
     stored.getOrElse {
+      // Publish atomically (the GenerationStore/BucketedStore discipline):
+      // build into a sibling tmp dir, then ATOMIC_MOVE into place, so an
+      // interrupted build (killed query thread, harness timeout) can never
+      // leave a partial dir that the exists() precheck above would accept
+      // and silently feed wrong signatures to every MinHash consumer.
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmpDir = dir + ".building"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpDir))
       minhashSigFrom(hashedShingles(s, d))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
+      try Files.move(Paths.get(tmpDir), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
+      catch { // a concurrent builder won the rename — its complete store is live
+        case _: java.nio.file.FileSystemException =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpDir))
+      }
       s.read.parquet(dir)
     }
   }

@@ -10,6 +10,10 @@ import org.apache.spark.sql.SparkSession
 object WarnProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // optional arg 2: comma-separated key subset (default: FULL surface —
+    // the r12 lesson is that the gate must cover every key, including ones
+    // landed after a sweep, so the full run is the default, not the subset)
+    val subset = args.lift(1).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +23,9 @@ object WarnProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       System.err.println(s"[probe] $name")
       System.err.flush()
       try fn(spark, sfDir).count()
