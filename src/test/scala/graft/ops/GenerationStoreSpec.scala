@@ -76,6 +76,78 @@ class GenerationStoreSpec extends SparkTestBase {
     assert(left == Set("gen-1", "manifest.json"), left)
   }
 
+  test("real checkpoint replay: deleted offset commit redelivers the batch, additive store doesn't double-count") {
+    // The r12 writer-kill specs simulate the replay by calling the
+    // guard directly; this one makes SPARK do it. An AvailableNow
+    // foreachBatch stream additively merges per-batch counts into the
+    // store; after it finishes we delete the checkpoint's LAST offset
+    // commit (<ckpt>/commits/N), so on restart Spark believes batch N
+    // never completed and redelivers it. The manifest's batchId guard
+    // must detect the replay and skip the merge.
+    val root = freshRoot("ckpt-replay")
+    val ckpt = freshRoot("ckpt-replay-ckpt")
+    val srcDir = freshRoot("ckpt-replay-src")
+    spark.range(40).selectExpr("id AS v").repartition(4)
+      .write.parquet(srcDir)
+    val offered = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    def runStream(): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          offered.add(batchId)
+          if (!GenerationStore.alreadyApplied(root, batchId)) {
+            val prev = GenerationStore.read(root).dataDir
+              .map(spark.read.parquet(_).head.getLong(0)).getOrElse(0L)
+            val add = batch.count()
+            GenerationStore.commit(root, batchId) { dir =>
+              spark.range(1).select(lit(prev + add).as("n")).write.parquet(dir)
+            }
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      // the restart reuses the same checkpoint dir: wait until Spark has
+      // fully deregistered this query or the second start() trips the
+      // concurrent-checkpoint-use guard
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(spark.streams.active.isEmpty, "first stream never deregistered")
+    }
+    runStream()
+    val st1 = GenerationStore.read(root)
+    assert(spark.read.parquet(st1.dataDir.get).head.getLong(0) == 40L)
+    val lastBatch = st1.lastBatchId
+    // force the redelivery: the offset log says batch N was planned,
+    // the missing commit says it never finished
+    val commits = Paths.get(ckpt, "commits").toFile.listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    Files.delete(commits.last.toPath)
+    // also drop Hadoop's checksum sidecar: a stale .N.crc makes the
+    // redelivered batch's atomic commit rename fail, which Spark
+    // surfaces as a (spurious) concurrent-checkpoint-use error
+    Files.deleteIfExists(
+      commits.last.toPath.resolveSibling("." + commits.last.getName + ".crc"))
+    runStream()
+    // Spark really did re-offer the committed batch...
+    assert(offered.toArray.count(_ == lastBatch) >= 2,
+      s"expected batch $lastBatch redelivered; offered=$offered")
+    // ...and the additive store counted it exactly once
+    val st2 = GenerationStore.read(root)
+    assert(st2.lastBatchId == lastBatch, st2)
+    assert(spark.read.parquet(st2.dataDir.get).head.getLong(0) == 40L,
+      "replayed batch was double-counted")
+  }
+
   test("stream-mv-incremental end-to-end state matches after the store rewire") {
     // the op-level guarantee: 4 merge generations through the store,
     // final state equals the batch recompute (oracle parity in-Spark)
