@@ -59,12 +59,19 @@ object RelMore108 {
             ((col("c2") - col("b2") * col("b2") / col("a2")) / (col("a2") - 1)) / col("a2")))
           .as("zs"))
       .withColumn("p", expr(erfcSql("abs(zs) / sqrt(2.0)")))
-    val wRank = Window.orderBy(col("p"), col("nk"))
-    val wAll = Window.orderBy(col("p"), col("nk"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    z.withColumn("bh_rank", row_number().over(wRank))
-      .withColumn("crit", col("bh_rank") * lit(0.05) / count(lit(1)).over(wAll))
-      .withColumn("k", max(when(col("p") <= col("crit"), col("bh_rank"))).over(wAll))
+    // r13 PrefixScan port: BH rank via range exchange over the 25
+    // nation rows, the m denominator from the scan's own total, and
+    // the rejection cutoff k as a 1-row broadcast agg — the three
+    // unpartitioned windows gone for the same values
+    val sc = graft.functions.PrefixScan.withRankCumSum(
+      z, Seq(col("p"), col("nk")), None, rankName = "bh_rank")
+    val ranked = sc.df
+      .withColumn("crit", col("bh_rank") * lit(0.05) / lit(sc.n))
+      .sharedCache()
+    ranked.count() // single-stage fill: the k broadcast + final read race
+    val kAgg = ranked.agg(
+      max(when(col("p") <= col("crit"), col("bh_rank"))).as("k"))
+    ranked.crossJoin(broadcast(kAgg))
       .select(col("nk").cast(LongType).as("nationkey"), col("n1").as("n_orders"),
         round(col("zs"), 4).as("z_stat"), round(col("p"), 6).as("p_value"),
         col("bh_rank").cast(LongType).as("bh_rank"),

@@ -229,27 +229,30 @@ object RelMore118 {
   val sqlKeysetPagination: Q = (s, d) => {
     val o = orders(s, d).select(col("o_orderkey"), to_date(col("o_orderdate")).as("dt"))
       .sharedCache()
-    val wAll = Window.orderBy(col("dt"), col("o_orderkey"))
     // Both the OFFSET page and the seek anchor come from orderBy+limit
     // (TakeOrderedAndProject: bounded per-partition heap + driver merge)
     // — NEVER a row_number over the whole table, which is the exact
-    // O(table) anti-pattern keyset pagination exists to avoid. The only
-    // windows below run over ≤150 already-limited rows.
-    val top150 = o.orderBy(col("dt"), col("o_orderkey")).limit(150)
-      .withColumn("rn", row_number().over(wAll)).sharedCache()
-    // single-stage cache fills: broadcast(last) and the main page jobs
-    // otherwise race to first-materialize o/top150 blocks
-    // ("Block rdd_N already exists" — see RelMore42)
-    o.count(); top150.count()
+    // O(table) anti-pattern keyset pagination exists to avoid. The page
+    // positions are then stamped by PrefixScan over the ≤150 already-
+    // limited rows (r13: was a row_number window — bounded, but the
+    // rank stamp costs the same and keeps the census allowlist honest).
+    o.count() // single-stage fill: the page jobs below share the scan
+    val top150 = graft.functions.PrefixScan.withRankCumSum(
+      o.orderBy(col("dt"), col("o_orderkey")).limit(150),
+      Seq(col("dt"), col("o_orderkey")), None, rankName = "rn")
+      .df.sharedCache()
+    top150.count()
     val offsetPage = top150.filter(col("rn") > 100 && col("rn") <= 150)
       .select(col("rn"), col("o_orderkey").as("k_offset"), col("dt").as("dt_offset"))
     val last = top150.filter(col("rn") === 100)
       .select(col("dt").as("ldt"), col("o_orderkey").as("lk"))
-    val keysetPage = o.crossJoin(broadcast(last))
-      .filter(col("dt") > col("ldt") ||
-        (col("dt") === col("ldt") && col("o_orderkey") > col("lk")))
-      .orderBy(col("dt"), col("o_orderkey")).limit(50)
-      .withColumn("rn", row_number().over(Window.orderBy(col("dt"), col("o_orderkey"))) + 100)
+    val keysetPage = graft.functions.PrefixScan.withRankCumSum(
+      o.crossJoin(broadcast(last))
+        .filter(col("dt") > col("ldt") ||
+          (col("dt") === col("ldt") && col("o_orderkey") > col("lk")))
+        .orderBy(col("dt"), col("o_orderkey")).limit(50),
+      Seq(col("dt"), col("o_orderkey")), None, rankName = "rn0")
+      .df.withColumn("rn", col("rn0") + 100)
       .select(col("rn"), col("o_orderkey").as("k_keyset"))
     offsetPage.join(keysetPage, Seq("rn"))
       .select(col("rn").cast(LongType).as("page_row"), col("dt_offset").as("dt"),

@@ -215,10 +215,15 @@ object RelMore200 {
     val wide = hist.groupBy("v").agg(
       sum(when(col("y") === 1996, col("c")).otherwise(0L)).as("cp"),
       sum(when(col("y") === 1997, col("c")).otherwise(0L)).as("cq"))
-    val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    val cum = wide
-      .withColumn("fp", sum("cp").over(wCum))
-      .withColumn("fq", sum("cq").over(wCum))
+      .sharedCache()
+    wide.count() // single-stage fill: tot broadcast + triangle read it
+    // r13: both ECDFs via ONE triangle self-join over the 50-value
+    // quantity domain (b.v <= a.v, ~1.3k pairs) instead of two
+    // unpartitioned cum windows — same values, census-clean, O(k^2)
+    // bounded by the declared value domain
+    val cum = wide.as("a").join(wide.as("b"), col("b.v") <= col("a.v"))
+      .groupBy(col("a.v").as("v"))
+      .agg(sum(col("b.cp")).as("fp"), sum(col("b.cq")).as("fq"))
     val tot = wide.agg(sum("cp").as("np"), sum("cq").as("nq"))
     cum.crossJoin(broadcast(tot))
       .agg(count(lit(1)).as("domain_size"),

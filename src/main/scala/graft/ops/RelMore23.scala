@@ -31,15 +31,22 @@ object RelMore23 {
         graft.functions.PrefixScan.ntileFromRank(10, sc.n, col("rn")))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_cust"), sum("cents").as("cents"))
-    val wCum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    deciles
+      .sharedCache()
+    deciles.count() // single-stage fill: tot broadcast + triangle read it
+    // r13: the running sums over the 10 decile rows via a triangle
+    // self-join (b.decile <= a.decile — 55 pairs) + one grand-total
+    // broadcast, replacing two unpartitioned windows; same values,
+    // census-clean, O(k^2) on a designed-constant k=10
+    val tot = deciles.agg(sum("n_cust").as("tc"), sum("cents").as("tr"))
+    deciles.as("a").join(deciles.as("b"), col("b.decile") <= col("a.decile"))
+      .groupBy(col("a.decile").as("decile"))
+      .agg(max(col("a.n_cust")).as("n_cust"),
+        sum(col("b.n_cust")).as("cum_cust"), sum(col("b.cents")).as("cum_rev"))
+      .crossJoin(broadcast(tot))
       .withColumn("cum_cust_ppm",
-        floor(sum("n_cust").over(wCum) * lit(1000000L) / sum("n_cust").over(wAll))
-          .cast(LongType))
+        floor(col("cum_cust") * lit(1000000L) / col("tc")).cast(LongType))
       .withColumn("cum_rev_ppm",
-        floor(sum("cents").over(wCum) * lit(1000000L) / sum("cents").over(wAll))
-          .cast(LongType))
+        floor(col("cum_rev") * lit(1000000L) / col("tr")).cast(LongType))
       .select("decile", "n_cust", "cum_cust_ppm", "cum_rev_ppm")
       .orderBy("decile")
   }

@@ -71,8 +71,15 @@ object RelMore72 {
       .agg(sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L)).as("score"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
       .withColumn("variant", (col("user_id") % 2 === 1).cast(IntegerType))
-    val cut = perUser.withColumn("bucket",
-      ntile(5).over(Window.orderBy(col("score").desc, col("user_id").asc)))
+    // r13 PrefixScan port: ntile(5) over the PER-USER frame was the
+    // census's one genuinely corpus-sized unpartitioned window (users
+    // grow with the corpus, unlike the calendar/domain-bounded frames)
+    // — a single-task global sort at 100 TB. Rank via range exchange,
+    // then the exact ntile arithmetic from the rank.
+    val sc = graft.functions.PrefixScan.withRankCumSum(
+      perUser, Seq(col("score").desc, col("user_id").asc), None, rankName = "rn")
+    val cut = sc.df.withColumn("bucket",
+      graft.functions.PrefixScan.ntileFromRank(5, sc.n, col("rn")))
     cut.groupBy("bucket")
       .agg(
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_treat"),

@@ -27,9 +27,14 @@ object RelMore79 {
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
       .groupBy("cv")
       .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
-    val w = Window.orderBy("cv").rowsBetween(Window.unboundedPreceding, -1)
-    val u2 = census
-      .withColumn("negs_below", coalesce(sum("nn").over(w), lit(0L)))
+    // r13 PrefixScan port: the exclusive negatives-below prefix over the
+    // score domain via range exchange (inclusive cum minus own count)
+    // instead of an unpartitioned window — the domain is value-bounded
+    // but the scan shape also survives an unbounded score domain
+    val scanned = graft.functions.PrefixScan.withRankCumSum(
+      census, Seq(col("cv")), Some("nn"), rankName = "rn", cumName = "cum_nn")
+    val u2 = scanned.df
+      .withColumn("negs_below", col("cum_nn") - col("nn"))
       .select(
         sum(col("np").cast(DecimalType(38, 0))).as("n1"),
         sum(col("nn").cast(DecimalType(38, 0))).as("n0"),

@@ -62,11 +62,18 @@ object RelMore8 {
       base, Seq(col("cents").desc, col("o_orderkey")), None, rankName = "rn")
     val deciled = scanned.df.withColumn("decile",
       graft.functions.PrefixScan.ntileFromRank(10, scanned.n, col("rn")))
-    deciled.groupBy("decile")
+    val byDecile = deciled.groupBy("decile")
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("c"))
+      .sharedCache()
+    // r13: grand-total share via broadcast of a 1-row agg instead of an
+    // unpartitioned window over the 10 decile rows (same value, census-
+    // clean shape; the window was bounded but the window-free form costs
+    // nothing and keeps the census allowlist honest)
+    byDecile.count()
+    val tot = byDecile.agg(sum("c").as("tot_c"))
+    byDecile.crossJoin(broadcast(tot))
       .withColumn("share_micro",
-        floor(col("c") * lit(1000000L) / sum(col("c")).over(Window.partitionBy()))
-          .cast(LongType))
+        floor(col("c") * lit(1000000L) / col("tot_c")).cast(LongType))
       .select(col("decile").cast(IntegerType).as("decile"), col("n_orders"),
         outNum(col("c") / 100).as("revenue"), col("share_micro"))
       .orderBy("decile")

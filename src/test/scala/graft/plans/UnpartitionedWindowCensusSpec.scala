@@ -27,14 +27,20 @@ import graft.tools.WindowAudit
   */
 class UnpartitionedWindowCensusSpec extends SparkTestBase {
 
-  /** Keys justified as bounded-frame per the round-10/11/12
-    * adjudication (115 = round 11's 120 minus the five r12 PrefixScan
-    * ports: dq-durbin-watson, dq-von-neumann-ratio, agg-runs-test
-    * [lag(1) via withNeighbor], dq-turning-points [lag+lead via two
-    * withNeighbor stitches], agg-theil-u2 [lag(1)/lag(7) via a
-    * withRankCumSum rank stamp + rank-shifted equi-self-joins] — the
-    * five remaining adjacent-row date-axis frames, the largest class
-    * left after r11 took the running-max/cumsum family).
+  /** Keys justified as bounded-frame per the round-10..13
+    * adjudication. 108 = round 12's 115 minus the seven r13 ports:
+    * agg-uplift-deciles (ntile(5) over PER-USER rows — the one
+    * genuinely corpus-sized frame the list still hid, now a
+    * withRankCumSum rank + ntileFromRank), agg-decile-report and
+    * agg-lorenz-curve (grand-total/running windows over the 10 decile
+    * rows → 1-row broadcast agg / 55-pair triangle self-join),
+    * dq-fdr-bh (rank+count+max over 25 nations → PrefixScan rank +
+    * broadcast cutoff agg), agg-auc-exact (exclusive domain prefix →
+    * withRankCumSum cum minus own count), agg-wasserstein-1d (two
+    * ECDF cums over the 50-value quantity domain → one triangle
+    * self-join), sql-keyset-pagination (two post-limit <=150-row
+    * row_numbers → PrefixScan rank stamps). The r12 five were the
+    * adjacent-row date-axis frames (withNeighbor/rank-shift ports).
     *
     * Remaining families, with the numeric frame bound at sf1 (frames
     * scale with the CALENDAR or a designed constant, not the corpus):
@@ -49,8 +55,8 @@ class UnpartitionedWindowCensusSpec extends SparkTestBase {
     *    that neither withNeighbor (adjacent-row only) nor
     *    withRankCumSum (prefix aggregates only) models; the
     *    single-task sort of ≤2.4k rows is O(ms) at any corpus size;
-    *  - designed grids / deciles / k-row reports (agg-decile-report
-    *    10, agg-box-cox-grid 11, agg-skyline-2d post-limit ≤100,
+    *  - designed grids / deciles / k-row reports (agg-box-cox-grid
+    *    11, agg-skyline-2d post-limit ≤100,
     *    agg-topk-merge k=10, agg-dhondt-apportion seats≤30, …):
     *    ≤ designed k ≤ ~100;
     *  - value-domain histograms (text-zipf-fit top-200 vocab,
@@ -59,13 +65,11 @@ class UnpartitionedWindowCensusSpec extends SparkTestBase {
     *    bins, …): bounded by the declared domain, stated in each
     *    op's scaladoc. */
   private val allowlist: Set[String] = Set(
-    "agg-adstock-fit", "agg-almon-lag", "agg-arch-lm-test", "agg-auc-exact",
-    "agg-bass-diffusion", "agg-bcg-matrix", "agg-box-cox-grid",
+    "agg-adstock-fit", "agg-almon-lag", "agg-arch-lm-test", "agg-bass-diffusion", "agg-bcg-matrix", "agg-box-cox-grid",
     "agg-calmar-ratio", "agg-capm-beta", "agg-capture-ratios",
     "agg-champion-regret", "agg-changepoint-cusum", "agg-cointegration",
     "agg-conformal-interval", "agg-cornish-fisher-var",
-    "agg-cusum-changepoint", "agg-decile-report",
-    "agg-dft-weekly-power", "agg-dhondt-apportion", "agg-dickey-fuller",
+    "agg-cusum-changepoint", "agg-dft-weekly-power", "agg-dhondt-apportion", "agg-dickey-fuller",
     "agg-diebold-mariano", "agg-directional-accuracy", "agg-dow-seasonality",
     "agg-dtw-monthly", "agg-erlang-c-staffing", "agg-extremal-index",
     "agg-forecast-backtest", "agg-forecast-combination",
@@ -74,7 +78,7 @@ class UnpartitionedWindowCensusSpec extends SparkTestBase {
     "agg-isotonic-minimax", "agg-kelly-criterion", "agg-kruskal-wallis",
     "agg-kyle-lambda", "agg-largest-remainder-apportion", "agg-life-table",
     "agg-littles-law", "agg-littlewood-rule", "agg-ljung-box",
-    "agg-logrank-test", "agg-lorenz-curve", "agg-mcf-recurrent",
+    "agg-logrank-test", "agg-mcf-recurrent",
     "agg-median-of-means", "agg-min-variance-pair", "agg-mincer-zarnowitz",
     "agg-nelson-aalen", "agg-newsvendor-quantile", "agg-otsu-threshold",
     "agg-pinball-loss-eval", "agg-profit-curve", "agg-psm-match",
@@ -82,18 +86,17 @@ class UnpartitionedWindowCensusSpec extends SparkTestBase {
     "agg-segment-migration", "agg-skyline-2d",
     "agg-spearman-corr", "agg-sprt-boundary", "agg-survival-km",
     "agg-tail-dependence", "agg-team-draft-interleaving", 
-    "agg-topk-merge", "agg-tornqvist-index", "agg-uplift-deciles",
-    "agg-variance-split-stump", "agg-volume-profile-poc",
-    "agg-wasserstein-1d", "agg-weibull-fit", "agg-wright-learning-curve",
+    "agg-topk-merge", "agg-tornqvist-index", "agg-variance-split-stump", "agg-volume-profile-poc",
+    "agg-weibull-fit", "agg-wright-learning-curve",
     "ann-cell-balance", "dedup-ivf-recall", "dq-alarm-flappiness",
     "dq-anomaly-zscore", "dq-benford", "dq-binning-advisor",
-    "dq-fdr-bh", "dq-freshness", "dq-holm-stepdown",
+    "dq-freshness", "dq-holm-stepdown",
     "dq-join-fanout-preflight", "dq-kpss-stationarity", "dq-ks-drift",
     "dq-mann-whitney", "dq-page-hinkley", "dq-timezone-shift",
     "dq-western-electric",
     "emb-pq-usage", "layout-sort-key-advisor", "mm-modality-balance",
     "sample-curriculum-schedule", "sample-psis-khat",
-    "sample-weighted-alloc", "sql-keyset-pagination", "text-ndcg-eval",
+    "sample-weighted-alloc", "text-ndcg-eval",
     "text-oov-coverage", "text-truncation-loss", "text-vocab-stats",
     "text-zipf-fit", "win-amihud-illiq", "win-binseg-split",     "win-hampel-filter", "win-holt-brown", "win-kaufman-er",
     "win-level-shift", "win-peak-detect",
