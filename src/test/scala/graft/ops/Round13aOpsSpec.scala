@@ -60,6 +60,29 @@ class Round13aOpsSpec extends SparkTestBase {
     assert(narrow.except(wide).isEmpty && wide.except(narrow).isEmpty)
   }
 
+  test("emb-lof-ivf: probe really shrinks the candidate set and ranks stay well-formed") {
+    val rows = run("emb-lof-ivf").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+    rows.foreach { r =>
+      // nprobe/cells = 2/8 must score a strict fraction of the pairs —
+      // the measured claim that makes the IVF path a scale path at all
+      val frac = r.getAs[Long]("cand_frac_pm")
+      assert(frac > 0 && frac < 600, s"candidate fraction out of range: $frac")
+      assert(r.getAs[Double]("lof_ivf") > 0.0, r)
+    }
+  }
+
+  test("emb-lof-ivf: grading flags agree with an independently computed exact top-10") {
+    val ivf = run("emb-lof-ivf").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("in_exact_top10")).toMap
+    val exact = run("emb-lof").collect().map(_.getAs[Long]("vec_id")).toSet
+    ivf.foreach { case (v, flagged) =>
+      assert(flagged == exact.contains(v),
+        s"vec $v: flag $flagged but exact-top membership ${exact.contains(v)}")
+    }
+  }
+
   test("GenerationStore.read: corrupt manifest fails loudly with the path named") {
     val root = java.nio.file.Files.createTempDirectory("genstore-spec").toString
     java.nio.file.Files.writeString(
