@@ -160,30 +160,25 @@ object RelMore154 {
     * a human-review dedup queue starts from) — one-directional 1-NN
     * (what ann-topk-bruteforce returns at k=1) is polluted by hubs,
     * which mutuality filters by construction (cf. emb-hubness-skew).
-    * 1-NN per vector from the codegen norm-expansion pair pass
-    * (exact integer d², id tiebreak); mutuality is one self-join on
-    * the (i → nn) map; top 10 closest mutual pairs. */
+    * 1-NN per vector read from the emb family's per-process exact-kNN
+    * store (RelMore168.knnExactStored, rk = 1 — r13 port: this op
+    * previously rebuilt its own |corpus|² pair pass on a round-lattice
+    * variant; one floor-lattice store now serves kdist-elbow, lof,
+    * lof-ivf AND this op, and the oracle moved to the same lattice);
+    * mutuality is one self-join on the (i → nn) map; top 10 closest
+    * mutual pairs. */
   val embMutualNnPairs: Q = (s, d) => {
-    val v = embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) " +
-        "AS DOUBLE))").as("vq"))
-      .withColumn("nq", expr("dot_product(vq, vq)"))
-      .sharedCache()
-    val nn = v.as("a").crossJoin(broadcast(v.as("b")))
-      .filter(col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        expr("CAST(a.nq + b.nq - 2 * dot_product(a.vq, b.vq) AS BIGINT)").as("d2"))
-      .withColumn("rk", row_number().over(Window.partitionBy("i")
-        .orderBy(col("d2"), col("j"))))
+    val nn = RelMore168.knnExactStored(s, d)
       .filter(col("rk") === 1)
       .select(col("i"), col("j"), col("d2"))
       .sharedCache()
+    nn.count() // single-stage fill: the mutuality self-join reads it twice
     val mutual = nn.as("x").join(nn.as("y"),
         expr("x.i = y.j AND x.j = y.i AND x.i < x.j"))
       .select(col("x.i").as("vec_a"), col("x.j").as("vec_b"), col("x.d2").as("d2"))
       .sharedCache()
     val counts = mutual.agg(count(lit(1)).as("n_mutual_pairs"))
-      .crossJoin(v.agg(count(lit(1)).as("n_vectors")))
+      .crossJoin(embeddings(s, d).agg(count(lit(1)).as("n_vectors")))
     mutual.crossJoin(broadcast(counts))
       .select(col("vec_a"), col("vec_b"),
         round(sqrt(col("d2").cast(DoubleType)) / lit(1e3), 6).as("distance"),
@@ -195,28 +190,21 @@ object RelMore154 {
   }
 
   val embMutualNnPairsSql: String =
-    """WITH v AS MATERIALIZED (
-      |  SELECT vec_id, vq, list_inner_product(vq, vq) AS nq
-      |  FROM (
-      |    SELECT vec_id,
-      |           list_transform(embedding,
-      |             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS DOUBLE)) AS vq
-      |    FROM embeddings) t),
+    s"""WITH base AS (${RelMore168.latticeSql}),
+      |based AS MATERIALIZED (${RelMore168.basedSql}),
+      |p AS (${RelMore168.pairsSql}),
       |nn AS MATERIALIZED (
       |  SELECT i, j, d2 FROM (
-      |    SELECT a.vec_id AS i, b.vec_id AS j,
-      |           CAST(a.nq + b.nq - 2 * list_inner_product(a.vq, b.vq) AS BIGINT) AS d2,
-      |           row_number() OVER (PARTITION BY a.vec_id
-      |             ORDER BY CAST(a.nq + b.nq - 2 * list_inner_product(a.vq, b.vq)
-      |                           AS BIGINT), b.vec_id) AS rk
-      |    FROM v a JOIN v b ON a.vec_id <> b.vec_id) t
+      |    SELECT i, j, d2,
+      |           row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rk
+      |    FROM p) t
       |  WHERE rk = 1),
       |mutual AS MATERIALIZED (
       |  SELECT x.i AS vec_a, x.j AS vec_b, x.d2
       |  FROM nn x JOIN nn y ON x.i = y.j AND x.j = y.i AND x.i < x.j),
       |counts AS (
       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM mutual) AS n_mutual_pairs,
-      |         (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_vectors)
+      |         (SELECT CAST(count(*) AS BIGINT) FROM based) AS n_vectors)
       |SELECT vec_a, vec_b,
       |       round(sqrt(CAST(d2 AS DOUBLE)) / 1e3, 6) AS distance,
       |       n_mutual_pairs,

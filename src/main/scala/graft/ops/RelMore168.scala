@@ -16,14 +16,14 @@ object RelMore168 {
 
   /** Milli-quantized embedding lattice (the emb-family standard): int
     * coordinates as doubles so dot_product folds are exact. */
-  private def lattice(s: SparkSession, d: String): DataFrame = {
+  private[ops] def lattice(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotProduct.register(s)
     graft.functions.QuantizeLattice.register(s)
     embeddings(s, d).select(col("vec_id"), col("label"),
       expr("quantize_lattice(embedding, 1000.0D)").as("v"))
   }
 
-  private val latticeSql: String =
+  private[ops] val latticeSql: String =
     """SELECT vec_id, label,
       |       list_transform(embedding,
       |         x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS DOUBLE)) AS v
@@ -33,7 +33,7 @@ object RelMore168 {
     * Self-norms are computed ONCE per vector (norm expansion d² =
     * |a|² + |b|² − 2a·b) — a per-pair dot_product(a, a) would redo
     * the same 64-term fold |corpus| times per vector. */
-  private def pairs(s: SparkSession, d: String): DataFrame = {
+  private[ops] def pairs(s: SparkSession, d: String): DataFrame = {
     val base = lattice(s, d).withColumn("nq", expr("dot_product(v, v)"))
     base.as("a").crossJoin(broadcast(base.as("b")))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
@@ -41,14 +41,14 @@ object RelMore168 {
         expr("CAST(a.nq + b.nq - 2 * dot_product(a.v, b.v) AS BIGINT)").as("d2"))
   }
 
-  private val pairsSql: String =
+  private[ops] val pairsSql: String =
     s"""SELECT a.i, b.vec_id AS j,
       |       CAST(a.nq + b.nq - 2 * list_inner_product(a.v, b.v) AS BIGINT) AS d2
       |FROM (SELECT vec_id AS i, v, nq FROM based) a
       |CROSS JOIN based b
       |WHERE a.i <> b.vec_id""".stripMargin
 
-  private val basedSql: String =
+  private[ops] val basedSql: String =
     "SELECT vec_id, label, v, list_inner_product(v, v) AS nq FROM base"
 
   private val Eps2 = 1420000L // ≈ median 5-NN squared distance on the milli lattice
@@ -63,7 +63,7 @@ object RelMore168 {
     * interrupted build must never leave a partial dir the exists()
     * precheck would accept). Per-process tmp dir, so cross-run
     * staleness is impossible. */
-  private def knnExactStored(s: SparkSession, d: String): DataFrame = {
+  private[ops] def knnExactStored(s: SparkSession, d: String): DataFrame = {
     val dir = tmp("emb-knn10-store", d)
     val stored =
       if (!new java.io.File(dir).exists()) None
