@@ -111,26 +111,17 @@ object RelMore123 {
     * owns the scale path). N₁₀ counts are exact; the skewness is
     * closed-form from exact integer moments. */
   val embHubnessSkew: Q = (s, d) => {
-    // d² via the norm expansion |a|²+|b|²−2a·b on the codegen'd
-    // dot_product instead of an interpreted zip_with/aggregate long
-    // fold (the HOF lambda allocates per pair and never codegens —
-    // measured 44.9 s → 4.6 s steady at sf0.1 on the 4M-pair cross;
-    // the residual is the top-10 rank window, not the distances).
-    // Exactness is preserved: the milli-quantized components are
-    // integers, so every product/sum stays < 2⁵³ and the double
-    // arithmetic is EXACT — the BIGINT cast returns the identical d².
-    val v = embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) " +
-        "AS DOUBLE))").as("vq"))
-      .withColumn("nq", expr("dot_product(vq, vq)"))
-      .sharedCache()
-    val wn = Window.partitionBy("i").orderBy(col("d2q"), col("j"))
-    val top10 = v.as("a").crossJoin(broadcast(v.as("b")))
-      .filter(col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        expr("CAST(a.nq + b.nq - 2 * dot_product(a.vq, b.vq) AS BIGINT)").as("d2q"))
-      .withColumn("rn", row_number().over(wn))
-      .filter(col("rn") <= 10)
+    // r13: the top-10 edge table comes from the emb family's
+    // per-process exact-kNN store (RelMore168.knnExactStored) instead
+    // of a private round-lattice |corpus|² pass — the fourth consumer
+    // of the one stored scoring pass (the oracle moved to the same
+    // floor lattice; hub counts are lattice-robust but not identical,
+    // so the oracle MUST mirror the lattice, and does). History kept
+    // for the codegen lesson: the original HOF zip_with fold measured
+    // 44.9 s → 4.6 s steady via the norm-expansion dot_product; the
+    // store drops the remaining per-rep pair pass entirely.
+    val v = embeddings(s, d).select(col("vec_id")).sharedCache()
+    val top10 = RelMore168.knnExactStored(s, d).select(col("i"), col("j"))
     val nk = v.select(col("vec_id")).join(
       top10.groupBy("j").agg(count(lit(1)).as("n10")),
       col("vec_id") === col("j"), "left")
@@ -157,26 +148,18 @@ object RelMore123 {
   }
 
   val embHubnessSkewSql: String =
-    """WITH v AS MATERIALIZED (
-      |  SELECT vec_id,
-      |         list_transform(embedding,
-      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS vq
-      |  FROM embeddings),
-      |pairs AS MATERIALIZED (
-      |  SELECT a.vec_id AS i, b.vec_id AS j,
-      |         list_sum(list_transform(range(1, 65),
-      |           idx -> (a.vq[idx] - b.vq[idx]) * (a.vq[idx] - b.vq[idx]))) AS d2q
-      |  FROM v a CROSS JOIN v b
-      |  WHERE a.vec_id <> b.vec_id),
+    s"""WITH base AS (${RelMore168.latticeSql}),
+      |based AS MATERIALIZED (${RelMore168.basedSql}),
+      |p AS (${RelMore168.pairsSql}),
       |top10 AS MATERIALIZED (
       |  SELECT j FROM (
-      |    SELECT j, row_number() OVER (PARTITION BY i ORDER BY d2q, j) AS rn
-      |    FROM pairs) t
+      |    SELECT j, row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+      |    FROM p) t
       |  WHERE rn <= 10),
       |nk AS MATERIALIZED (
-      |  SELECT v.vec_id, CAST(coalesce(cnt, 0) AS BIGINT) AS n10
-      |  FROM v LEFT JOIN (SELECT j, count(*) AS cnt FROM top10 GROUP BY 1) c
-      |    ON v.vec_id = c.j),
+      |  SELECT b.vec_id, CAST(coalesce(cnt, 0) AS BIGINT) AS n10
+      |  FROM based b LEFT JOIN (SELECT j, count(*) AS cnt FROM top10 GROUP BY 1) c
+      |    ON b.vec_id = c.j),
       |mom AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS DOUBLE) AS nd,
       |         CAST(sum(n10) AS DOUBLE) AS s1, CAST(sum(n10) AS BIGINT) AS s1l,
