@@ -31,6 +31,9 @@ object RelMore106 {
       .select(col("vec_id"), col("k"),
         floor(col("x").cast(DoubleType) * lit(1000.0) + lit(0.5)).cast(LongType).as("mq"))
       .sharedCache()
+    // single-stage fill: multiply() reads m twice per call in one action
+    // (r13 WarnProbe attribution — block-put first-fill race)
+    m.count()
     def multiply(v: DataFrame): DataFrame = {
       val sv = m.join(broadcast(v), Seq("k"))
         .groupBy("vec_id").agg(sum(col("mq") * col("vq")).as("sraw"))

@@ -291,6 +291,9 @@ object RelMore160 {
       .withColumn("promo_decile", ntile(10).over(Window.orderBy(
         expr("CAST((dwn - pmod(dwn, rev)) / rev AS DECIMAL(38,0))").desc, col("wk"))))
       .sharedCache()
+    // single-stage fill: the self-join below reads weekly twice in one
+    // action (r13 WarnProbe attribution — block-put first-fill race)
+    weekly.count()
     val nextRev = weekly.select((col("wk") - 1).as("wk"), col("rev").as("next_rev"))
     val tagged = weekly.join(nextRev, Seq("wk"))
       .select((col("promo_decile") === 1).as("promo"), col("rev"), col("next_rev"))

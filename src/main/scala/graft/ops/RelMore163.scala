@@ -251,10 +251,18 @@ object RelMore163 {
       (top, rest)
     }
 
+    // single-stage fills: each round reads its input THREE times in one
+    // action (moment broadcast + scoring + the anti-join), and broadcast
+    // subtrees execute on their own threads — the concurrent-first-fill
+    // block-put race r13's WarnProbe attributed here. Tiny frames
+    // (≤2.4k calendar days), so the fills are O(ms).
+    daily.count()
     val (f1, rest1) = round1(daily, 1)
     val r1c = rest1.sharedCache()
+    r1c.count()
     val (f2, rest2) = round1(r1c, 2)
     val r2c = rest2.sharedCache()
+    r2c.count()
     val (f3, _) = round1(r2c, 3)
     f1.unionAll(f2).unionAll(f3).orderBy("round")
   }
