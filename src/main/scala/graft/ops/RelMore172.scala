@@ -49,7 +49,13 @@ object RelMore172 {
       bfs = bfs.unionByName(nxt).localCheckpoint()
       frontier = nxt
     }
-    (bfs.sharedCache(), edges, nodes)
+    val bfsC = bfs.sharedCache()
+    // single-stage fill: the backward pass (betweenness) reads two
+    // dist-slices of bfs per level in ONE action since the r13 lazy
+    // chain; eccentricity's per-seed max reads it once — either way
+    // the fill prevents the concurrent-first-fill block-put race
+    bfsC.count()
+    (bfsC, edges, nodes)
   }
 
   /** The shared BFS SQL: lv0..lv6 CTEs with NOT-IN visited guards,
@@ -95,6 +101,13 @@ object RelMore172 {
     * removal disconnects flow, invisible to degree and closeness. */
   val graphBetweennessSampled: Q = (s, d) => withShufflePartitions(s, 8) {
     val (bfs, edges, _) = bfsSigma(s, d)
+    // The per-level localCheckpoint is LOAD-BEARING here even though
+    // each level reads deltaPrev once (the lazyChain criterion's other
+    // clause): the final union takes EVERY level as a branch, so a lazy
+    // dlev_k would re-execute inside dlev_(k-1)'s subtree AND as its
+    // own union branch — O(levels) re-execution (measured r13: the lazy
+    // form was no faster under load; the checkpoint form keeps each
+    // level computed exactly once for 5 cheap driver actions).
     var deltaPrev: DataFrame = bfs.filter(col("dist") === MaxLev)
       .select(col("seed"), col("node"), lit(0.0).as("delta"))
       .localCheckpoint()
