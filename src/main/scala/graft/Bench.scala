@@ -45,6 +45,11 @@ object Bench {
     // shows single-rep totals swing ±20-25% with host load, most of it
     // first-run noise.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // announce to stderr (log-only, unmeasured) so a WARN in the bench
+      // tail is attributable to its query by position — r13: the bench
+      // log was the one surface WarnProbe's discipline didn't cover
+      System.err.println(s"[bench] $name")
+      System.err.flush()
       def rep(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -86,6 +86,11 @@ object RelMore29 {
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
       .union(pairs.select(col("v").as("src"), col("u").as("dst")))
       .persist()
+    // single-stage fill: in the lazy chain each round's plan contains
+    // the previous round TWICE (modes subtree + the left join side), so
+    // the final action reads edges from independent stages concurrently
+    // (r13 bench-conditions WarnProbe attribution — block-put race)
+    edges.count()
     // IterativeFixpoint.lazyChain: fixed shallow depth (3) and the step
     // reads its label state twice but both reads ride the SAME round's
     // shuffles once the single final action runs — per-round actions

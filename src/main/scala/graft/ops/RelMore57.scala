@@ -295,6 +295,10 @@ object RelMore57 {
       .filter(col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct().sharedCache()
+    // single-stage fill: the final action reads e five times (degree
+    // union + the triangle triple self-join) from concurrent stages
+    // (r13 bench-conditions WarnProbe attribution — block-put race)
+    e.count()
     val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val tri = e.as("e1")
