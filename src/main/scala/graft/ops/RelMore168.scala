@@ -60,37 +60,19 @@ object RelMore168 {
     * process (the TextDedup signature-store pattern): emb-kdist-elbow
     * (rk = 5), emb-lof (rk ≤ 10) and emb-lof-ivf's grading branch all
     * need the same |corpus|² scoring pass — the store makes the family
-    * pay it once per process instead of once per key per rep. Atomic
-    * publish via sibling-tmp + ATOMIC_MOVE (the r13 house rule: an
-    * interrupted build must never leave a partial dir the exists()
-    * precheck would accept). Per-process tmp dir, so cross-run
-    * staleness is impossible. */
-  private[ops] def knnExactStored(s: SparkSession, d: String): DataFrame = {
-    val dir = tmp("emb-knn10-store", d)
-    val stored =
-      if (!new java.io.File(dir).exists()) None
-      else try { val x = s.read.parquet(dir); if (x.isEmpty) None else Some(x) }
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => None
-        case _: java.io.IOException => None
-      }
-    stored.getOrElse {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val tmpDir = dir + ".building"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpDir))
+    * pay it once per process instead of once per key per rep. Staging,
+    * atomic publish and loud publish-failure handling live in
+    * Tables.storedOnce (r14: per-attempt staging suffix + rethrow on a
+    * non-race move failure, both r13 advice items). Per-process tmp
+    * dir, so cross-run staleness is impossible. */
+  private[ops] def knnExactStored(s: SparkSession, d: String): DataFrame =
+    Tables.storedOnce(s, tmp("emb-knn10-store", d)) { tmpDir =>
       val w = Window.partitionBy("i").orderBy(col("d2").asc, col("j").asc)
       pairs(s, d)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
-      try Files.move(Paths.get(tmpDir), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileSystemException =>
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpDir))
-      }
-      s.read.parquet(dir)
     }
-  }
 
   /** emb-dbscan-core — the DBSCAN point-role census at (ε², minPts) =
     * (1.42·10⁶ lattice units, 5): CORE points have ≥ minPts neighbors
@@ -387,12 +369,28 @@ object RelMore168 {
     * (sf0.1 local[32], r13): steady ~4.5 s ≈ emb-lof's own band + the
     * 1/4-cost probe branch — the op deliberately pays exact+ivf to
     * grade one against the other. */
-  val embLofIvf: Q = (s, d) => {
-    val k = 10
+  /** The IVF index parts shared by emb-lof-ivf and emb-mutual-nn-ivf
+    * (r14: extracted so the density family's scale path is ONE piece
+    * of candidate-generation machinery graded by two consumers, per
+    * the r13 verdict's "extend the IVF path across the family").
+    * `base` is cached+filled; `assign` is each vector's nearest of the
+    * 8 lowest-vec_id centroids, `probes` its 2 nearest cells (as
+    * (i, centroid_id)), `candFracPm` the MEASURED candidate fraction
+    * in permille of the n(n-1) exact pairs. */
+  private[ops] final case class IvfIndex(
+    base: DataFrame, assign: DataFrame, probes: DataFrame,
+    n: Long, candFracPm: Long)
+
+  private[ops] def ivfIndex(s: SparkSession, d: String): IvfIndex = {
     val base = lattice(s, d).withColumn("nq", expr("dot_product(v, v)"))
       .sharedCache()
     val n = base.count() // fill + the candidate-fraction denominator
-    val cent = base.filter(col("vec_id") < 8)
+    // centroids = the 8 LOWEST vec_ids (TakeOrderedAndProject, not a
+    // full sort), not `vec_id < 8` — a corpus whose ids don't start at
+    // 0 must still seed 8 cells, and a degenerate corpus must fail
+    // loudly instead of emitting an empty grade (r13 advice item)
+    require(n > 1, s"ivfIndex: corpus has $n vectors; need > 1")
+    val cent = base.orderBy("vec_id").limit(8)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nq").as("cnq"))
     val cscore = base.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("centroid_id"),
@@ -410,10 +408,16 @@ object RelMore168 {
     val nCand = assign.groupBy("centroid_id").agg(count(lit(1)).as("sz"))
       .join(probes.groupBy("centroid_id").agg(count(lit(1)).as("pc")), Seq("centroid_id"))
       .agg(sum(expr("sz * pc")).as("raw")).head.getLong(0) - n
-    val candFracPm = nCand * 1000L / (n * (n - 1))
-    val av = base.join(assign, Seq("vec_id"))
-    val pv = base.join(probes.withColumnRenamed("i", "vec_id"), Seq("vec_id"))
-    val knnIvf = pv.as("a").join(broadcast(av.as("b")),
+    IvfIndex(base, assign, probes, n, nCand * 1000L / (n * (n - 1)))
+  }
+
+  /** Top-k IVF-candidate kNN edges (i, j, d2, rk ≤ k): probe side ×
+    * broadcast assigned side, same-cell equi-join — the two-join shape
+    * whose cost is ~2/√n of exact at √n cells. */
+  private[ops] def ivfKnnEdges(ix: IvfIndex, k: Int): DataFrame = {
+    val av = ix.base.join(ix.assign, Seq("vec_id"))
+    val pv = ix.base.join(ix.probes.withColumnRenamed("i", "vec_id"), Seq("vec_id"))
+    pv.as("a").join(broadcast(av.as("b")),
         col("a.centroid_id") === col("b.centroid_id"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
@@ -421,7 +425,13 @@ object RelMore168 {
       .withColumn("rk", row_number().over(
         Window.partitionBy("i").orderBy(col("d2").asc, col("j").asc)))
       .filter(col("rk") <= k)
-      .sharedCache()
+  }
+
+  val embLofIvf: Q = (s, d) => {
+    val k = 10
+    val ix = ivfIndex(s, d)
+    val candFracPm = ix.candFracPm
+    val knnIvf = ivfKnnEdges(ix, k).sharedCache()
     val ivfTop = lofScores(knnIvf, k)
       .orderBy(desc("lof"), col("vec_id")).limit(10)
     val ranked10 = graft.functions.PrefixScan.withRankCumSum(
@@ -466,7 +476,8 @@ object RelMore168 {
       |cscore AS (
       |  SELECT b.vec_id, c.vec_id AS centroid_id,
       |         CAST(b.nq + c.nq - 2 * list_inner_product(b.v, c.v) AS BIGINT) AS cd2
-      |  FROM based b JOIN based c ON c.vec_id < 8),
+      |  FROM based b
+      |  JOIN (SELECT * FROM based ORDER BY vec_id LIMIT 8) c ON true),
       |cr AS (
       |  SELECT vec_id, centroid_id,
       |         row_number() OVER (PARTITION BY vec_id ORDER BY cd2, centroid_id) AS crn

@@ -197,4 +197,50 @@ object Tables {
     * are garbage after the process exits and cheap to leave behind. */
   def tmp(name: String, d: String): String =
     s"/tmp/graft-ops/p${ProcessHandle.current().pid()}/$name-${d.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Per-process parquet fixture with atomic publish — the ONE place
+    * the stored-base pattern lives (r14: extracted from the twin
+    * copies in TextDedup.minhashSigStored and RelMore168.
+    * knnExactStored after the r13 advisor found both latent races).
+    * Contract:
+    *  - precheck: an existing, readable, non-empty `dir` is served
+    *    as-is (path-missing / unreadable-parquet fall through to a
+    *    rebuild; fatal Throwables propagate);
+    *  - build: `build(tmpDir)` writes into a sibling staging dir whose
+    *    name carries a per-ATTEMPT nanoTime suffix, so two in-process
+    *    builders racing (queries() is documented sequential, but the
+    *    store must not rely on that) can never interleave writes into
+    *    a shared staging path and ATOMIC_MOVE a half-written dir live;
+    *  - publish: ATOMIC_MOVE staging → dir. If the move fails because
+    *    a concurrent builder already published (dir exists), the loser
+    *    deletes its own staging and reads the winner. If the move
+    *    fails and `dir` does NOT exist (e.g. the filesystem refuses
+    *    atomic rename), this is NOT a lost race — fail loudly with the
+    *    store named instead of falling through to an opaque
+    *    read-of-missing-path AnalysisException. */
+  def storedOnce(s: SparkSession, dir: String)(build: String => Unit): DataFrame = {
+    val stored =
+      if (!new java.io.File(dir).exists()) None
+      else try { val x = s.read.parquet(dir); if (x.isEmpty) None else Some(x) }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+        case _: java.io.IOException => None
+      }
+    stored.getOrElse {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmpDir = dir + ".building-" + java.lang.Long.toHexString(System.nanoTime())
+      build(tmpDir)
+      try Files.move(Paths.get(tmpDir), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpDir))
+          if (!new java.io.File(dir).exists())
+            throw new IllegalStateException(
+              s"storedOnce: publish of $dir failed and no concurrent builder " +
+                s"published it either — refusing to read a path that was never " +
+                s"written (${e.getClass.getSimpleName}: ${e.getMessage})", e)
+      }
+      s.read.parquet(dir)
+    }
+  }
 }

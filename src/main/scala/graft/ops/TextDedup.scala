@@ -138,35 +138,14 @@ object TextDedup {
     * leaf, so their plans don't carry the build pipeline. Per-process
     * tmp dir (Tables.tmp), so cross-run staleness is impossible; only
     * path-missing errors fall through to the build (fatal Throwables
-    * propagate). */
-  private[ops] def minhashSigStored(s: SparkSession, d: String): DataFrame = {
-    val dir = tmp("minhash-sig-store", d)
-    val stored =
-      if (!new java.io.File(dir).exists()) None
-      else try { val x = s.read.parquet(dir); if (x.isEmpty) None else Some(x) }
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => None
-        case _: java.io.IOException => None
-      }
-    stored.getOrElse {
-      // Publish atomically (the GenerationStore/BucketedStore discipline):
-      // build into a sibling tmp dir, then ATOMIC_MOVE into place, so an
-      // interrupted build (killed query thread, harness timeout) can never
-      // leave a partial dir that the exists() precheck above would accept
-      // and silently feed wrong signatures to every MinHash consumer.
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val tmpDir = dir + ".building"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpDir))
+    * propagate). Staging + atomic publish via Tables.storedOnce (the
+    * GenerationStore/BucketedStore discipline, hardened r14 with a
+    * per-attempt staging suffix and a loud non-race publish failure). */
+  private[ops] def minhashSigStored(s: SparkSession, d: String): DataFrame =
+    Tables.storedOnce(s, tmp("minhash-sig-store", d)) { tmpDir =>
       minhashSigFrom(hashedShingles(s, d))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
-      try Files.move(Paths.get(tmpDir), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
-      catch { // a concurrent builder won the rename — its complete store is live
-        case _: java.nio.file.FileSystemException =>
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpDir))
-      }
-      s.read.parquet(dir)
     }
-  }
 
   private def minhashBands(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSigStored(s, d).sharedCache()
