@@ -30,8 +30,13 @@ object RelMore124 {
       .sharedCache()
     val n = daily.count()
     val pos = math.ceil(0.05 * n).toLong
-    val wq = Window.orderBy(col("y"), col("dt"))
-    val varLvl = daily.withColumn("rn", row_number().over(wq))
+    // discrete-quantile pick = global rank == pos: PrefixScan two-pass
+    // rank (r14 port — the census is exact now that it clears cache
+    // per key, and this frame was only ever |calendar|-hidden, not
+    // |calendar|-bounded-by-contract; (y, dt) is tie-free since dt is
+    // unique post-groupBy)
+    val varLvl = graft.functions.PrefixScan.withRankCumSum(
+        daily, Seq(col("y"), col("dt")), None, rankName = "rn").df
       .filter(col("rn") === pos).select(col("y").as("var_cents"))
     val x = daily.crossJoin(broadcast(varLvl))
       .agg(sum(when(col("y") < col("var_cents"), 1L).otherwise(0L)).as("x"),

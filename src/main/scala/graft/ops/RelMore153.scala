@@ -95,8 +95,13 @@ object RelMore153 {
         expr("CAST((v * n * 1000000 - pmod(v * n * 1000000, sv)) / sv AS DECIMAL(38,0))")
           .cast(LongType).as("wq"))
       .sharedCache()
-    val ranked = wq
-      .withColumn("rk", row_number().over(Window.orderBy(col("wq").desc, col("ok"))))
+    // tail selection by global position: the old row_number ran the
+    // ENTIRE per-order weight table through one single-partition sort
+    // — the largest frame the r13 census still allowlisted; the
+    // PrefixScan two-pass stamps the identical (wq desc, ok) rank
+    // fully parallel (r14 port)
+    val ranked = graft.functions.PrefixScan.withRankCumSum(
+        wq, Seq(col("wq").desc, col("ok")), None, rankName = "rk").df
       .filter(expr("rk <= (n - pmod(n, 5)) / 5"))
     val thresh = ranked.agg(min("wq").as("u"), count(lit(1)).as("m"))
     val pwm = ranked.crossJoin(broadcast(thresh))

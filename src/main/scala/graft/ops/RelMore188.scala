@@ -266,9 +266,13 @@ object RelMore188 {
       .agg(count(lit(1)).as("c"))
       .sharedCache()
     val chist = train.groupBy("c").agg(count(lit(1)).as("mtok"))
-    val wDesc = Window.orderBy(col("c").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = chist.withColumn("cumtok", sum("mtok").over(wDesc))
+    // descending-count cumulative vocab size: the count histogram is
+    // value-domain-bounded but still grows with corpus scale (every
+    // new count value adds a row) — the inclusive PrefixScan cum is
+    // the same running sum without the single-partition window (r14
+    // port); c is distinct post-groupBy, a total order on its own
+    val cum = graft.functions.PrefixScan.withRankCumSum(
+      chist, Seq(col("c").desc), Some("mtok"), cumName = "cumtok").df
     val ks = Seq(4, 8, 16, 24)
     val thr = ks.map { k =>
       cum.filter(col("cumtok") >= k).orderBy(col("c").desc).limit(1)

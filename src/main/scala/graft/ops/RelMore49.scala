@@ -152,12 +152,16 @@ object RelMore49 {
       .join(b.groupBy("bucket").agg(count(lit(1)).as("cb")), Seq("bucket"), "full_outer")
       .select(col("bucket"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-    val w = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = cnt.agg(sum("ca").as("na"), sum("cb").as("nb"))
-    cnt
-      .withColumn("cuma", sum("ca").over(w))
-      .withColumn("cumb", sum("cb").over(w))
+    // two running ECDF numerators = two inclusive PrefixScan cums over
+    // the same bucket axis (r14 port — one Long valueCol per pass, so
+    // the second pass stamps the first's output; both reuse the same
+    // range shuffle shape). bucket is distinct post-join: total order.
+    val cumA = graft.functions.PrefixScan.withRankCumSum(
+      cnt, Seq(col("bucket")), Some("ca"), rankName = "rn_a", cumName = "cuma").df
+    graft.functions.PrefixScan.withRankCumSum(
+        cumA.drop("rn_a"), Seq(col("bucket")), Some("cb"),
+        rankName = "rn_b", cumName = "cumb").df
       .crossJoin(broadcast(tot))
       .select(expr("abs(cuma * nb - cumb * na)").as("num"), col("na"), col("nb"))
       .agg(max(expr("(num * 1000000) div (na * nb)")).as("ks_ppm"),

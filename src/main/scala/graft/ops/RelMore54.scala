@@ -113,8 +113,16 @@ object RelMore54 {
       .groupBy("v")
       .agg(sum(when(col("yr") === 1995, 1L).otherwise(0L)).as("n1"),
         sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n2"))
-    val wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    val st = h.withColumn("cum2", coalesce(sum("n2").over(wv), lit(0L)))
+    // exclusive prefix of n2 under the value order: the whole-dollar
+    // domain saturates near ~550k distinct values — big enough that
+    // the old single-partition window was the file's largest frame;
+    // inclusive PrefixScan cum minus the row's own count is the same
+    // exclusive sum, stamped fully parallel (r14 port, the
+    // agg-auc-exact recipe). v is distinct post-groupBy, so (v) alone
+    // is the total order the two-pass requires.
+    val st = graft.functions.PrefixScan.withRankCumSum(
+        h, Seq(col("v")), Some("n2"), cumName = "cum2i").df
+      .withColumn("cum2", col("cum2i") - col("n2"))
       .agg(sum(expr("n1 * (2 * cum2 + n2)")).as("u2"),
         sum("n1").as("m"), sum("n2").as("n"),
         sum(expr("CAST((n1 + n2) * (n1 + n2) * (n1 + n2) - (n1 + n2) AS DECIMAL(38,0))"))

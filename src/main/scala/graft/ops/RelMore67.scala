@@ -30,8 +30,12 @@ object RelMore67 {
     val deltas = iv.select(col("open_dt").as("dt"), lit(1L).as("delta"))
       .unionAll(iv.select(col("close_dt").as("dt"), lit(-1L).as("delta")))
       .groupBy("dt").agg(sum("delta").as("net"))
-    val w = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, 0)
-    deltas.withColumn("concurrency", sum("net").over(w))
+    // running net-open count = inclusive prefix sum over the date
+    // axis — the PrefixScan two-pass replaces the last single-
+    // partition window in this op (r14 port); dt is distinct
+    // post-groupBy, so (dt) is a total order
+    graft.functions.PrefixScan.withRankCumSum(
+        deltas, Seq(col("dt")), Some("net"), cumName = "concurrency").df
       .select(col("dt"), col("concurrency"))
       .orderBy(col("concurrency").desc, col("dt").asc)
       .limit(10)

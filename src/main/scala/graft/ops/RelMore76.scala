@@ -29,10 +29,15 @@ object RelMore76 {
       floor(col("l_discount") * 10000).cast(LongType).as("qy"))
       .sharedCache()
     def rankMap(c: String): DataFrame = {
+      // midrank map via exclusive domain prefix (inclusive PrefixScan
+      // cum minus the row's own count — the agg-auc-exact recipe,
+      // r14 port): the quantity/discount domains are small today but
+      // the shape no longer carries a single-partition window at all
       val cnts = base.groupBy(c).agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
-      cnts.withColumn("prior", coalesce(sum("cnt").over(w), lit(0L)))
-        .select(col(c), (lit(2) * col("prior") + col("cnt") + 1).as(s"r2_$c"))
+      graft.functions.PrefixScan.withRankCumSum(
+          cnts, Seq(col(c)), Some("cnt"), cumName = "cumc").df
+        .select(col(c),
+          (lit(2) * (col("cumc") - col("cnt")) + col("cnt") + 1).as(s"r2_$c"))
     }
     val ranked = base
       .join(broadcast(rankMap("qx")), "qx")

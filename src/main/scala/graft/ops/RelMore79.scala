@@ -138,8 +138,13 @@ object RelMore79 {
     val b = daily.select(col("dt").as("d2"), col("y").as("y2"))
     val walsh = a.join(b, col("d1") <= col("d2"))
       .select(col("d1"), col("d2"), (col("y1") + col("y2")).as("w2"))
-    val ranked = walsh.withColumn("rk",
-      row_number().over(Window.orderBy(col("w2"), col("d1"), col("d2"))))
+    // median-by-position over the Walsh set: k(k+1)/2 pairs is ~2.9M
+    // rows once the event calendar spans the full 2.4k-day range — too
+    // big for the single-partition row_number the census allowlisted;
+    // the PrefixScan two-pass stamps the identical (w2, d1, d2) global
+    // position in parallel (r14 port)
+    val ranked = graft.functions.PrefixScan.withRankCumSum(
+      walsh, Seq(col("w2"), col("d1"), col("d2")), None, rankName = "rk").df
     val stats = walsh.agg(count(lit(1)).as("n_pairs"))
     ranked.crossJoin(broadcast(stats))
       .filter(col("rk") === expr("(n_pairs + 1) div 2"))

@@ -323,12 +323,11 @@ object TextAnalysis {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("c"))
       .sharedCache()
-    val ranked = counts.select(col("c"),
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("c").desc, col("word"))).as("rn"))
-    // the global rank window is bounded by |vocab| (50k-scale even for
-    // web corpora after normalization), not the corpus — acceptable on
-    // the driver-of-scale axis, unlike row-per-document windows
+    // top-100 cut by global position: |vocab| grows into the millions
+    // on raw web corpora, so the rank rides the PrefixScan two-pass
+    // (r14 port) instead of a single-partition row_number sort
+    val ranked = graft.functions.PrefixScan.withRankCumSum(
+      counts, Seq(col("c").desc, col("word")), None, rankName = "rn").df
     val top100 = ranked.filter(col("rn") <= 100).agg(sum(col("c")).as("top100_tokens"))
     val totals = counts.agg(
       count(lit(1)).as("vocab_size"),

@@ -122,7 +122,20 @@ object WindowAudit {
           case e: Throwable =>
             errors += name -> (e.getClass.getSimpleName + ": " +
               String.valueOf(e.getMessage).takeWhile(_ != '\n'))
-        } finally current = null
+        } finally {
+          current = null
+          // The census is a 1008-key CALLER, so it owns cache release
+          // (the sharedCache contract: Verify/Bench clearCache per
+          // query). Without this, fragments persisted during plan
+          // builds leak into every LATER plan in the sweep AND into
+          // any suite that runs after the census in the same session —
+          // CacheManager substitution then (a) hides windows behind
+          // InMemoryRelation boundaries, softening this very audit,
+          // and (b) strips pushdown/pruning from scans the
+          // plan-contract suite asserts on (r14: census-then-
+          // PlanContracts ordering failed two orders-scan contracts).
+          spark.catalog.clearCache()
+        }
       }
     } finally spark.listenerManager.unregister(listener)
     (rows.result(), errors.result())

@@ -27,8 +27,22 @@ import graft.tools.WindowAudit
   */
 class UnpartitionedWindowCensusSpec extends SparkTestBase {
 
-  /** Keys justified as bounded-frame per the round-10..13
-    * adjudication. 108 = round 12's 115 minus the seven r13 ports:
+  /** Keys justified as bounded-frame per the round-10..14
+    * adjudication. 100 = round 13's 108 minus the eight r14 ports,
+    * chosen as the LARGEST remaining frames:
+    * sample-psis-khat (the one true corpus-sized frame left — a
+    * row_number over every order's importance weight → PrefixScan
+    * rank), agg-hodges-lehmann (k(k+1)/2 Walsh pairs ≈ 2.9M rows at
+    * the full 2.4k-day calendar → PrefixScan rank median-by-position),
+    * dq-mann-whitney (~550k distinct whole-dollar values → exclusive
+    * prefix = PrefixScan cum minus own count), text-vocab-stats
+    * (|vocab|, millions on raw web text → PrefixScan rank),
+    * text-oov-coverage (count-histogram cum → PrefixScan cum),
+    * dq-ks-drift (two ECDF cums over ~1.1k price buckets → two
+    * stacked PrefixScan cums), agg-spearman-corr (two midrank domain
+    * prefixes → exclusive-cum recipe), win-sweepline-concurrency
+    * (date-axis running sum → PrefixScan cum).
+    * Round 13 removed seven:
     * agg-uplift-deciles (ntile(5) over PER-USER rows — the one
     * genuinely corpus-sized frame the list still hid, now a
     * withRankCumSum rank + ntileFromRank), agg-decile-report and
@@ -50,8 +64,8 @@ class UnpartitionedWindowCensusSpec extends SparkTestBase {
     *    (the full TPC-H calendar) — kept windowed because each needs
     *    ROLLING k-row frames (win-rolling-* k=7..30, win-rsi 14,
     *    win-hampel-filter 7, win-kaufman-er 10, win-amihud-illiq 21)
-    *    or sequential-state scans (dq-page-hinkley, dq-ks-drift ECDF,
-    *    win-binseg-split, win-level-shift, win-seasonal-decompose)
+    *    or sequential-state scans (dq-page-hinkley, win-binseg-split,
+    *    win-level-shift, win-seasonal-decompose)
     *    that neither withNeighbor (adjacent-row only) nor
     *    withRankCumSum (prefix aggregates only) models; the
     *    single-task sort of ≤2.4k rows is O(ms) at any corpus size;
@@ -74,8 +88,7 @@ class UnpartitionedWindowCensusSpec extends SparkTestBase {
     "agg-dtw-monthly", "agg-erlang-c-staffing", "agg-extremal-index",
     "agg-forecast-backtest", "agg-forecast-combination",
     "agg-forecast-mse-decomposition", "agg-geo-mean-rate",
-    "agg-gompertz-fit", "agg-gpd-pot", "agg-hodges-lehmann",
-    "agg-isotonic-minimax", "agg-kelly-criterion", "agg-kruskal-wallis",
+    "agg-gompertz-fit", "agg-gpd-pot", "agg-isotonic-minimax", "agg-kelly-criterion", "agg-kruskal-wallis",
     "agg-kyle-lambda", "agg-largest-remainder-apportion", "agg-life-table",
     "agg-littles-law", "agg-littlewood-rule", "agg-ljung-box",
     "agg-logrank-test", "agg-mcf-recurrent",
@@ -84,25 +97,22 @@ class UnpartitionedWindowCensusSpec extends SparkTestBase {
     "agg-pinball-loss-eval", "agg-profit-curve", "agg-psm-match",
     "agg-realized-vol", "agg-revenue-beta", "agg-roll-spread",
     "agg-segment-migration", "agg-skyline-2d",
-    "agg-spearman-corr", "agg-sprt-boundary", "agg-survival-km",
+    "agg-sprt-boundary", "agg-survival-km",
     "agg-tail-dependence", "agg-team-draft-interleaving", 
     "agg-topk-merge", "agg-tornqvist-index", "agg-variance-split-stump", "agg-volume-profile-poc",
     "agg-weibull-fit", "agg-wright-learning-curve",
     "ann-cell-balance", "dedup-ivf-recall", "dq-alarm-flappiness",
     "dq-anomaly-zscore", "dq-benford", "dq-binning-advisor",
     "dq-freshness", "dq-holm-stepdown",
-    "dq-join-fanout-preflight", "dq-kpss-stationarity", "dq-ks-drift",
-    "dq-mann-whitney", "dq-page-hinkley", "dq-timezone-shift",
+    "dq-join-fanout-preflight", "dq-kpss-stationarity", "dq-page-hinkley", "dq-timezone-shift",
     "dq-western-electric",
     "emb-pq-usage", "layout-sort-key-advisor", "mm-modality-balance",
-    "sample-curriculum-schedule", "sample-psis-khat",
-    "sample-weighted-alloc", "text-ndcg-eval",
-    "text-oov-coverage", "text-truncation-loss", "text-vocab-stats",
-    "text-zipf-fit", "win-amihud-illiq", "win-binseg-split",     "win-hampel-filter", "win-holt-brown", "win-kaufman-er",
+    "sample-curriculum-schedule", "sample-weighted-alloc", "text-ndcg-eval",
+    "text-truncation-loss", "text-zipf-fit", "win-amihud-illiq", "win-binseg-split",     "win-hampel-filter", "win-holt-brown", "win-kaufman-er",
     "win-level-shift", "win-peak-detect",
      "win-rolling-corr", "win-rolling-skew",
     "win-rolling-zscore", "win-rsi", "win-rsi-indicator",
-    "win-seasonal-decompose", "win-sweepline-concurrency", "win-theil-sen")
+    "win-seasonal-decompose", "win-theil-sen")
 
   test("unpartitioned-window census matches the justified allowlist exactly") {
     val names = WindowAudit.auditNames()
