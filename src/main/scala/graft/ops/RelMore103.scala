@@ -63,6 +63,9 @@ object RelMore103 {
           .join(g0.select(col("i").as("m"), col("j")), Seq("m"))
           .select("i", "j"))
       .filter(col("i") =!= col("j")).distinct().sharedCache()
+    cand.count() // single-stage fill: the scoring join and the cand
+    // census raced the distinct edge set's first materialization in
+    // both r13 close benches (WARN triage, r14)
     val g1 = cand
       .join(all.select(col("vec_id").as("i"), col("v").as("vi")), Seq("i"))
       .join(all.select(col("vec_id").as("j"), col("v").as("vj")), Seq("j"))

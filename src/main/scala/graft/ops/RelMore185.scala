@@ -237,6 +237,8 @@ object RelMore185 {
         .as("mi"))
       .agg(count(lit(1)).as("dem"))
       .sharedCache()
+    mon.count() // single-stage fill: three consumers raced the first
+    // materialization in BOTH r13 close benches (WARN triage, r14)
     val n = mon.agg(count(lit(1)).as("nm"), expr("sum(dem) DIV count(*)").as("mu"))
     val ranked = mon.withColumn("rk",
       row_number().over(Window.orderBy(col("dem"), col("mi"))))

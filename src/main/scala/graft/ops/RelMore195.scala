@@ -160,6 +160,9 @@ object RelMore195 {
       .select(col("nk"), col("v0").cast(DoubleType).as("v0"),
         col("v1").cast(DoubleType).as("v1"))
       .sharedCache()
+    wide.count() // single-stage fill: the moment agg and the z-score
+    // join raced the first materialization in both r13 close benches
+    // (WARN triage, r14)
     val m = wide.agg(count(lit(1)).as("k"),
       avg("v0").as("m0"), avg("v1").as("m1"),
       stddev_samp("v0").as("s0"), stddev_samp("v1").as("s1"),

@@ -27,6 +27,9 @@ object RelMore48 {
       .select(col("doc_id"), expr("filter(w, x -> x rlike '^[a-z]{2,}$')").as("w"))
     val uni = words.select(explode(col("w")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n")).sharedCache()
+    uni.count() // single-stage fill: the total agg and the two PMI-side
+    // joins raced the vocab table's first materialization in both r13
+    // close benches (WARN triage, r14)
     val nTotal = uni.agg(sum("n").as("nt"))
     val bi = words
       .select(explode(expr(

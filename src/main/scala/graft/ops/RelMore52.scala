@@ -110,6 +110,9 @@ object RelMore52 {
     // materialize+rescan at sf0.1 for nothing).
     // predicted: LSH candidates with signature estimate >= 6/12
     val sig = TextDedup.minhashSigStored(s, d).sharedCache()
+    sig.count() // single-stage fill: the store read raced its own two
+    // consumers deterministically (same block id in both r13 close
+    // benches — WARN triage, r14)
     val bands = sig.selectExpr("doc_id", TextDedup.bandStackExpr)
     val matchExpr = (1 to Seeds).map(j => s"IF(a.m$j = b.m$j, 1, 0)").mkString(" + ")
     val pred = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
