@@ -54,7 +54,7 @@ object RelMore168 {
     "SELECT vec_id, label, v, list_inner_product(v, v) AS nq FROM base"
 
   private val Eps2 = 1420000L // ≈ median 5-NN squared distance on the milli lattice
-  private val MinPts = 5
+  private[ops] val MinPts = 5
 
   /** The exact top-10 kNN edge table (i, j, d2, rk) STAGED once per
     * process (the TextDedup signature-store pattern): emb-kdist-elbow

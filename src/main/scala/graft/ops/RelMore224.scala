@@ -76,8 +76,12 @@ object RelMore224 {
       .orderBy("rank")
   }
 
-  val embMutualNnIvfSql: String =
-    s"""WITH base AS (${RelMore168.latticeSql}),
+  /** The IVF candidate-generation CTE block shared by every oracle in
+    * this family — the SQL twin of RelMore168.ivfIndex + ivfKnnEdges'
+    * candidate stage (centroids = 8 lowest vec_ids, nprobe 2, measured
+    * candidate count in `cand`). */
+  private val ivfCtesSql: String =
+    s"""base AS (${RelMore168.latticeSql}),
       |based AS MATERIALIZED (${RelMore168.basedSql}),
       |p AS (${RelMore168.pairsSql}),
       |cscore AS (
@@ -104,7 +108,10 @@ object RelMore224 {
       |  FROM probes pr
       |  JOIN based bi ON bi.vec_id = pr.i
       |  JOIN assign a ON a.centroid_id = pr.centroid_id AND a.vec_id <> pr.i
-      |  JOIN based bj ON bj.vec_id = a.vec_id),
+      |  JOIN based bj ON bj.vec_id = a.vec_id)""".stripMargin
+
+  val embMutualNnIvfSql: String =
+    s"""WITH $ivfCtesSql,
       |innv AS MATERIALIZED (
       |  SELECT i, j, d2 FROM (
       |    SELECT i, j, d2, row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rk
@@ -142,9 +149,97 @@ object RelMore224 {
       |WHERE t.rank <= 10
       |ORDER BY t.rank""".stripMargin
 
+  /** emb-kdist-elbow-ivf — the k-distance decile curve (emb-kdist-
+    * elbow's DBSCAN-ε sizing diagnostic) computed from IVF-probed
+    * candidates and graded per-decile against the exact curve. The
+    * failure mode is DIRECTIONAL and this op measures it: candidate
+    * truncation can only push a point's apparent 5th-NN FARTHER
+    * (a missed true neighbor is replaced by a worse candidate), so
+    * the IVF curve is a pointwise UPPER envelope of the exact one,
+    * and err_pm quantifies the inflation the ε-picker would inherit
+    * at each decile. Each curve uses its own n (a vector with < 5
+    * IVF candidates drops out of the IVF curve rather than fake a
+    * 5th distance). SCALE: two PrefixScan two-passes over n-row
+    * k-dist tables + the shared ivfKnnEdges candidate stage; the
+    * exact branch reads the per-process store (grading fixture; the
+    * serving path at 100 TB is the IVF branch alone). COST CONTRACT
+    * (sf0.1 local[32]): IVF probe + two range-exchange scans on 2k
+    * rows — emb audit band, steady ≲ 3 s warm. Ref behavior anchor:
+    * the reference sizes validation thresholds from profiled
+    * distributions (08_validacionsql.sql's QA bounds); the k-dist
+    * elbow is that sizing step for density clustering. */
+  val embKdistElbowIvf: Q = (s, d) => {
+    val ix = RelMore168.ivfIndex(s, d)
+    def decileCurve(kd: DataFrame, vName: String): DataFrame = {
+      val sc = graft.functions.PrefixScan.withRankCumSum(
+        kd, Seq(col("kd2"), col("i")), None, rankName = "rn")
+      val n = sc.n
+      val cuts = (1 to 10).map(q => (q.toLong * n) / 10).toSet
+      sc.df.filter(col("rn").isin(cuts.toSeq: _*))
+        .select(expr(s"CAST((rn * 10 + ${n}L - 1) div ${n}L AS INT)").as("decile"),
+          expr("CAST(floor(sqrt(CAST(kd2 AS DOUBLE)) + 0.5) AS BIGINT)").as(vName))
+    }
+    val ex = decileCurve(
+      RelMore168.knnExactStored(s, d).filter(col("rk") === RelMore168.MinPts)
+        .select(col("i"), col("d2").as("kd2")), "kdist_exact_milli")
+    val iv = decileCurve(
+      RelMore168.ivfKnnEdges(ix, RelMore168.MinPts)
+        .filter(col("rk") === RelMore168.MinPts)
+        .select(col("i"), col("d2").as("kd2")), "kdist_ivf_milli")
+    ex.join(iv, Seq("decile"))
+      .select(col("decile"), col("kdist_exact_milli"), col("kdist_ivf_milli"),
+        expr("CAST(abs(kdist_ivf_milli - kdist_exact_milli) * 1000 " +
+          "DIV greatest(kdist_exact_milli, 1L) AS BIGINT)").as("err_pm"),
+        lit(ix.candFracPm).as("cand_frac_pm"))
+      .orderBy("decile")
+  }
+
+  val embKdistElbowIvfSql: String =
+    s"""WITH $ivfCtesSql,
+      |kdx AS (
+      |  SELECT i, d2 AS kd2 FROM (
+      |    SELECT i, d2, row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rk
+      |    FROM p) t
+      |  WHERE rk = ${RelMore168.MinPts}),
+      |kdi AS (
+      |  SELECT i, d2 AS kd2 FROM (
+      |    SELECT i, d2, row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rk
+      |    FROM icand) t
+      |  WHERE rk = ${RelMore168.MinPts}),
+      |rx AS (
+      |  SELECT kd2, row_number() OVER (ORDER BY kd2, i) AS rn,
+      |         count(*) OVER () AS n
+      |  FROM kdx),
+      |ri AS (
+      |  SELECT kd2, row_number() OVER (ORDER BY kd2, i) AS rn,
+      |         count(*) OVER () AS n
+      |  FROM kdi),
+      |dx AS (
+      |  SELECT CAST((rn * 10 + n - 1) // n AS INT) AS decile,
+      |         CAST(floor(sqrt(CAST(kd2 AS DOUBLE)) + 0.5) AS BIGINT) AS kdist_exact_milli
+      |  FROM rx
+      |  WHERE rn IN (SELECT (q * n) // 10
+      |               FROM (SELECT unnest(generate_series(1, 10)) AS q)
+      |               CROSS JOIN (SELECT max(n) AS n FROM rx) t)),
+      |di AS (
+      |  SELECT CAST((rn * 10 + n - 1) // n AS INT) AS decile,
+      |         CAST(floor(sqrt(CAST(kd2 AS DOUBLE)) + 0.5) AS BIGINT) AS kdist_ivf_milli
+      |  FROM ri
+      |  WHERE rn IN (SELECT (q * n) // 10
+      |               FROM (SELECT unnest(generate_series(1, 10)) AS q)
+      |               CROSS JOIN (SELECT max(n) AS n FROM ri) t))
+      |SELECT dx.decile, dx.kdist_exact_milli, di.kdist_ivf_milli,
+      |       abs(di.kdist_ivf_milli - dx.kdist_exact_milli) * 1000
+      |         // greatest(dx.kdist_exact_milli, 1) AS err_pm,
+      |       cd.n_cand * 1000 // (cd.n * (cd.n - 1)) AS cand_frac_pm
+      |FROM dx JOIN di USING (decile) CROSS JOIN cand cd
+      |ORDER BY dx.decile""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "emb-mutual-nn-ivf" -> embMutualNnIvf)
+    "emb-mutual-nn-ivf" -> embMutualNnIvf,
+    "emb-kdist-elbow-ivf" -> embKdistElbowIvf)
 
   val oracles: Map[String, String] = Map(
-    "emb-mutual-nn-ivf" -> embMutualNnIvfSql)
+    "emb-mutual-nn-ivf" -> embMutualNnIvfSql,
+    "emb-kdist-elbow-ivf" -> embKdistElbowIvfSql)
 }

@@ -42,6 +42,27 @@ class Round14aOpsSpec extends SparkTestBase {
       r.schema.fieldNames.contains("in_exact_top10")))
   }
 
+  test("emb-kdist-elbow-ivf: IVF curve is an upper envelope with bounded inflation") {
+    // Directional contract: candidate truncation can only push a
+    // point's apparent 5th-NN farther, so with equal curve populations
+    // (this fixture: all 500 vectors keep >= 5 IVF candidates) every
+    // decile satisfies ivf >= exact. Measured inflation 25-50 pm,
+    // monotone-ish toward the tail; ceiling 150 pm leaves 3x headroom —
+    // a broken probe (wrong cell join, dropped candidates) inflates the
+    // tail deciles far past it.
+    val rows = run("emb-kdist-elbow-ivf").collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    rows.foreach { r =>
+      val ex = r.getAs[Long]("kdist_exact_milli")
+      val iv = r.getAs[Long]("kdist_ivf_milli")
+      val err = r.getAs[Long]("err_pm")
+      assert(iv >= ex, s"decile ${r.getAs[Int]("decile")}: IVF k-dist $iv " +
+        s"below exact $ex — impossible under candidate truncation")
+      assert(err <= 150, s"decile ${r.getAs[Int]("decile")}: inflation " +
+        s"$err pm past the 150 pm ceiling (measured band 25-50)")
+    }
+  }
+
   test("emb-mutual-nn-ivf: well-formed grade — ranks, monotone distances, sane counts") {
     val rows = run("emb-mutual-nn-ivf").collect()
     assert(rows.nonEmpty && rows.length <= 10)
