@@ -38,8 +38,9 @@ object RelMore224 {
     * from highest-confidence pairs — mutual 1-NN is that set for
     * embeddings. */
   val embMutualNnIvf: Q = (s, d) => {
-    val ix = RelMore168.ivfIndex(s, d)
-    val nnIvf = RelMore168.ivfKnnEdges(ix, 1)
+    val st = RelMore168.ivfKnnStored(s, d)
+    val candFracPm = st.agg(max("cand_frac_pm")).head.getLong(0)
+    val nnIvf = st.filter(col("rk") === 1)
       .select("i", "j", "d2").sharedCache()
     nnIvf.count() // single-stage fill: the mutuality self-join reads it twice
     val mutualIvf = nnIvf.as("x").join(nnIvf.as("y"),
@@ -72,7 +73,7 @@ object RelMore224 {
         col("n_mutual_ivf"),
         col("n_mutual_exact"),
         expr("CAST(n_common * 1000 DIV n_mutual_exact AS BIGINT)").as("recall_pm"),
-        lit(ix.candFracPm).as("cand_frac_pm"))
+        lit(candFracPm).as("cand_frac_pm"))
       .orderBy("rank")
   }
 
@@ -169,7 +170,8 @@ object RelMore224 {
     * distributions (08_validacionsql.sql's QA bounds); the k-dist
     * elbow is that sizing step for density clustering. */
   val embKdistElbowIvf: Q = (s, d) => {
-    val ix = RelMore168.ivfIndex(s, d)
+    val st = RelMore168.ivfKnnStored(s, d)
+    val candFracPm = st.agg(max("cand_frac_pm")).head.getLong(0)
     def decileCurve(kd: DataFrame, vName: String): DataFrame = {
       val sc = graft.functions.PrefixScan.withRankCumSum(
         kd, Seq(col("kd2"), col("i")), None, rankName = "rn")
@@ -183,14 +185,13 @@ object RelMore224 {
       RelMore168.knnExactStored(s, d).filter(col("rk") === RelMore168.MinPts)
         .select(col("i"), col("d2").as("kd2")), "kdist_exact_milli")
     val iv = decileCurve(
-      RelMore168.ivfKnnEdges(ix, RelMore168.MinPts)
-        .filter(col("rk") === RelMore168.MinPts)
+      st.filter(col("rk") === RelMore168.MinPts)
         .select(col("i"), col("d2").as("kd2")), "kdist_ivf_milli")
     ex.join(iv, Seq("decile"))
       .select(col("decile"), col("kdist_exact_milli"), col("kdist_ivf_milli"),
         expr("CAST(abs(kdist_ivf_milli - kdist_exact_milli) * 1000 " +
           "DIV greatest(kdist_exact_milli, 1L) AS BIGINT)").as("err_pm"),
-        lit(ix.candFracPm).as("cand_frac_pm"))
+        lit(candFracPm).as("cand_frac_pm"))
       .orderBy("decile")
   }
 
