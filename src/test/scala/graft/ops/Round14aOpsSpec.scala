@@ -92,6 +92,30 @@ class Round14aOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dq-l-diversity: entropy-l never exceeds distinct-l and flags the k-anon blind spot") {
+    val rows = run("dq-l-diversity").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val dl = r.getAs[Long]("distinct_l")
+      val le = r.getAs[Double]("l_ent")
+      // 2^H <= number of support points, with equality iff uniform —
+      // the inequality IS the op's reason to exist (distinct-l
+      // overstates protection on lopsided groups)
+      assert(le <= dl + 1e-9, s"l_ent $le exceeds distinct_l $dl")
+      assert(le >= 1.0 - 1e-9, s"l_ent $le below 1 is impossible")
+    }
+  }
+
+  test("dq-t-closeness: tv_pm is an exact-integer distance inside [0, 1000]") {
+    val rows = run("dq-t-closeness").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val tvs = rows.map(_.getAs[Long]("tv_pm"))
+    assert(tvs.forall(t => t >= 0 && t <= 1000), s"tv out of range: ${tvs.mkString(",")}")
+    assert(tvs.zip(tvs.tail).forall { case (a, b) => a >= b }, "worst-10 not sorted desc")
+    val r0 = rows.head
+    assert(r0.getAs[Long]("n_groups") >= r0.getAs[Long]("n_groups_above_t200"))
+  }
+
   test("storedOnce: a lost publish race reads the winner and removes its own staging") {
     val root = java.nio.file.Files.createTempDirectory("storedonce-spec").toString
     val dir = root + "/store"
