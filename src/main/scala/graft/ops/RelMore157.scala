@@ -22,7 +22,14 @@ object RelMore157 {
     * per-row distance is mili-floored before ranking (engine-
     * identical), top 10 by distance + the beyond-χ² count. */
   val dqMahalanobisOutliers: Q = (s, d) => {
-    val base = lineitem(s, d).select(col("l_orderkey").as("ok"),
+    // r14 opt: the single-row-group lineitem scan is one task, so the
+    // wide-decimal projection, the moment sums AND the per-row distance
+    // pass all ran on one core (guide §2.5 unsplittable input →
+    // repartition after read; conf-derived count, scale-adaptive).
+    // Decimal sums are exact and order-free, so the split changes no
+    // output bit.
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = lineitem(s, d).repartition(nParts).select(col("l_orderkey").as("ok"),
         col("l_linenumber").as("ln"),
         expr("CAST(l_quantity AS DECIMAL(38,0))").as("x"),
         expr("CAST((CAST(l_extendedprice AS DECIMAL(18,2)) * 100 - " +

@@ -37,7 +37,12 @@ object RelMore168 {
     * the same 64-term fold |corpus| times per vector. */
   private[ops] def pairs(s: SparkSession, d: String): DataFrame = {
     val base = lattice(s, d).withColumn("nq", expr("dot_product(v, v)"))
-    base.as("a").crossJoin(broadcast(base.as("b")))
+    // r14 opt: the single-row-group fixture gives the stream side ONE
+    // partition, serializing the whole |corpus|² scoring pass on one
+    // core (guide §2.5 unsplittable input → repartition after read).
+    // Conf-derived count keeps the split scale-adaptive.
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    base.repartition(nParts).as("a").crossJoin(broadcast(base.as("b")))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         expr("CAST(a.nq + b.nq - 2 * dot_product(a.v, b.v) AS BIGINT)").as("d2"))
@@ -67,10 +72,15 @@ object RelMore168 {
     * dir, so cross-run staleness is impossible. */
   private[ops] def knnExactStored(s: SparkSession, d: String): DataFrame =
     Tables.storedOnce(s, tmp("emb-knn10-store", d)) { tmpDir =>
+      // r14 opt: bounded-heap top-10 per i (TopKPerKey) prunes the N²
+      // pair grid map-side; the row_number that assigns rk then runs
+      // over only 10·|corpus| survivors instead of sorting the full
+      // grid in one WindowExec (guide §2.3: shuffle k·|keys| rows).
+      // Same total order (d2 asc, j asc) → identical (i, j, d2, rk).
       val w = Window.partitionBy("i").orderBy(col("d2").asc, col("j").asc)
-      pairs(s, d)
+      graft.plans.TopKPerKey.of(pairs(s, d),
+          Seq("i"), Seq("d2" -> true, "j" -> true), 10)
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
     }
 

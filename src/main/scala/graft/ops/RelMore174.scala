@@ -209,9 +209,14 @@ object RelMore174 {
     * ANOVA sums are exact until the terminal F. */
   val aggLeveneTest: Q = (s, d) => {
     val flags = Seq("A", "N", "R")
-    val src = lineitem(s, d).select(
-      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"),
-      col("l_returnflag").as("g")).sharedCache()
+    // r14 opt: repartition after the single-row-group read (guide §2.5)
+    // so the Midranks pass and both deviation passes run parallel
+    // instead of inside the one scan task; conf-derived, scale-adaptive
+    val src = lineitem(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"),
+        col("l_returnflag").as("g")).sharedCache()
     val mr = Midranks.doubled(src, "v",
       flags.map(f => (s"c$f", col("g") === f))).sharedCache()
     val tots = mr.agg(

