@@ -38,6 +38,34 @@ object GraphOps {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
     }
 
+  /** Distinct (orderkey, partkey) lines of the %29-sampled co-purchase
+    * universe, staged once per process (r14 opt): the base of the
+    * co-purchase part graph that SIX files (label-propagation,
+    * modularity, k-core, k-truss, two-hop, betweenness/eccentricity,
+    * edge-weight census) each re-derived per rep with a lineitem scan
+    * + distinct. */
+  private[ops] def li29Stored(s: SparkSession, d: String): DataFrame =
+    Tables.storedOnce(s, tmp("graph-copurch29-li", d)) { tmpDir =>
+      lineitem(s, d).filter(col("l_orderkey") % 29 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
+    }
+
+  /** Distinct co-purchase part pairs (u < v) over [[li29Stored]],
+    * staged once per process (r14 opt): the basket self-join +
+    * distinct that every co-purchase graph key paid per rep. Symmetric
+    * edge lists are per-query projections of this table. */
+  private[ops] def pairs29Stored(s: SparkSession, d: String): DataFrame =
+    Tables.storedOnce(s, tmp("graph-copurch29-pairs", d)) { tmpDir =>
+      val li = li29Stored(s, d)
+      li.as("a").join(li.as("b"), Seq("ok"))
+        .filter(col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
+    }
+
   /** The shared graph: distinct (partkey, suppkey) pairs from lineitem
     * as 'p'/'s'-prefixed node ids — one definition so the two graph ops
     * can't drift. */

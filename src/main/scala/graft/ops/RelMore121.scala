@@ -163,7 +163,11 @@ object RelMore121 {
         "AS DOUBLE))").as("vq"))
       .withColumn("nq", expr("dot_product(vq, vq)"))
       .sharedCache()
-    val pairs = v.as("a").crossJoin(broadcast(v.as("b")))
+    // r14 opt: the stream side of the N² scoring pass is the cached
+    // single-partition corpus (one parquet row group → one scan task) —
+    // repartition after the read (guide §2.5), conf-derived count
+    val pairs = v.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .as("a").crossJoin(broadcast(v.as("b")))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("a.label").as("li"), col("b.label").as("lj"),
         expr("CAST(a.nq + b.nq - 2 * dot_product(a.vq, b.vq) AS BIGINT)").as("d2q"))

