@@ -76,7 +76,13 @@ object RelMore147 {
     * integer position. Two passes + one sort window on the
     * calibration half. */
   val aggConformalInterval: Q = (s, d) => {
-    val base = lineitem(s, d).select(col("l_orderkey").as("ok"),
+    // r14 opt: repartition after the single-row-group read (guide §2.5)
+    // so the decimal moment sums and the residual pass parallelize
+    // instead of running inside the one scan task; decimal sums are
+    // exact and order-free, outputs unchanged
+    val base = lineitem(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("l_orderkey").as("ok"),
         expr("CAST(l_quantity AS DECIMAL(38,0))").as("x"),
         expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))").as("y"))
       .withColumn("cal", pmod(col("ok"), lit(2)) === 0)

@@ -48,7 +48,13 @@ object RelMore77 {
     * 32-replicate variance uses the two-pass mean-anchored form (no
     * catastrophic cancellation), rounded at 4 dp. */
   val sampleBootstrapCi: Q = (s, d) => {
-    val base = orders(s, d).select(col("o_orderkey"),
+    // r14 opt: the 6-md5-per-row hash batch and the 32-way replicate
+    // explode ran inside the one scan task of the single-row-group
+    // orders file — repartition after read (guide §2.5) so the hash
+    // pass and the exploded partial aggregation parallelize
+    val base = orders(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("o_orderkey"),
       floor(col("o_totalprice") * 100).cast(LongType).as("cents"))
       // hash-block batching: one md5 carries SIX 20-bit replicate
       // uniforms (6 slots x 5 hex chars), so 32 replicates cost 6

@@ -449,11 +449,23 @@ object TextDedup {
     sums.select(col("doc_id"), fp.as("simhash"))
   }
 
-  val dedupSimhash: Q = (s, d) => simhashDf(s, d).orderBy("doc_id")
+  /** The SimHash fingerprint table, staged once per process (r14 opt —
+    * the knnExactStored lever, SCALING.md r14 lesson 3): THREE keys
+    * (dedup-simhash, dedup-simhash-pairs, dedup-simhash-multiprobe)
+    * each re-ran the word explode + (doc, word) groupBy + 64
+    * conditional-sum aggregates per rep. Content identical to the
+    * inline derivation (exact integer votes, same fingerprint). */
+  private def simhashStored(s: SparkSession, d: String): DataFrame =
+    Tables.storedOnce(s, Tables.tmp("text-simhash-store", d)) { tmpDir =>
+      simhashDf(s, d)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
+    }
+
+  val dedupSimhash: Q = (s, d) => simhashStored(s, d).orderBy("doc_id")
 
   /** The fingerprint frame and its oracle CTE, exposed for ops that
     * build on SimHash blocking (RelMore99 multiprobe). */
-  private[ops] def simhashFrame(s: SparkSession, d: String): DataFrame = simhashDf(s, d)
+  private[ops] def simhashFrame(s: SparkSession, d: String): DataFrame = simhashStored(s, d)
   private[ops] def simhashCoreSqlShared: String = simhashCoreSql
 
   /** Simhash computation as a CTE-embeddable SELECT (no ORDER BY). */
@@ -487,8 +499,8 @@ object TextDedup {
   val dedupSimhashPairs: Q = (s, d) => {
     graft.functions.HammingDistance.register(s)
     // persist: the fingerprint table feeds 4 chunk projections and two
-    // verify-join sides
-    val sh = simhashDf(s, d).sharedCache()
+    // verify-join sides (r14 opt: served from the per-process store)
+    val sh = simhashStored(s, d).sharedCache()
     // one stack() pass over the cached fingerprints, not a 4-way union
     // (same reasoning as the LSH band table)
     val chunkArgs = (0 until 4).map(c =>
