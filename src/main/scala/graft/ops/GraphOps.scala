@@ -86,7 +86,7 @@ object GraphOps {
         (col("sk") * 2 + 1).as("sn"))
 
   /** Inverse of the even/odd encoding above, applied once at output. */
-  private def longNodeToStr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[ops] def longNodeToStr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(when(c % 2 === 0, lit("p")).otherwise(lit("s")),
       (c / 2).cast("long").cast("string"))
 

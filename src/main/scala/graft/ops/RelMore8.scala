@@ -141,15 +141,22 @@ object RelMore8 {
     * convergence detection would add a driver-side count per round).
     * Oracle: the identical three relaxations as chained CTEs. */
   val graphShortestPath: Q = (s, d) => withShufflePartitions(s, 8) {
+    // r14 opt: the relax loop runs on 8-byte even/odd long node ids
+    // (the graph-pagerank encoding — GraphOps.longNodeToStr maps back
+    // at output): string keys paid UTF8String concat + hashing on
+    // every edge row and every relaxation probe (guide §2.3 narrower
+    // types). Grouping on the longs yields the identical groups (the
+    // encoding is injective), so every min and every relaxed distance
+    // is unchanged; seed 's1' is node 2·1+1 = 3.
     val e1 = lineitem(s, d)
-      .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst"))
+      .groupBy((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"))
       .agg(min(col("l_quantity").cast(LongType)).as("w"))
     val edges = e1.unionAll(
       e1.select(col("dst").as("src"), col("src").as("dst"), col("w"))).sharedCache()
     var dist = s.createDataFrame(
-      java.util.List.of(org.apache.spark.sql.Row("s1", 0L)),
-      new StructType().add("node", StringType).add("dist", LongType))
+      java.util.List.of(org.apache.spark.sql.Row(3L, 0L)),
+      new StructType().add("node", LongType).add("dist", LongType))
     for (_ <- 1 to 3) {
       val relaxed = dist.join(edges, dist("node") === edges("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
@@ -158,7 +165,8 @@ object RelMore8 {
         .sharedCache()
     }
     dist.count() // materialize the relax rounds inside the partition scope
-    dist.orderBy("node")
+    dist.select(GraphOps.longNodeToStr(col("node")).as("node"), col("dist"))
+      .orderBy("node")
   }
 
   val graphShortestPathSql: String =
