@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.olist.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-14 optimization invariants: the rewrites that changed an
+  * operator's INTERNALS (not its declared output) hold against an
+  * independent reference implementation on the fixture.
+  *
+  *  - emb-mmr-rerank moved the bounded 20-row argmax loop from chained
+  *    frame algebra onto the driver; the spec replays the ORIGINAL
+  *    frame-algebra loop and asserts row-for-row equality.
+  *  - The TopKPerKey ports (emb-intrinsic-dim, ann-nndescent-round,
+  *    knnExactStored, agg-brand-switching) replaced
+  *    row_number-over-window cuts; the spec asserts the bounded-heap
+  *    operator and the window produce the identical survivor set on
+  *    the family's real pair frame.
+  */
+class Round14OptSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("emb-mmr-rerank: driver-side argmax equals the frame-algebra MMR loop") {
+    graft.functions.DotProduct.register(spark)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").select(col("vec_id"),
+      expr("quantize_lattice(embedding, 1000000.0D)").as("v"))
+    val q = vecs.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    // the pre-r14 frame-algebra implementation, verbatim shape
+    val cands = vecs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 1)
+      .select(col("vec_id"), col("v"), expr("dot_product(v, qv)").as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(20).persist()
+    val sims = cands.select(col("vec_id").as("ia"), col("v").as("va"))
+      .join(cands.select(col("vec_id").as("ib"), col("v").as("vb")),
+        col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"), expr("dot_product(va, vb)").as("sim"))
+      .persist()
+    var selected = cands.orderBy(col("rel").desc, col("vec_id").asc).limit(1)
+      .select(col("vec_id"), col("rel"), lit(1).as("rank")).persist()
+    for (i <- 2 to 5) {
+      val next = cands.join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(sims.join(selected.select(col("vec_id").as("ib")), Seq("ib"))
+            .groupBy("ia").agg(max("sim").as("max_sim")),
+          col("vec_id") === col("ia"))
+        .select(col("vec_id"), col("rel"), (col("rel") - col("max_sim")).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("rel"), lit(i).as("rank"))
+      selected = selected.unionAll(next).persist()
+    }
+    val reference = selected
+      .select(col("rank"), col("vec_id"), col("rel").cast("long").as("rel_micro2"))
+      .orderBy("rank").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val got = graft.SparkEntry.queries("emb-mmr-rerank")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(got.toSeq == reference.toSeq,
+      s"driver-side MMR diverged from the frame-algebra loop:\n got=${got.toSeq}\n ref=${reference.toSeq}")
+  }
+
+  test("TopKPerKey top-10 equals the row_number window cut on the exact pair frame") {
+    val pairs = RelMore168.pairs(spark, sf).persist()
+    val w = Window.partitionBy("i").orderBy(col("d2").asc, col("j").asc)
+    val viaWindow = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10).select("i", "j", "d2")
+    val viaHeap = graft.plans.TopKPerKey.of(pairs,
+      Seq("i"), Seq("d2" -> true, "j" -> true), 10).select("i", "j", "d2")
+    assert(viaWindow.exceptAll(viaHeap).isEmpty && viaHeap.exceptAll(viaWindow).isEmpty,
+      "TopKPerKey(k=10) and the row_number window disagree on the pair frame")
+    spark.catalog.clearCache()
+  }
+}
