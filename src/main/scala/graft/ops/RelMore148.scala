@@ -22,7 +22,13 @@ object RelMore148 {
     * and their squares are exact; the fit itself is the exact-moment
     * closed form. Two passes + one cluster-keyed aggregate. */
   val aggClusteredSe: Q = (s, d) => {
-    val base = lineitem(s, d).select(col("l_orderkey").as("g"),
+    // r14 opt: repartition after the single-row-group read (guide §2.5)
+    // — the cached base otherwise holds ONE partition, so the moment
+    // pass and the per-row score pass both ran inside one task;
+    // conf-derived, scale-adaptive
+    val base = lineitem(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("l_orderkey").as("g"),
         expr("CAST(l_quantity AS DECIMAL(38,0))").as("x"),
         expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))").as("y"))
       .sharedCache()

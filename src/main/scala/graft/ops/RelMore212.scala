@@ -119,7 +119,12 @@ object RelMore212 {
   val aggKmvRollingMerge: Q = (s, d) => {
     val K = 24
     // distinct (month, hash) — the only fact-sized pass
-    val mh = orders(s, d).select(
+    // r14 opt: repartition after the single-row-group read (guide §2.5)
+    // — the per-row md5 otherwise runs inside the one scan task and the
+    // cached distinct set holds too few partitions for the probe legs
+    val mh = orders(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(
         to_date(date_trunc("month", col("o_orderdate"))).as("m"),
         expr("hex_slice_long(md5(CAST(o_custkey AS STRING)), 1, 13)").as("h"))
       .distinct()
@@ -143,12 +148,20 @@ object RelMore212 {
       .withColumn("rn", row_number().over(Window.partitionBy("wm").orderBy("h")))
       .filter(col("rn") === K)
       .select(col("wm"), col("h").as("kth_hash"))
-    // exact rolling distinct (for the error report): same range join
-    // over the un-truncated distinct set
-    val exact = mh.as("p")
-      .join(broadcast(months.as("w")),
-        col("p.m") >= add_months(col("w.m"), -2) && col("p.m") <= col("w.m"))
-      .groupBy(col("w.m").as("wm"))
+    // exact rolling distinct (for the error report). r14 opt: window
+    // membership EXPANDED, not range-joined (guide §2.3, the
+    // agg-histogram-quantile-merge treatment): each distinct (m, h) row
+    // lands in exactly the 3 windows {m, m+1, m+2} via explode — a
+    // projection + semi-join against the real month dim — where the
+    // broadcast range join (non-equi → BNLJ) paid |mh|×|months|
+    // predicate evals. Membership is identical: m ∈ [wm−2, wm] ⟺
+    // wm ∈ {m, m+1, m+2} ∩ months.
+    val exact = mh
+      .withColumn("wm", explode(array(
+        col("m"), add_months(col("m"), 1), add_months(col("m"), 2))))
+      .join(broadcast(months.withColumnRenamed("m", "wm")), Seq("wm"),
+        "left_semi")
+      .groupBy(col("wm"))
       .agg(countDistinct(col("h")).as("exact_distinct"))
     kth.join(exact, Seq("wm"))
       .select(

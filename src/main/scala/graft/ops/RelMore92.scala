@@ -87,15 +87,23 @@ object RelMore92 {
     * assignments via an exploded salt column — 21× the rows, zero
     * extra shuffles beyond the (salt, group, dim) aggregate. */
   val embPermutationTest: Q = (s, d) => {
-    val comp = embeddings(s, d).select(col("vec_id"), col("label"),
-      posexplode(expr("quantize_lattice_long(embedding, 1000000.0D)"))
-        .as(Seq("pos", "x")))
-    val salted = comp.crossJoin(
+    // r14 opt: (a) repartition after the single-row-group read (guide
+    // §2.5) so the salt fan-out runs on every core, not inside the one
+    // scan task; (b) assign grp BEFORE exploding dims — it depends only
+    // on (vec_id, salt), so the md5 is paid once per (vec, salt)
+    // instead of once per (vec, salt, dim) (§1.2 per-task work). Same
+    // rows out: posexplode commutes with the per-vector grp column.
+    val vecs = embeddings(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("vec_id"), col("label"),
+        expr("quantize_lattice_long(embedding, 1000000.0D)").as("xs"))
+    val salted = vecs.crossJoin(
       s.range(-1, NPerms).select(col("id").cast(IntegerType).as("salt")))
       .withColumn("grp",
         when(col("salt") === -1, (col("label") <= 4).cast(IntegerType))
           .otherwise((expr("instr('0123456789abcdef', substring(md5(concat(CAST(vec_id AS STRING), '_', CAST(salt AS STRING))), 1, 1)) - 1") < 8)
             .cast(IntegerType)))
+      .select(col("salt"), col("grp"), posexplode(col("xs")).as(Seq("pos", "x")))
     val cent = salted.groupBy("salt", "grp", "pos")
       .agg((sum("x") - pmod(sum("x"), count(lit(1)))).as("sn"), count(lit(1)).as("cn"))
       .select(col("salt"), col("grp"), col("pos"),
