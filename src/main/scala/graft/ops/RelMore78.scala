@@ -218,16 +218,21 @@ object RelMore78 {
     * scale compromise — full closeness needs the full APSP. */
   val graphClosenessCentrality: Q = (s, d) => withShufflePartitions(s, 8) {
     // r14 opt: distinct pairs from the per-process fixture
-    // (GraphOps.psPairsStored) instead of a per-rep scan + distinct
+    // (GraphOps.psPairsStored) instead of a per-rep scan + distinct.
+    // r14 opt 2 (guide §2.3 narrower types, the graph-shortest-path
+    // treatment): the whole BFS — three rounds of join + distinct +
+    // anti-join on (seed, node) — runs on 8-byte longs (part = 2·pk,
+    // supplier = 2·sk+1, injective) instead of concat'd strings, whose
+    // UTF8String hashing every probe of every round paid for labels
+    // only the 4-row output needs. Labels re-derived at output only.
     val e1 = GraphOps.psPairsStored(s, d)
-      .select(concat(lit("s"), col("sk")).as("src"),
-        concat(lit("p"), col("pk")).as("dst"))
+      .select((col("sk") * 2 + 1).as("src"), (col("pk") * 2).as("dst"))
     val edges = e1.unionAll(e1.select(col("dst").as("src"), col("src").as("dst")))
       .sharedCache()
-    val seeds = (1 to ClosenessSeeds).map(i => Row(s"s$i", s"s$i", 0))
+    val seeds = (1 to ClosenessSeeds).map(i => Row(i * 2L + 1, i * 2L + 1, 0))
     var visited = s.createDataFrame(
       java.util.List.of(seeds: _*),
-      new StructType().add("seed", StringType).add("node", StringType).add("lvl", IntegerType))
+      new StructType().add("seed", LongType).add("node", LongType).add("lvl", IntegerType))
     var frontier = visited.select("seed", "node")
     for (lvl <- 1 to ClosenessHops) {
       frontier = frontier.join(edges, frontier("node") === edges("src"))
@@ -242,6 +247,8 @@ object RelMore78 {
       .groupBy("seed")
       .agg(count(lit(1)).as("n_reached"),
         sum(expr("1000000 div lvl")).as("harmonic_e6"))
+      .select(GraphOps.longNodeToStr(col("seed")).as("seed"),
+        col("n_reached"), col("harmonic_e6"))
       .orderBy("seed")
   }
 

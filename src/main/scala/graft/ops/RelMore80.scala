@@ -140,14 +140,20 @@ object RelMore80 {
     * dominates, its neighbors follow. */
   val graphPprSeed: Q = (s, d) => withShufflePartitions(s, 8) {
     // r14 opt: distinct pairs from the per-process fixture
-    // (GraphOps.psPairsStored) instead of a per-rep scan + distinct
+    // (GraphOps.psPairsStored) instead of a per-rep scan + distinct.
+    // r14 opt 2 (guide §2.3 narrower types, the graph-pagerank /
+    // shortest-path discipline): all five rank⋈edges joins and
+    // groupBys run on 8-byte longs (part = 2·pk, supplier = 2·sk+1,
+    // injective — seed s1 is long 3); the 'p'/'s' labels are
+    // re-derived at output, BEFORE the final (r desc, node) sort, so
+    // the top-15 cut and its tiebreak order over the string ids are
+    // byte-identical to the original.
     val e1 = GraphOps.psPairsStored(s, d)
-      .select(concat(lit("s"), col("sk")).as("src"),
-        concat(lit("p"), col("pk")).as("dst"))
+      .select((col("sk") * 2 + 1).as("src"), (col("pk") * 2).as("dst"))
     val edges = e1.unionAll(e1.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "src").sharedCache()
-    val ranks0 = s.sql("SELECT 's1' AS node, CAST(1.0 AS DOUBLE) AS r")
+    val ranks0 = s.sql("SELECT CAST(3 AS BIGINT) AS node, CAST(1.0 AS DOUBLE) AS r")
     // IterativeFixpoint.eager (was a hand-rolled per-round checkpoint
     // loop): truncation per round keeps the 5-deep chain from nesting
     // AND hands each round's rank⋈edges join a known (small) build side,
@@ -166,10 +172,12 @@ object RelMore80 {
         .agg((lit(0.85) * sum(col("r") / col("deg"))).as("r"))
         .select(col("dst").as("node"), col("r"))
       flow
-        .unionAll(s.sql("SELECT 's1' AS node, CAST(0.15 AS DOUBLE) AS r"))
+        .unionAll(s.sql("SELECT CAST(3 AS BIGINT) AS node, CAST(0.15 AS DOUBLE) AS r"))
         .groupBy("node").agg(round(sum("r"), 8).as("r"))
     }
-    val out = ranks
+    // labels re-derived BEFORE the (r desc, node) sort: the top-15 cut
+    // tiebreaks on the STRING id exactly as the oracle does
+    val out = ranks.select(GraphOps.longNodeToStr(col("node")).as("node"), col("r"))
     out.orderBy(col("r").desc, col("node").asc).limit(15)
       .select(col("node"), col("r").as("ppr"))
   }
