@@ -28,8 +28,17 @@ object RelMore99 {
   val dedupSimhashMultiprobe: Q = (s, d) => {
     graft.functions.HammingDistance.register(s)
     val sh = TextDedup.simhashFrame(s, d).sharedCache()
+    // r14 opt (guide §2.3 narrower types + §1.2 per-task work): the
+    // probe fan-out and the candidate join run on the chunk's INTEGER
+    // value (conv(bits, 2, 10) — injective on 16-bit chunks) instead
+    // of its 16-char bit string. A one-bit flip at string position k
+    // is XOR with 1 << (16 − k) on the integer, so each probe row is
+    // one long XOR instead of three substrings + concat, and the
+    // 17×|chunks| join hashes 8-byte keys instead of 16-char strings.
+    // Same candidates, same min_k: the int↔string mapping is 1:1.
     val chunkArgs = (0 until NChunks).map(c =>
-      s"$c, substring(simhash, ${c * ChunkBits + 1}, $ChunkBits)").mkString(", ")
+      s"$c, CAST(conv(substring(simhash, ${c * ChunkBits + 1}, $ChunkBits), 2, 10) AS BIGINT)")
+      .mkString(", ")
     val chunksAll = sh.selectExpr("doc_id", s"stack($NChunks, $chunkArgs) AS (cidx, ck)")
     val keep = chunksAll.groupBy("cidx", "ck").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= 256).select("cidx", "ck")
@@ -39,9 +48,7 @@ object RelMore99 {
       .select(col("doc_id").as("i"), col("cidx"),
         explode(expr(s"sequence(0, $ChunkBits)")).as("k"), col("ck"))
       .withColumn("pk", when(col("k") === 0, col("ck")).otherwise(
-        expr(s"""concat(substring(ck, 1, k - 1),
-                 CASE WHEN substring(ck, k, 1) = '0' THEN '1' ELSE '0' END,
-                 substring(ck, k + 1, $ChunkBits - k))""")))
+        expr(s"ck ^ shiftleft(1L, $ChunkBits - k)")))
       .select(col("i"), col("cidx"), col("pk"), col("k"))
     val cand = probes.join(target, Seq("cidx", "pk"))
       .filter(col("i") < col("j"))

@@ -59,6 +59,69 @@ class Round14OptSpec extends SparkTestBase {
       s"driver-side MMR diverged from the frame-algebra loop:\n got=${got.toSeq}\n ref=${reference.toSeq}")
   }
 
+  test("agg-markov-attribution: driver-side value iteration equals the frame-algebra loop") {
+    // the pre-r14 frame-algebra implementation, verbatim shape: the
+    // scenario column crossJoin + 13 chained join-aggs with per-round
+    // round(·, 9)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("ts"),
+      col("event_id"), col("event_type").as("t"))
+      .withColumn("nxt", lead("t", 1).over(w))
+      .withColumn("prv", lag("t", 1).over(w))
+    val mid = ev.filter(col("t") =!= "purchase")
+      .select(col("t").as("src"),
+        when(col("nxt").isNull, "NULL")
+          .when(col("nxt") === "purchase", "CONV")
+          .otherwise(col("nxt")).as("dst"))
+    val starts = ev.filter(col("prv").isNull || col("prv") === "purchase")
+      .select(lit("START").as("src"),
+        when(col("t") === "purchase", "CONV").otherwise(col("t")).as("dst"))
+    val cnt = mid.unionAll(starts).groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("src").agg(sum("n").as("nt"))
+    val trans = cnt.join(tot, Seq("src"))
+      .select(col("src"), col("dst"),
+        (col("n").cast("double") / col("nt").cast("double")).as("p"))
+    import spark.implicits._
+    val scen = trans.crossJoin(
+        Seq("FULL", "click", "error", "signup", "view").toDF("scen"))
+      .filter(col("src") =!= col("scen"))
+      .select(col("scen"), col("src"),
+        when(col("dst") === col("scen"), "NULL").otherwise(col("dst")).as("dst"),
+        col("p"))
+      .persist()
+    var v = scen.groupBy(col("scen"), col("src").as("state"))
+      .agg(round(sum(when(col("dst") === "CONV", col("p")).otherwise(0.0)), 9).as("v"))
+    for (_ <- 2 to 14) {
+      v = scen.join(v.select(col("scen"), col("state").as("dst"), col("v").as("vd")),
+        Seq("scen", "dst"), "left")
+        .groupBy(col("scen"), col("src").as("state"))
+        .agg(round(sum(when(col("dst") === "CONV", col("p"))
+          .otherwise(col("p") * coalesce(col("vd"), lit(0.0)))), 9).as("v"))
+    }
+    val pstart = v.filter(col("state") === "START").select(col("scen"), col("v"))
+    val full = pstart.filter(col("scen") === "FULL").select(col("v").as("p_full"))
+    val re = pstart.filter(col("scen") =!= "FULL")
+      .crossJoin(broadcast(full))
+      .select(col("scen").as("channel"), col("p_full"),
+        col("v").as("p_removed"),
+        greatest(lit(0.0), col("p_full") - col("v")).as("re"))
+    val reTot = re.agg(sum("re").as("ret"))
+    val reference = re.crossJoin(broadcast(reTot))
+      .select(col("channel"), round(col("p_full"), 6).as("p_conv_full"),
+        round(col("p_removed"), 6).as("p_conv_removed"),
+        round(col("re"), 6).as("removal_effect"),
+        round(col("re") / col("ret"), 4).as("attribution_share"))
+      .orderBy("channel")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val got = graft.SparkEntry.queries("agg-markov-attribution")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    spark.catalog.clearCache()
+    assert(got.toSeq == reference.toSeq,
+      s"driver-side value iteration diverged from the frame-algebra loop:\n got=${got.toSeq}\n ref=${reference.toSeq}")
+  }
+
   test("TopKPerKey top-10 equals the row_number window cut on the exact pair frame") {
     val pairs = RelMore168.pairs(spark, sf).persist()
     val w = Window.partitionBy("i").orderBy(col("d2").asc, col("j").asc)
