@@ -304,29 +304,33 @@ object RelMore187 {
         (col("ra") === col("rb") && col("a") < col("b"))).cast(IntegerType))
     val nij = duel.groupBy("a", "b")
       .agg(count(lit(1)).as("n"), sum("awin").cast(LongType).as("w"))
-      .sharedCache()
-    val wins = nij.groupBy("a").agg(sum("w").as("wi"))
-    val pi0 = wins.select(col("a"), lit(1.0).as("p"))
-    // IterativeFixpoint.eager: each MM round reads π TWICE (the pa and
-    // pb sides of the denominator join) and nests it inside broadcast
-    // subtrees — without per-round truncation the final action pays a
-    // 2^k-deep re-analysis cascade (the original r8 defect: 65.6 s
-    // steady for a 420-row problem; ~2 s truncated). The helper now
-    // also releases prior rounds' storage and asserts no-plan-growth.
-    val pi = graft.functions.IterativeFixpoint.eager(pi0, 3) { (p0, _) =>
-      val den = nij
-        .join(p0.select(col("a"), col("p").as("pa")), Seq("a"))
-        .join(p0.select(col("a").as("b"), col("p").as("pb")), Seq("b"))
-        .groupBy("a")
-        .agg(sum(col("n").cast(DoubleType) / (col("pa") + col("pb"))).as("dn"))
-      val upd = wins.join(den, Seq("a"))
-        .select(col("a"),
-          round(col("wi").cast(DoubleType) / col("dn"), 9).as("p"))
-      val mean = upd.agg(avg("p").as("mp"))
-      upd.crossJoin(broadcast(mean))
-        .select(col("a"), round(col("p") / col("mp"), 9).as("p"))
+    // r14 opt: the comparison frame is bounded BY CONSTRUCTION (a, b ∈
+    // the 5 order priorities — ≤ 20 rows), so the 3 eager MM rounds
+    // (per-round checkpoint actions + broadcast joins per run) are
+    // driver-side no-data work (guide §5; the emb-mmr-rerank /
+    // agg-markov-attribution precedent). The driver loop applies the
+    // identical per-round folds — round(wi/dn, 9), mean-normalize,
+    // round(·, 9) — on the SAME n/w integers Spark aggregated; the
+    // 9-dp rounding absorbs summation-order noise exactly as it
+    // already did across engines.
+    val rows = nij.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val as = rows.map(_._1).distinct.sorted
+    val wi = as.map(a => a -> rows.filter(_._1 == a).map(_._4).sum).toMap
+    var p = as.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val upd = as.map { a =>
+        val dn = rows.filter(_._1 == a).sortBy(_._2).foldLeft(0.0) {
+          case (acc, (_, b, n, _)) => acc + n.toDouble / (p(a) + p(b))
+        }
+        a -> TextDedup.round9(wi(a).toDouble / dn)
+      }.toMap
+      val mp = as.map(upd).sum / as.size
+      p = as.map(a => a -> TextDedup.round9(upd(a) / mp)).toMap
     }
-    pi.join(wins, Seq("a"))
+    import s.implicits._
+    as.toSeq.map(a => (a, p(a), wi(a)))
+      .toDF("a", "p", "wi")
       .select(col("a").as("priority"), round(col("p"), 6).as("bt_strength"),
         col("wi").as("pair_wins"))
       .orderBy(col("bt_strength").desc, col("priority"))

@@ -26,9 +26,15 @@ object TextDedup {
   private val MaxDf = 50    // stop-shingle document-frequency cap
   private val JaccardThreshold = 0.8
 
-  /** Word 3-gram shingles, one row per (doc, shingle) occurrence. */
+  /** Word 3-gram shingles, one row per (doc, shingle) occurrence.
+    * r14 opt: repartition after the single-row-group read (guide §2.5)
+    * — every consumer (minhash digests, jaccard's 16-hex keys,
+    * eval-prf) pipelines per-shingle md5 work into this derivation,
+    * which otherwise ran inside the ONE document-scan task; the
+    * exchange moves only |docs| rows. Conf-derived, scale-adaptive. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),

@@ -122,6 +122,47 @@ class Round14OptSpec extends SparkTestBase {
       s"driver-side value iteration diverged from the frame-algebra loop:\n got=${got.toSeq}\n ref=${reference.toSeq}")
   }
 
+  test("agg-bradley-terry: driver-side MM rounds equal the frame-algebra loop") {
+    // the pre-r14 frame-algebra implementation, verbatim shape: three
+    // MM rounds as checkpointed join-aggs with per-round round(·, 9)
+    val mp = Tables.orders(spark, sf)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"),
+        col("o_orderpriority").as("pri"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("rev"))
+    val duel = mp.select(col("mi"), col("pri").as("a"), col("rev").as("ra"))
+      .join(mp.select(col("mi"), col("pri").as("b"), col("rev").as("rb")), Seq("mi"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("awin", (col("ra") > col("rb") ||
+        (col("ra") === col("rb") && col("a") < col("b"))).cast("int"))
+    val nij = duel.groupBy("a", "b")
+      .agg(count(lit(1)).as("n"), sum("awin").cast("long").as("w")).persist()
+    val wins = nij.groupBy("a").agg(sum("w").as("wi"))
+    var pi = wins.select(col("a"), lit(1.0).as("p")).persist()
+    for (_ <- 1 to 3) {
+      val den = nij
+        .join(pi.select(col("a"), col("p").as("pa")), Seq("a"))
+        .join(pi.select(col("a").as("b"), col("p").as("pb")), Seq("b"))
+        .groupBy("a")
+        .agg(sum(col("n").cast("double") / (col("pa") + col("pb"))).as("dn"))
+      val upd = wins.join(den, Seq("a"))
+        .select(col("a"), round(col("wi").cast("double") / col("dn"), 9).as("p"))
+      val mean = upd.agg(avg("p").as("mp"))
+      pi = upd.crossJoin(broadcast(mean))
+        .select(col("a"), round(col("p") / col("mp"), 9).as("p")).persist()
+      pi.count()
+    }
+    val reference = pi.join(wins, Seq("a"))
+      .select(col("a").as("priority"), round(col("p"), 6).as("bt_strength"),
+        col("wi").as("pair_wins"))
+      .orderBy(col("bt_strength").desc, col("priority"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val got = graft.SparkEntry.queries("agg-bradley-terry")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(got.toSeq == reference.toSeq,
+      s"driver-side MM diverged from the frame-algebra loop:\n got=${got.toSeq}\n ref=${reference.toSeq}")
+  }
+
   test("TopKPerKey top-10 equals the row_number window cut on the exact pair frame") {
     val pairs = RelMore168.pairs(spark, sf).persist()
     val w = Window.partitionBy("i").orderBy(col("d2").asc, col("j").asc)
