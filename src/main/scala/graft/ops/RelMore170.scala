@@ -50,24 +50,35 @@ object RelMore170 {
     val ph = digested(s.range(1, nProbes + 1).select((-col("id")).as("key")))
       .sharedCache()
     ph.count()
-    def posCol(m: Long, k: Int): org.apache.spark.sql.Column =
-      expr(s"transform(sequence(0, ${k - 1}), i -> " +
-        s"hex_slice_long(h, i * 8 + 1, 8) % ${m}L)")
-    val perConfig = configs.map { case (b, k) =>
-      val m = n * b
-      val bits = hk.select(explode(posCol(m, k)).as("pos")).distinct()
-      val probes = ph.select(col("key"), explode(posCol(m, k)).as("pos"))
-      val fp = probes.join(bits, Seq("pos"))
-        .groupBy("key").agg(count(lit(1)).as("hits"))
-        .filter(col("hits") === k)
-        .agg(count(lit(1)).as("n_fp"))
-      fp.select(lit(b).as("bits_per_key"), lit(k).as("k_hashes"),
-        round(pow(lit(1.0) - exp(lit(-k.toDouble / b)), k), 6).as("modeled_fpp"),
+    // r14 opt (§2.4 remove shuffles outright): the four configs ran
+    // four separate bits-distinct/probe-join/agg pipelines (4× the
+    // stages for the same total rows). The config ladder is now a
+    // 4-row broadcast dimension carrying (b, k, m = n·b): ONE position
+    // explode per side, ONE distinct over (b, pos), ONE join, ONE
+    // hit-count aggregate. Rows and per-row arithmetic are unchanged —
+    // duplicate positions within a (config, key) still count toward
+    // hits exactly as before — and zero-FP configs survive via the
+    // left join from the config dim.
+    import s.implicits._
+    val cfg = configs.map { case (b, k) => (b, k, n * b) }.toDF("b", "kh", "m")
+    val posCol = expr(
+      "transform(sequence(0, kh - 1), i -> hex_slice_long(h, i * 8 + 1, 8) % m)")
+    val bits = hk.crossJoin(broadcast(cfg))
+      .select(col("b"), explode(posCol).as("pos")).distinct()
+    val probes = ph.crossJoin(broadcast(cfg))
+      .select(col("b"), col("kh"), col("key"), explode(posCol).as("pos"))
+    val fpPerB = probes.join(bits, Seq("b", "pos"))
+      .groupBy("b", "kh", "key").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === col("kh"))
+      .groupBy("b").agg(count(lit(1)).as("n_fp"))
+    cfg.join(fpPerB, Seq("b"), "left")
+      .select(col("b").as("bits_per_key"), col("kh").as("k_hashes"),
+        round(pow(lit(1.0) - exp(-col("kh").cast(DoubleType) / col("b")),
+          col("kh").cast(DoubleType)), 6).as("modeled_fpp"),
         coalesce(col("n_fp"), lit(0L)).as("false_positives"),
         round(coalesce(col("n_fp"), lit(0L)).cast(DoubleType) / nProbes, 6)
           .as("measured_fpp"))
-    }
-    perConfig.reduce(_ unionAll _).orderBy("bits_per_key")
+      .orderBy("bits_per_key")
   }
 
   val layoutBloomFppCurveSql: String = {
