@@ -237,19 +237,26 @@ object RelMore169 {
     * co-occurs with many DISTINCT well-connected terms outranks one
     * repeated in a single phrase. Top-15 with term tiebreak. */
   val textTextrank: Q = (s, d) => withShufflePartitions(s, 8) {
-    val tp = toks(s, d)
-      .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tok")))
-      .filter(length(col("tok")) >= 4)
-    // adjacency AFTER the length filter (content-word chain, declared):
-    // re-rank positions within doc, pair consecutive ranks
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val seqd = tp.withColumn("k", row_number().over(w)).sharedCache()
-    val adj = seqd.as("a").join(seqd.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("b.k") === col("a.k") + 1)
-      .filter(col("a.tok") =!= col("b.tok"))
-      .select(least(col("a.tok"), col("b.tok")).as("u"),
-        greatest(col("a.tok"), col("b.tok")).as("v"))
+    // adjacency AFTER the length filter (content-word chain, declared).
+    // r14 opt (§2.3, the mm-cdc-chunking treatment): consecutive-pair
+    // formation is a PER-DOCUMENT computation — the old shape exploded
+    // every token, shuffled them through a doc-partitioned row_number
+    // window and self-joined on (doc, k+1), moving the whole token
+    // stream twice for information that never leaves the row. The
+    // filtered token array pairs adjacently in place (filter preserves
+    // order, so fts[i], fts[i+1] ARE consecutive content words = the
+    // old consecutive ranks); the §2.5 repartition spreads the one
+    // document-scan task. Same pairs, same weights.
+    val adj = toks(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(expr("filter(ts, t -> length(t) >= 4)").as("fts"))
+      .filter(size(col("fts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(fts) - 2), i -> struct(fts[i] AS ta, fts[i + 1] AS tb))"))
+        .as("p"))
+      .filter(col("p.ta") =!= col("p.tb"))
+      .select(least(col("p.ta"), col("p.tb")).as("u"),
+        greatest(col("p.ta"), col("p.tb")).as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("wt"))
       .sharedCache()
     val dirE = adj.select(col("u").as("src"), col("v").as("dst"), col("wt"))
